@@ -1,0 +1,56 @@
+"""Engine configuration.
+
+Defaults mirror the reference exactly:
+- k1=1.5, b=0.75: /root/reference/search_funcs/bm25_functions.py:20-21
+- alpha (IDF cutoff): module default -inf (bm25_functions.py:22),
+  the app passes -5 (app.py:171); we default to -inf so that plain
+  builds match the unpruned reference index.
+- clean off by default: app.py:159 (Radio "No").
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class BM25Config:
+    k1: float = 1.5
+    b: float = 0.75
+    alpha: float = -math.inf  # IDF cutoff; terms with idf <= alpha are pruned
+    clean: bool = False       # reference Clean="No" default (app.py:159)
+    top_n: int = 10           # north-rule top-10 (reference UI default slider 100000)
+
+    # physical-index knobs (engine-only; no reference analog — the
+    # reference keeps the whole index as one in-RAM dict)
+    block_size: int = 128          # postings per compressed block
+    term_partitions: int = 32      # hash-partition count of the term dictionary
+    salt_docs_per_split: int = 1 << 20  # doc-range width per salt bucket (hot-term split)
+
+
+@dataclass(frozen=True)
+class IndexPaths:
+    """Layout of a persisted index under one root directory."""
+
+    root: str
+
+    @property
+    def postings(self) -> str:
+        return f"{self.root}/postings"
+
+    @property
+    def term_stats(self) -> str:
+        return f"{self.root}/term_stats"
+
+    @property
+    def doc_stats(self) -> str:
+        return f"{self.root}/doc_stats"
+
+    @property
+    def docmap(self) -> str:
+        return f"{self.root}/docmap"
+
+    @property
+    def manifest(self) -> str:
+        return f"{self.root}/manifest.json"

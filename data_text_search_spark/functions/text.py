@@ -1,0 +1,151 @@
+"""Normalization: lowercase, clean, tokenize, hash, output formatting.
+
+Parity contract with the reference (seanpedrick-case/data_text_search):
+
+- **Lowercase before everything**: the reference lowercases the search
+  column before cleaning/tokenizing (bm25_functions.py:309) and the
+  query the same way (bm25_functions.py:533). We apply ``F.lower`` first
+  in every path.
+
+- **Tokenizer**: the reference uses the spaCy ``en_core_web_sm``
+  tokenizer only (``nlp.tokenizer.pipe``, bm25_functions.py:213-226).
+  spaCy is not available in this sandbox and is nondeterministic across
+  model versions, so the engine pins a deterministic regex spec that
+  approximates spaCy defaults on code-like ASCII text: maximal runs of
+  ``[a-z0-9_]`` are word tokens; every other non-whitespace character is
+  its own single-character token. The *same* pattern string is used by
+  the Spark engine (``F.regexp_extract_all``), the in-repo pure-Python
+  oracle (``re.findall``) and the DuckDB oracle SQL
+  (``regexp_extract_all``), so all three tokenize identically.
+  (Known divergence vs spaCy: contractions, URLs, unicode whitespace —
+  documented, not rank-relevant on the pinned corpora.)
+
+- **Clean pipeline**: exact regex strings and application order of the
+  reference's live polars pipeline ``initial_clean``
+  (clean_funcs.py:23-32,34-57): backslash→slash, strip HTML
+  tags/entities, strip email headers, strip email sign-offs, strip email
+  addresses, collapse multi-space. Off by default (app.py:159).
+
+- **Output formatting**: ``search_score_abs = abs(round(score, 2))``
+  (bm25_functions.py:628-631) — note the reference takes the *absolute
+  value of the rounded score*, so negative BM25 scores (possible with
+  the unsmoothed IDF) lose their sign in formatted output.
+
+- **Join-key normalization**: ``astype(str)`` + strip trailing ``.0``
+  (bm25_functions.py:660-661).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# --- tokenizer spec (shared verbatim by engine / python oracle / duckdb sql) ---
+# word runs of ascii alnum+underscore, else one token per non-space char
+TOKEN_PATTERN = r"[a-z0-9_]+|[^a-z0-9_\s]"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+# --- clean pipeline spec: (pattern, replacement) in application order ---
+# exact strings from /root/reference/search_funcs/clean_funcs.py:23-32
+# applied in the order of initial_clean, clean_funcs.py:44-57
+CLEAN_STEPS: tuple[tuple[str, str], ...] = (
+    (r"\\", "/"),                                                        # replace_backslash
+    (r"<.*?>|&([a-z0-9]+|#[0-9]{1,6}|#x[0-9a-f]{1,6});|\xa0|&nbsp;", ""),  # html_pattern_regex
+    (r".*importance:|.*subject:", ""),                                   # email_start_pattern_regex
+    (r"kind regards.*|many thanks.*|sincerely.*", ""),                   # email_end_pattern_regex
+    (r"\S*@\S*\s?", ""),                                                 # email_pattern_regex
+    (r"\s{2,}", " "),                                                    # multiple_spaces_regex
+)
+
+
+def lower_expr(col: str | Column) -> Column:
+    """Lowercase projection (P2, bm25_functions.py:309). Cast to string first
+    like the reference's astype(str)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(c.cast("string"))
+
+
+def clean_expr(col: str | Column) -> Column:
+    """Chained regexp_replace implementing the reference clean pipeline (F1).
+
+    Stays JVM-side (whole-stage codegen); identical pattern strings and
+    order as clean_funcs.py:44-57.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in CLEAN_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def tokenize_expr(col: str | Column) -> Column:
+    """JVM-side tokenizer: lower → regexp_extract_all(TOKEN_PATTERN).
+
+    The fast path — no Python in the plan at all.
+    """
+    return F.regexp_extract_all(lower_expr(col), F.lit(TOKEN_PATTERN), 0)
+
+
+def tokenize_py(text: str) -> list[str]:
+    """Driver/oracle-side tokenizer — identical spec to tokenize_expr."""
+    return _TOKEN_RE.findall(str(text).lower())
+
+
+def clean_py(text: str) -> str:
+    """Driver/oracle-side clean — identical spec to clean_expr."""
+    for pat, rep in CLEAN_STEPS:
+        text = re.sub(pat, rep, text)
+    return text
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def tokenize_pandas_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized tokenizer (per input_hint: pandas/Arrow UDFs, no
+    per-row Python UDFs). Same spec as tokenize_expr; tests assert the two
+    agree. Mirrors the reference's batched spaCy pipe
+    (bm25_functions.py:222-223) with Arrow batches in place of pipe(256).
+    """
+    return texts.astype(str).str.lower().str.findall(TOKEN_PATTERN)
+
+
+@F.pandas_udf(StringType())
+def clean_pandas_udf(texts: pd.Series) -> pd.Series:
+    """Arrow-vectorized clean (F1); same spec as clean_expr."""
+    s = texts.astype(str)
+    for pat, rep in CLEAN_STEPS:
+        s = s.str.replace(pat, rep, regex=True)
+    return s
+
+
+def sha256_expr(col: str | Column) -> Column:
+    """Ingest invariant: per-row sha256(content) (BASELINE.json input_hint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("string"), 256)
+
+
+def sha256_py(text: str) -> str:
+    return hashlib.sha256(str(text).encode("utf-8")).hexdigest()
+
+
+def score_abs_expr(score: str | Column) -> Column:
+    """search_score_abs = abs(round(score, 2)) — F7, bm25_functions.py:628-631."""
+    c = F.col(score) if isinstance(score, str) else score
+    return F.abs(F.round(c, 2))
+
+
+def join_key_norm_expr(col: str | Column) -> Column:
+    """Join-key normalization: str-cast + strip trailing '.0'
+    (F9, bm25_functions.py:660-661)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c.cast("string"), r"\.0$", "")
+
+
+def duckdb_tokenize_sql(text_expr: str) -> str:
+    """DuckDB-SQL fragment producing the identical token array."""
+    # duckdb string literal: escape backslashes via $$-quoting to keep the
+    # pattern byte-identical with TOKEN_PATTERN
+    return f"regexp_extract_all(lower(cast({text_expr} as varchar)), '[a-z0-9_]+|[^a-z0-9_\\s]')"

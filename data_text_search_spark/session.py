@@ -1,0 +1,52 @@
+"""SparkSession factory used by tests, jobs and bench.
+
+local-mode tuned; on a real cluster the same settings apply except
+memory sizing, which spark-submit supplies.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# repo root containing the package — must be importable by executor python
+# workers too (they are separate processes and do not inherit the driver's
+# sys.path mutations; on a real cluster spark-submit --py-files does this)
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_worker_pythonpath() -> None:
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if _PKG_ROOT not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join([_PKG_ROOT] + [p for p in parts if p])
+
+
+def get_spark(
+    app_name: str = "data_text_search_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    _ensure_worker_pythonpath()
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
