@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each queries()[name] is an engine operator from SURVEY.md §2 run over the
+driver's parquet tables; oracle_sql()[name] is the equivalent DuckDB SQL.
+Score columns are rounded identically on both sides (see
+data_text_search_spark/oracle_sql.py for why 4 dp is exact-safe).
 """
 
 from __future__ import annotations
@@ -12,27 +11,83 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_text_search_spark import oracle_sql as osql
+from data_text_search_spark.config import BM25Config
+from data_text_search_spark.functions.text import clean_expr, lower_expr
+from data_text_search_spark.operators import bm25_exhaustive as bx
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# flagship / oracle-checked BM25 parameters: the app's live settings
+# (k1=1.5 b=0.75 alpha=-5: reference app.py:165-171)
+APP_CFG = BM25Config(alpha=-5.0)
+FLAGSHIP_QUERY = "hash join table scan"
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _logical_index(spark: SparkSession, sf_dir: str, cfg: BM25Config = APP_CFG):
+    prep = bx.ingest(_documents(spark, sf_dir), text_col="text", id_col="doc_id")
+    return bx.build_logical(prep, cfg)
+
+
+# ---------------------------------------------------------------- queries
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _logical_index(spark, sf_dir)
+    res = bx.search(idx, spark, FLAGSHIP_QUERY, 10)
+    return res.select(
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("score_abs"),
+    )
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep = bx.ingest(_documents(spark, sf_dir), text_col="text", id_col="doc_id")
+    return prep.select("doc_id", "doc_len")
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _logical_index(spark, sf_dir)
+    return idx.term_stats.select(
+        "term", "df", F.round("idf", 6).alias("idf"))
+
+
+def q_term_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _logical_index(spark, sf_dir)
+    return idx.term_doc.filter(F.col("tf") >= 3).select("term", "doc_id", "tf")
+
+
+def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", clean_expr(lower_expr("text")).alias("cleaned"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_bm25_topk(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_topk": q_bm25_topk,
+        "doc_stats": q_doc_stats,
+        "term_stats": q_term_stats,
+        "term_tf": q_term_tf,
+        "clean_pipeline": q_clean_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha),
+        "doc_stats": osql.doc_stats_sql(),
+        "term_stats": osql.term_stats_sql(alpha=APP_CFG.alpha),
+        "term_tf": osql.term_tf_sql(min_tf=3),
+        "clean_pipeline": osql.clean_sql(),
+    }
