@@ -1,0 +1,261 @@
+"""Distributed inverted-index build with checkpoint-resumable lineage.
+
+Physical design (vs the reference's single gzip-pickled dict,
+bm25_functions.py:203-210):
+
+- **Document-sharded postings.** shard = pmod(xxhash64(doc_id), S).
+  This is the salting that defeats hot-term skew: the Zipf-head term is
+  spread uniformly over all S shards, so no reducer ever owns a whole
+  hot posting list (a term-keyed shuffle would melt under ~N postings
+  for 'the'-class terms at 10^12 docs). Every shard carries ~N/S docs
+  regardless of term skew, and each query term's full posting list is
+  the ordered concatenation of its per-shard sub-lists — the "external
+  merge" is a merge of per-shard top-k results, not a data merge.
+
+- **Block codec.** Within a shard, postings sort by (term, doc_id) and
+  chunk into blocks of `block_size`: first/last doc id + delta-varint
+  doc gaps + varint tfs + raw-f64 per-posting impact scores +
+  block_max metadata for block-skipping at query time. Impacts are the
+  exact BM25 per-(term,doc) contribution (idf·tf·(k1+1)/(tf+k1(1−b+b·dl/avgdl)))
+  computed in float64 at build time — queries never touch doc_stats.
+
+- **Term-bucketed layout.** Files are parquet partitioned by
+  term_bucket = pmod(xxhash64(term), TP), so a query reads only the
+  buckets its terms hash to (directory pruning) plus a term-IN filter
+  (row-group pruning on the term column min/max).
+
+- **Resumable build.** The expensive upstream (tokenize → tf/df/idf →
+  impact join) is checkpointed once to `enc/`; posting encoding then
+  runs in `groups` independent jobs (group = shard % G), each writing
+  its own directory and updating the JSON manifest afterwards. A killed
+  build resumes by skipping stages/groups marked done — mirroring (and
+  hardening) the reference's "skip work if artifact exists" shortcuts
+  (bm25_functions.py:315-319,350-352).
+
+Shuffle profile: one wide shuffle for the (term,doc) tf aggregate
+(map-side partial combine first), one shuffle for the term_stats join
+(AQE skew-split; term_stats broadcasts when small), one uniform
+repartition by doc-shard for encoding. Nothing keys a shuffle by bare
+term.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_text_search_spark.config import BM25Config, IndexPaths
+from data_text_search_spark.functions.text import TOKEN_PATTERN
+from data_text_search_spark.operators.bm25_exhaustive import build_logical, ingest
+
+POSTINGS_SCHEMA = (
+    "term string, shard int, block_id int, first_doc_id long, last_doc_id long, "
+    "n_docs int, doc_deltas binary, tfs binary, impacts binary, "
+    "block_max double, block_min double"
+)
+
+
+def _write_manifest_atomic(path: str, manifest: dict) -> None:
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def load_manifest(root: str) -> dict | None:
+    p = IndexPaths(root).manifest
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _encode_shard_factory(block_size: int):
+    """applyInPandas kernel: one pandas group per shard → posting blocks."""
+
+    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from data_text_search_spark.functions.codec import (
+            varint_encode_segmented,
+        )
+
+        if pdf.empty:
+            return pd.DataFrame(columns=[
+                "term", "shard", "block_id", "first_doc_id", "last_doc_id",
+                "n_docs", "doc_deltas", "tfs", "impacts", "block_max", "block_min"])
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort", ignore_index=True)
+        terms = pdf["term"].to_numpy()
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        impacts = pdf["impact"].to_numpy(dtype=np.float64)
+        shard = int(pdf["shard"].iloc[0])
+
+        # per-row term-run id and rank within term (all vectorized)
+        new_term = np.empty(len(terms), dtype=bool)
+        new_term[0] = True
+        new_term[1:] = terms[1:] != terms[:-1]
+        term_rid = np.cumsum(new_term) - 1
+        term_start = np.flatnonzero(new_term)
+        rank_in_term = np.arange(len(terms)) - term_start[term_rid]
+        block_in_term = rank_in_term // block_size
+
+        # per-row block-run id (term_rid, block_in_term) boundaries
+        new_block = new_term | (np.concatenate(([0], np.diff(block_in_term))) != 0)
+        block_rid = np.cumsum(new_block) - 1
+        block_start = np.flatnonzero(new_block)
+        n_blocks = block_start.size
+        block_end = np.concatenate((block_start[1:], [len(terms)]))
+        block_len = block_end - block_start
+
+        first_doc = docs[block_start]
+        last_doc = docs[block_end - 1]
+        # doc gaps: diff within block, excluding each block's first element
+        gaps_all = np.empty(len(docs), dtype=np.int64)
+        gaps_all[0] = 0
+        gaps_all[1:] = docs[1:] - docs[:-1]
+        keep = ~new_block  # drop first-of-block positions
+        gaps = gaps_all[keep].astype(np.uint64)
+        gap_seg_lens = block_len - 1
+        doc_deltas = varint_encode_segmented(gaps, gap_seg_lens)
+        tf_bufs = varint_encode_segmented(tfs.astype(np.uint64), block_len)
+        # block_min is needed alongside block_max because the unsmoothed
+        # Robertson IDF admits negative impacts (bm25_functions.py:94):
+        # the query-time pruning bounds must account for score decreases.
+        block_max = np.maximum.reduceat(impacts, block_start)
+        block_min = np.minimum.reduceat(impacts, block_start)
+
+        # impacts: raw little-endian float64 per block
+        imp_le = impacts.astype("<f8").tobytes()
+        imp_ends = np.cumsum(block_len) * 8
+        imp_starts = imp_ends - block_len * 8
+        impacts_bufs = [imp_le[s:e] for s, e in zip(imp_starts, imp_ends)]
+
+        return pd.DataFrame({
+            "term": terms[block_start],
+            "shard": np.full(n_blocks, shard, dtype=np.int32),
+            "block_id": (block_in_term[block_start]).astype(np.int32),
+            "first_doc_id": first_doc,
+            "last_doc_id": last_doc,
+            "n_docs": block_len.astype(np.int32),
+            "doc_deltas": doc_deltas,
+            "tfs": tf_bufs,
+            "impacts": impacts_bufs,
+            "block_max": block_max,
+            "block_min": block_min,
+        })
+
+    return encode_shard
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    root: str,
+    config: BM25Config = BM25Config(),
+    text_col: str = "content",
+    id_col: str | None = None,
+    shards: int | None = None,
+    groups: int = 4,
+    resume: bool = True,
+) -> dict:
+    """Build (or resume building) a physical index under `root`.
+
+    Returns the final manifest. Stage timings land in manifest["metrics"].
+    """
+    paths = IndexPaths(root)
+    os.makedirs(root, exist_ok=True)
+    shards = shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tp = config.term_partitions
+
+    manifest = (load_manifest(root) if resume else None) or {
+        "version": 1,
+        "tokenizer": TOKEN_PATTERN,
+        "config": {"k1": config.k1, "b": config.b, "alpha": config.alpha,
+                   "clean": config.clean, "block_size": config.block_size},
+        "shards": shards, "term_buckets": tp, "groups": groups,
+        "stages": {}, "groups_state": {}, "metrics": {},
+    }
+    if manifest["shards"] != shards or manifest["groups"] != groups:
+        # layout params are pinned by the first run of a build
+        shards, groups = manifest["shards"], manifest["groups"]
+
+    def stage_done(name: str) -> bool:
+        return manifest["stages"].get(name, {}).get("status") == "done"
+
+    def mark_stage(name: str, **info) -> None:
+        manifest["stages"][name] = {"status": "done", **info}
+        _write_manifest_atomic(paths.manifest, manifest)
+
+    # ---- stage: enc (ingest → tf → idf → impact) checkpoint -------------
+    enc_path = f"{root}/enc"
+    if not stage_done("enc"):
+        t0 = time.perf_counter()
+        prep = ingest(corpus, text_col=text_col, id_col=id_col, clean=config.clean)
+        idx = build_logical(prep, config)
+        n_docs, avgdl = idx.n_docs, idx.avgdl
+        k1, b = config.k1, config.b
+        enc = (
+            idx.term_doc.join(idx.term_stats.select("term", "idf"), "term")
+            .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int"))
+            .withColumn(
+                "impact",
+                F.col("idf") * F.col("tf") * F.lit(k1 + 1)
+                / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("doc_len") / F.lit(avgdl))),
+            )
+            .select("term", "doc_id", "tf", "impact", "shard")
+        )
+        enc.write.mode("overwrite").parquet(enc_path)
+
+        # doc_stats + term_stats side tables (not on the query hot path)
+        prep.select(
+            "doc_id", "doc_len",
+            F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard"),
+        ).write.mode("overwrite").parquet(paths.doc_stats)
+        idx.term_stats.withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int")
+        ).write.mode("overwrite").parquet(paths.term_stats)
+
+        manifest["n_docs"] = n_docs
+        manifest["avgdl"] = avgdl
+        dt = time.perf_counter() - t0
+        mark_stage("enc", seconds=round(dt, 3), rows=spark.read.parquet(enc_path).count())
+        manifest["metrics"]["enc_docs_per_sec"] = round(n_docs / dt, 1)
+        _write_manifest_atomic(paths.manifest, manifest)
+
+    # ---- stage: postings, one job per group (resumable) ------------------
+    enc_df = spark.read.parquet(enc_path)
+    kernel = _encode_shard_factory(config.block_size)
+    for g in range(groups):
+        gkey = str(g)
+        if manifest["groups_state"].get(gkey, {}).get("status") == "done":
+            continue
+        t0 = time.perf_counter()
+        part = enc_df.filter(F.pmod(F.col("shard"), F.lit(groups)) == g)
+        blocks = (
+            part.groupBy("shard")
+            .applyInPandas(kernel, schema=POSTINGS_SCHEMA)
+            .withColumn("term_bucket",
+                        F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
+        )
+        gdir = f"{paths.postings}/group={g}"
+        blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)
+        written = spark.read.parquet(gdir)
+        stats = written.agg(
+            F.count("*").alias("n_blocks"), F.sum("n_docs").alias("n_postings")
+        ).first()
+        manifest["groups_state"][gkey] = {
+            "status": "done",
+            "seconds": round(time.perf_counter() - t0, 3),
+            "n_blocks": int(stats["n_blocks"] or 0),
+            "n_postings": int(stats["n_postings"] or 0),
+        }
+        _write_manifest_atomic(paths.manifest, manifest)
+
+    manifest["complete"] = True
+    _write_manifest_atomic(paths.manifest, manifest)
+    return manifest

@@ -1,0 +1,182 @@
+"""Query executor over the physical index: block-max dynamic pruning.
+
+Per-shard execution (applyInPandas over the pruned posting blocks of the
+query terms) followed by a global top-k merge — the distributed analog
+of the reference's single dict walk + heap (bm25_functions.py:148-175).
+
+The in-shard kernel is a block-max MaxScore: a WAND-family dynamic
+pruning algorithm restated term-at-a-time so every step is vectorized
+numpy (no per-document Python loop — a literal DAAT WAND cursor walk
+would be slower in Python than vectorized scoring):
+
+1. terms sorted by upper bound U_t = qcount_t · max(block_max of t);
+2. terms are scored fully (decode all blocks, accumulate) while the
+   suffix bound Σ U_rest could still admit an unseen doc into the
+   top-k (θ = current kth accumulated score — a lower bound of the
+   final θ since scores only grow);
+3. once Σ U_rest < θ, remaining (non-essential) terms can no longer
+   put an *unseen* doc into the top-k, so only blocks whose
+   [first_doc_id, last_doc_id] range intersects the current candidate
+   set are decoded, and postings are filtered to candidates whose
+   potential (score so far + remaining bound) can still reach θ;
+4. exact scores for all surviving candidates → shard-local top-k.
+
+Results are exact (property-tested against the exhaustive DataFrame
+scorer): pruning only discards docs whose score provably cannot reach
+the shard's kth score.
+
+Scale shape: a query touches TP-pruned parquet directories + term-IN
+row-group pruning, so I/O ∝ posting lists of the query terms only —
+never a corpus scan. Per-shard work is bounded by the shard's share of
+those lists; the final merge moves only S·k rows.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_text_search_spark.config import IndexPaths
+from data_text_search_spark.functions.text import tokenize_py
+from data_text_search_spark.operators.index_build import load_manifest
+
+RESULT_SCHEMA = "doc_id long, score double"
+
+
+def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int):
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        from data_text_search_spark.functions.codec import decode_doc_block
+
+        if pdf.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+
+        # per-term bounds: gain = best possible contribution to one doc,
+        # loss = worst possible (negative IDF → impacts may be < 0, so
+        # scores are NOT monotone in processed terms; all bounds below
+        # account for both directions)
+        agg = pdf.groupby("term").agg(bmax=("block_max", "max"),
+                                      bmin=("block_min", "min"))
+        qc = np.array([qcounts[t] for t in agg.index], dtype=np.float64)
+        gain = np.maximum(agg["bmax"].to_numpy() * qc, 0.0)
+        loss = np.minimum(agg["bmin"].to_numpy() * qc, 0.0)
+        order_terms = np.argsort(-gain, kind="stable")
+        term_list = agg.index.to_numpy()[order_terms]
+        gain, loss = gain[order_terms], loss[order_terms]
+        # suffix sums over terms AFTER position i
+        sgain = np.concatenate((np.cumsum(gain[::-1])[::-1][1:], [0.0]))
+        sloss = np.concatenate((np.cumsum(loss[::-1])[::-1][1:], [0.0]))
+
+        acc_docs = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        # docs that ever failed an alive check: provably below the final kth
+        # score, so they can't be in the top-k — but their accumulated score
+        # is stale (missed later contributions) and must not be emitted
+        dead = np.empty(0, dtype=np.int64)
+
+        def accumulate(docs, contribs):
+            nonlocal acc_docs, acc_scores
+            all_docs = np.concatenate((acc_docs, docs))
+            all_sc = np.concatenate((acc_scores, contribs))
+            uniq, inv = np.unique(all_docs, return_inverse=True)
+            sums = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(sums, inv, all_sc)
+            acc_docs, acc_scores = uniq, sums
+
+        for i, term in enumerate(term_list):
+            q = qcounts[term]
+            rows = pdf[pdf["term"] == term]
+            # θ_lb: the final kth score is at least (current kth) + all
+            # remaining possible losses (incl. this term's)
+            if acc_scores.size >= k:
+                kth = np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k]
+                theta_lb = kth + loss[i] + sloss[i]
+            else:
+                theta_lb = -np.inf
+            # an unseen doc's best final score uses this term + the suffix
+            unseen_best = gain[i] + sgain[i]
+            essential = not (unseen_best < theta_lb)
+            if not essential:
+                # only current candidates that can still reach θ_lb matter
+                alive = acc_scores + gain[i] + sgain[i] >= theta_lb
+                cand = acc_docs[alive]
+                dead = np.union1d(dead, acc_docs[~alive])
+                if cand.size == 0:
+                    continue
+                lo, hi = cand.min(), cand.max()
+                rows = rows[(rows["last_doc_id"] >= lo) & (rows["first_doc_id"] <= hi)]
+                if rows.empty:
+                    continue
+            docs_l, imp_l = [], []
+            for fd, nd, dbuf, ibuf in zip(rows["first_doc_id"], rows["n_docs"],
+                                          rows["doc_deltas"], rows["impacts"]):
+                docs_l.append(decode_doc_block(int(fd), int(nd), dbuf))
+                imp_l.append(np.frombuffer(ibuf, dtype="<f8"))
+            docs = np.concatenate(docs_l)
+            imps = np.concatenate(imp_l) * q
+            if not essential:
+                m = np.isin(docs, cand)
+                docs, imps = docs[m], imps[m]
+                if docs.size == 0:
+                    continue
+            accumulate(docs, imps)
+
+        if dead.size:
+            live = ~np.isin(acc_docs, dead)
+            acc_docs, acc_scores = acc_docs[live], acc_scores[live]
+        if acc_docs.size == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        n = min(k, acc_docs.size)
+        # shard-local top-k with the deterministic tie-break (score desc, doc asc)
+        order = np.lexsort((acc_docs, -acc_scores))[:n]
+        return pd.DataFrame({"doc_id": acc_docs[order], "score": acc_scores[order]})
+
+    return kernel
+
+
+class IndexSearcher:
+    """Loads a persisted index and answers BM25 top-k queries."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        m = load_manifest(root)
+        if not m or not m.get("complete"):
+            raise ValueError(f"no complete index at {root}")
+        self.manifest = m
+        self.postings = spark.read.parquet(self.paths.postings)
+        self.term_stats = spark.read.parquet(self.paths.term_stats)
+
+    def _query_terms(self, query: str) -> tuple[dict[str, int], list[int]]:
+        counts = Counter(tokenize_py(query))
+        if not counts:
+            return {}, []
+        # term_stats is term-bucketed too? no — small table; filter directly.
+        present = (self.term_stats
+                   .filter(F.col("term").isin(list(counts)))
+                   .select("term", "term_bucket").collect())
+        qcounts = {r["term"]: counts[r["term"]] for r in present}
+        buckets = sorted({r["term_bucket"] for r in present})
+        return qcounts, buckets
+
+    def search(self, query: str, n: int = 10) -> DataFrame:
+        qcounts, buckets = self._query_terms(query)
+        spark = self.spark
+        if not qcounts:
+            return spark.createDataFrame([], RESULT_SCHEMA + ", rank int, score_abs double")
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(list(qcounts))
+        )
+        kernel = _shard_topk_kernel_factory(qcounts, n)
+        local = blocks.groupBy("shard").applyInPandas(kernel, schema=RESULT_SCHEMA)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            local.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
+            .withColumn("rank", F.row_number().over(w))
+            .withColumn("score_abs", F.abs(F.round("score", 2)))
+        )

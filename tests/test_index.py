@@ -1,0 +1,117 @@
+"""Physical index: build → WAND-family query parity vs oracle/exhaustive,
+checkpoint-resume, and randomized pruning correctness."""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+
+import numpy as np
+import pytest
+
+from data_text_search_spark.config import BM25Config, IndexPaths
+from data_text_search_spark.fixtures.corpus import QUERIES
+from data_text_search_spark.operators.index_build import build_index, load_manifest
+from data_text_search_spark.operators.index_query import IndexSearcher
+from tests.oracle_bm25 import oracle_search
+
+
+@pytest.fixture(scope="module")
+def index_root(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("idx") / "bm25")
+    build_index(spark, corpus, root, BM25Config(), id_col="doc_id",
+                shards=8, groups=2)
+    return root
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, index_root):
+    return IndexSearcher(spark, index_root)
+
+
+def _assert_parity(engine_rows, oracle_topn):
+    got = [(r["doc_id"], r["score"]) for r in engine_rows]
+    assert [d for d, _ in got] == [d for d, _ in oracle_topn], (
+        f"rank mismatch: engine={got} oracle={oracle_topn}")
+    for (_, gs), (_, os_) in zip(got, oracle_topn):
+        assert math.isclose(gs, os_, rel_tol=0, abs_tol=1e-9)
+
+
+@pytest.mark.parametrize("q", QUERIES, ids=lambda q: f"q{q['query_id']}")
+def test_index_query_parity(spark, corpus_pdf, searcher, q):
+    res = searcher.search(q["query_text"], 10).collect()
+    want = oracle_search(corpus_pdf["content"].tolist(), q["query_text"], n=10)
+    _assert_parity(res, want)
+
+
+def test_manifest_lineage(index_root):
+    m = load_manifest(index_root)
+    assert m["complete"]
+    assert m["stages"]["enc"]["status"] == "done"
+    assert all(g["status"] == "done" for g in m["groups_state"].values())
+    assert sum(g["n_postings"] for g in m["groups_state"].values()) > 0
+    assert m["n_docs"] == 300 and m["avgdl"] > 0
+
+
+def test_resume_completes_partial_build(spark, corpus, corpus_pdf, tmp_path):
+    root = str(tmp_path / "partial")
+    # full build as ground truth
+    full_root = str(tmp_path / "full")
+    build_index(spark, corpus, full_root, id_col="doc_id", shards=8, groups=2)
+
+    # simulate a build killed after group 0: build fully, then erase group 1
+    build_index(spark, corpus, root, id_col="doc_id", shards=8, groups=2)
+    paths = IndexPaths(root)
+    shutil.rmtree(f"{paths.postings}/group=1")
+    m = load_manifest(root)
+    del m["groups_state"]["1"]
+    m["complete"] = False
+    with open(paths.manifest, "w") as f:
+        json.dump(m, f)
+
+    m2 = build_index(spark, corpus, root, id_col="doc_id", shards=8, groups=2,
+                     resume=True)
+    assert m2["complete"]
+    # resumed index answers identically to the fresh one (and the oracle)
+    s_full = IndexSearcher(spark, full_root)
+    s_res = IndexSearcher(spark, root)
+    for qt in ["return", "zyzzyva obelisk", "merge_heap spill_page"]:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in s_full.search(qt, 10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in s_res.search(qt, 10).collect()]
+        assert a == b
+        want = oracle_search(corpus_pdf["content"].tolist(), qt, n=10)
+        _assert_parity(s_res.search(qt, 10).collect(), want)
+
+
+def test_resume_skips_done_work(spark, corpus, tmp_path):
+    root = str(tmp_path / "skip")
+    build_index(spark, corpus, root, id_col="doc_id", shards=8, groups=2)
+    m1 = load_manifest(root)
+    # re-running a complete build must be a no-op (same group timings kept)
+    m2 = build_index(spark, corpus, root, id_col="doc_id", shards=8, groups=2)
+    assert m2["groups_state"] == m1["groups_state"]
+    assert m2["stages"]["enc"] == m1["stages"]["enc"]
+
+
+def test_pruning_matches_exhaustive_random(spark, tmp_path):
+    """Randomized: tiny Zipfian corpora, many queries — block-max pruning must
+    equal brute force (scores 1e-9, ranks exact)."""
+    rs = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    probs = np.array([1 / (i + 1) for i in range(40)]); probs /= probs.sum()
+    texts = [" ".join(rs.choice(vocab, size=rs.randint(3, 60), p=probs))
+             for _ in range(120)]
+    import pandas as pd
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "content": texts}))
+    root = str(tmp_path / "rand")
+    build_index(spark, df, root, BM25Config(top_n=5), id_col="doc_id",
+                shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    for trial in range(8):
+        qlen = rs.randint(1, 5)
+        q = " ".join(rs.choice(vocab[: 20], size=qlen))
+        res = s.search(q, 5).collect()
+        want = oracle_search(texts, q, n=5)
+        _assert_parity(res, want)
