@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Per-round benchmark. Prints ONE JSON line.
+
+Workload (matches BASELINE.json metric):
+- index-build throughput (docs/sec) over the deterministic synthetic
+  source-code corpus at the given SF (sf0.1 → 50k docs, ~10.5M tokens)
+- BM25 query throughput (QPS) over the bundled 12-query set via the
+  physical index (block-max executor)
+- the driver-contract queries at $SPARK_GRAFT_SF_DIR for per-query secs
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+bench_scaling.py and recorded in BENCH/BASELINE.md — it needs two JVMs,
+too heavy for the per-round loop.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def corpus_docs_for(sf_dir: str) -> int:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    return max(int(sf * 500_000), 500)
+
+
+def ensure_corpus_parquet(spark, n_docs: int) -> str:
+    """Corpus generation is not part of the measured build; cache it."""
+    path = f"/tmp/bench_corpus_{n_docs}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from data_text_search_spark.fixtures.corpus import corpus_df
+        corpus_df(spark, n_docs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.fixtures.corpus import QUERIES
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+    from data_text_search_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 8), driver_memory="48g")
+
+    n_docs = corpus_docs_for(sf_dir)
+    corpus_path = ensure_corpus_parquet(spark, n_docs)
+    corpus = spark.read.parquet(corpus_path)
+
+    results: dict[str, float] = {}
+
+    # --- index build (docs/sec) ---
+    root = f"/tmp/bench_index_{n_docs}_{cpus}"
+    shutil.rmtree(root, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(spark, corpus, root, BM25Config(), id_col="doc_id",
+                shards=max(cpus, 8), groups=1)
+    build_sec = time.perf_counter() - t0
+    results["index_build"] = round(build_sec, 3)
+
+    # --- query throughput over the physical index ---
+    searcher = IndexSearcher(spark, root)
+    searcher.warm()
+    qtexts = [q["query_text"] for q in QUERIES]
+    searcher.search_batch(qtexts, 10).collect()  # warm (parquet footers etc.)
+    t0 = time.perf_counter()
+    searcher.search_batch(qtexts, 10).collect()
+    query_sec = time.perf_counter() - t0
+    results["query_batch"] = round(query_sec, 3)
+    # single-query latency (block-max pruned path)
+    t0 = time.perf_counter()
+    searcher.search(qtexts[2], 10).collect()
+    results["query_single"] = round(time.perf_counter() - t0, 3)
+
+    # --- driver-contract queries at sf_dir ---
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    out = {
+        "metric": "bm25_engine_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
+        "corpus_docs": n_docs,
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_qps": round(len(QUERIES) / query_sec, 2),
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,8 @@ class LogicalIndex:
     config: BM25Config
 
 
-def build_logical(prepared: DataFrame, config: BM25Config = BM25Config()) -> LogicalIndex:
+def build_logical(prepared: DataFrame, config: BM25Config = BM25Config(),
+                  persist: bool = False) -> LogicalIndex:
     """Aggregate tf/df/idf from an ingested corpus.
 
     Shuffle profile: ONE wide shuffle for the (term, doc_id) hash aggregate
@@ -122,6 +123,11 @@ def build_logical(prepared: DataFrame, config: BM25Config = BM25Config()) -> Log
         )
         .filter(F.col("idf") > F.lit(config.alpha))
     )
+    if persist:
+        # repeated-query use: cut the tokenize→explode→agg recompute that
+        # otherwise re-runs for every search (both join sides)
+        term_doc = term_doc.persist()
+        term_stats = term_stats.persist()
     return LogicalIndex(term_doc=term_doc, term_stats=term_stats,
                         n_docs=n_docs, avgdl=avgdl, config=config)
 

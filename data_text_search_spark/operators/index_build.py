@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 
 from data_text_search_spark.config import BM25Config, IndexPaths
 from data_text_search_spark.functions.text import TOKEN_PATTERN
-from data_text_search_spark.operators.bm25_exhaustive import build_logical, ingest
+from data_text_search_spark.operators.bm25_exhaustive import ingest
 
 POSTINGS_SCHEMA = (
     "term string, shard int, block_id int, first_doc_id long, last_doc_id long, "
@@ -196,11 +196,36 @@ def build_index(
     if not stage_done("enc"):
         t0 = time.perf_counter()
         prep = ingest(corpus, text_col=text_col, id_col=id_col, clean=config.clean)
-        idx = build_logical(prep, config)
-        n_docs, avgdl = idx.n_docs, idx.avgdl
+
+        # ONE tokenize pass total: the exploded (term, doc_id, doc_len, tf)
+        # aggregate is persisted (compact columns — caching the raw token
+        # arrays instead is 2-3x slower end to end), and every downstream
+        # stat derives from it:
+        #   n_docs   — count of the un-tokenized corpus (column-pruned scan)
+        #   sum(dl)  — sum(tf) over term_doc (identical integer sum)
+        #   idf      — df agg over term_doc
+        term_doc = (
+            prep.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count("*").alias("tf"))
+        ).persist()
+        n_docs = prep.count()  # tokens column pruned away by Catalyst
+        total_len = term_doc.agg(F.sum("tf")).first()[0] or 0
+        avgdl = total_len / n_docs if n_docs else 0.0
+
+        term_stats = (
+            term_doc.groupBy("term")
+            .agg(F.count("*").alias("df"))
+            .withColumn(
+                "idf",
+                F.log(F.lit(float(n_docs)) - F.col("df") + 0.5)
+                - F.log(F.col("df") + 0.5),
+            )
+            .filter(F.col("idf") > F.lit(config.alpha))
+        )
         k1, b = config.k1, config.b
         enc = (
-            idx.term_doc.join(idx.term_stats.select("term", "idf"), "term")
+            term_doc.join(term_stats.select("term", "idf"), "term")
             .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int"))
             .withColumn(
                 "impact",
@@ -211,19 +236,22 @@ def build_index(
         )
         enc.write.mode("overwrite").parquet(enc_path)
 
-        # doc_stats + term_stats side tables (not on the query hot path)
-        prep.select(
-            "doc_id", "doc_len",
-            F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard"),
-        ).write.mode("overwrite").parquet(paths.doc_stats)
-        idx.term_stats.withColumn(
+        # doc_stats side table (not on the query hot path); zero-token docs
+        # (no posting rows) are restored via a left join on the id column
+        doc_lens = term_doc.select("doc_id", "doc_len").distinct()
+        (prep.select("doc_id").join(doc_lens, "doc_id", "left")
+         .fillna(0, subset=["doc_len"])
+         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int"))
+         .write.mode("overwrite").parquet(paths.doc_stats))
+        term_stats.withColumn(
             "term_bucket", F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int")
         ).write.mode("overwrite").parquet(paths.term_stats)
 
+        term_doc.unpersist()
         manifest["n_docs"] = n_docs
         manifest["avgdl"] = avgdl
         dt = time.perf_counter() - t0
-        mark_stage("enc", seconds=round(dt, 3), rows=spark.read.parquet(enc_path).count())
+        mark_stage("enc", seconds=round(dt, 3))
         manifest["metrics"]["enc_docs_per_sec"] = round(n_docs / dt, 1)
         _write_manifest_atomic(paths.manifest, manifest)
 

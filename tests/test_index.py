@@ -115,3 +115,19 @@ def test_pruning_matches_exhaustive_random(spark, tmp_path):
         res = s.search(q, 5).collect()
         want = oracle_search(texts, q, n=5)
         _assert_parity(res, want)
+
+
+@pytest.mark.parametrize("nq", [3])
+def test_search_batch_parity(spark, corpus_pdf, searcher, nq):
+    qtexts = [q["query_text"] for q in QUERIES]
+    res = searcher.search_batch(qtexts, 10).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, qtext in enumerate(qtexts):
+        want = oracle_search(corpus_pdf["content"].tolist(), qtext, n=10)
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        _assert_parity(got, want)
+        # batch results must equal single-query results exactly (ranks)
+        single = searcher.search(qtext, 10).collect()
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single]
