@@ -85,6 +85,92 @@ def q_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", clean_expr(lower_expr("text")).alias("cleaned"))
 
 
+# ---------------------------------------------- training-data pipeline ops
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import textstats
+    return textstats.token_count(_documents(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import textstats
+    return textstats.lang_id(_documents(spark, sf_dir))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import textstats
+    return textstats.quality(_documents(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import textstats
+    return textstats.fingerprint(_documents(spark, sf_dir))
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import dedup
+    return dedup.exact_dup_groups(_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import dedup
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate recall → no SQL oracle (driver rows-only check);
+    # tests assert lsh pairs ⊆ exact pairs with high recall
+    from data_text_search_spark.operators import dedup
+    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import dedup
+    return dedup.simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .filter(F.col("vec_id") == vec_id).select("embedding").first())
+    return list(row["embedding"])
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import similarity
+    qv = _query_vec(spark, sf_dir, 0)
+    return similarity.cosine_topk(_embeddings(spark, sf_dir), qv, k=20)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate recall → rows-only check; tested vs brute force in tests/
+    from data_text_search_spark.operators import similarity
+    qv = _query_vec(spark, sf_dir, 0)
+    return similarity.lsh_ann_topk(_embeddings(spark, sf_dir), qv, k=20)
+
+
+def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import semantic
+    qv = _query_vec(spark, sf_dir, 0)
+    return semantic.semantic_search(_embeddings(spark, sf_dir), qv,
+                                    cutoff=0.2, k=9999).select("vec_id", "score")
+
+
+FUZZY_QUERY = "tabel scann"  # misspellings of hot corpus terms
+
+
+def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import fuzzy
+    res = fuzzy.fuzzy_search(spark, _documents(spark, sf_dir), FUZZY_QUERY,
+                             max_mistakes=1)
+    return res.select("doc_id", "match_count", "n_chars",
+                      F.round("score", 4).alias("score"), "score_abs")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, SF_DEFAULT)
@@ -97,6 +183,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "term_tf": q_term_tf,
         "clean_pipeline": q_clean_pipeline,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "semantic_search": q_semantic_search,
+        "fuzzy_search": q_fuzzy_search,
     }
 
 
@@ -107,4 +205,16 @@ def oracle_sql() -> dict[str, str]:
         "term_stats": osql.term_stats_sql(alpha=APP_CFG.alpha),
         "term_tf": osql.term_tf_sql(min_tf=3),
         "clean_pipeline": osql.clean_sql(),
+        "token_count": osql.token_count_sql(),
+        "lang_id": osql.lang_id_sql(),
+        "quality": osql.quality_sql(),
+        "fingerprint": osql.fingerprint_sql(),
+        "exact_dedup": osql.exact_dedup_sql(),
+        "ngram_jaccard": osql.ngram_jaccard_sql(n=3, threshold=0.5),
+        # minhash_lsh / simhash_pairs / ann_lsh: approximate (hash-family
+        # dependent) → intentionally no SQL oracle; driver rows-only check,
+        # engine-side tests verify them against their exact counterparts
+        "cosine_topk": osql.cosine_topk_sql(query_vec_id=0, k=20),
+        "semantic_search": osql.semantic_search_sql(0, 0.2, 9999),
+        "fuzzy_search": osql.fuzzy_search_sql(FUZZY_QUERY, max_mistakes=1),
     }

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north rule, sandbox form).
+
+No real cluster exists in this sandbox, so the two-cluster-size
+criterion is evidenced by running the SAME job at two local parallelism
+levels (one JVM each, sequential) on identical input and comparing
+throughput:
+
+    efficiency = (throughput_4N / throughput_N) / 4
+
+Usage:  python bench_scaling.py [n_docs] [N] [4N]
+Writes BENCH/BASELINE.md and prints a JSON summary line.
+
+Run in a subprocess per parallelism level so each gets a fresh JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = """
+import json, os, shutil, sys, time
+sys.path.insert(0, {repo!r})
+from data_text_search_spark.session import get_spark
+from data_text_search_spark.config import BM25Config
+from data_text_search_spark.operators.index_build import build_index
+from data_text_search_spark.operators.index_query import IndexSearcher
+from data_text_search_spark.fixtures.corpus import VOCAB, QUERIES
+
+cores = {cores}
+n_docs = {n_docs}
+spark = get_spark(app_name=f"scale{{cores}}", cores=cores,
+                  shuffle_partitions=max(cores, 8), driver_memory="40g")
+corpus = spark.read.parquet({corpus_path!r})
+
+root = f"/tmp/scale_index_{{n_docs}}_{{cores}}"
+shutil.rmtree(root, ignore_errors=True)
+t0 = time.perf_counter()
+# shards fixed at 64 for BOTH levels: identical job + identical physical
+# index; only the executor parallelism differs between the two runs
+build_index(spark, corpus, root, BM25Config(), id_col="doc_id",
+            shards=64, groups=1)
+build_sec = time.perf_counter() - t0
+
+# query workload: the bundled set + deterministic 1-3 term queries over
+# the vocabulary (enough work that the batch actually parallelizes)
+import numpy as np
+rs = np.random.RandomState(123)
+qtexts = [q["query_text"] for q in QUERIES]
+for i in range(988):
+    k = 1 + (i % 3)
+    qtexts.append(" ".join(rs.choice(VOCAB[:200], size=k)))
+s = IndexSearcher(spark, root)
+s.warm()
+s.search_batch(qtexts[:8], 10).collect()  # warm the scan path
+t0 = time.perf_counter()
+s.search_batch(qtexts, 10).collect()
+query_sec = time.perf_counter() - t0
+print("RESULT " + json.dumps({{
+    "cores": cores, "build_sec": round(build_sec, 2),
+    "docs_per_sec": round(n_docs / build_sec, 1),
+    "query_sec": round(query_sec, 3),
+    "qps": round(len(qtexts) / query_sec, 1),
+}}))
+"""
+
+
+def run_level(repo: str, cores: int, n_docs: int, corpus_path: str) -> dict:
+    code = WORKER.format(repo=repo, cores=cores, n_docs=n_docs,
+                         corpus_path=corpus_path)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=3600)
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"worker failed (cores={cores}):\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    sys.path.insert(0, repo)
+
+    # corpus generated once, outside all timed sections
+    corpus_path = f"/tmp/bench_corpus_{n_docs}"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        from data_text_search_spark.fixtures.corpus import corpus_df
+        from data_text_search_spark.session import get_spark
+        spark = get_spark(app_name="gen", cores=32)
+        corpus_df(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
+        spark.stop()
+
+    r_lo = run_level(repo, lo, n_docs, corpus_path)
+    r_hi = run_level(repo, hi, n_docs, corpus_path)
+    factor = hi / lo
+    build_eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / factor
+    query_eff = (r_hi["qps"] / r_lo["qps"]) / factor
+    summary = {"n_docs": n_docs, "levels": [r_lo, r_hi],
+               "build_scaling_efficiency": round(build_eff, 3),
+               "query_scaling_efficiency": round(query_eff, 3)}
+    print(json.dumps(summary))
+
+    os.makedirs(f"{repo}/BENCH", exist_ok=True)
+    with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured engine numbers
+
+Scaling evidence per the north rule (sandbox form: no real cluster, so
+the same job runs at two local parallelism levels, local[{lo}] vs
+local[{hi}], one fresh JVM each, identical input: the deterministic
+synthetic source-code corpus, {n_docs} docs).
+
+| metric | local[{lo}] | local[{hi}] | speedup | efficiency (target >= 0.8) |
+|---|---|---|---|---|
+| index build docs/sec | {r_lo['docs_per_sec']} | {r_hi['docs_per_sec']} | {r_hi['docs_per_sec']/r_lo['docs_per_sec']:.2f}x | {build_eff:.3f} |
+| query QPS (batch of 1000, top-10) | {r_lo['qps']} | {r_hi['qps']} | {r_hi['qps']/r_lo['qps']:.2f}x | {query_eff:.3f} |
+
+Raw: build {r_lo['build_sec']}s vs {r_hi['build_sec']}s; query batch
+{r_lo['query_sec']}s vs {r_hi['query_sec']}s.
+
+Rank parity: every query of the bundled set is asserted rank-identical
+(doc ids exact, scores to 1e-9) against the in-repo reference oracle by
+`tests/test_index.py` / `tests/test_bm25_exhaustive.py`; the DuckDB
+cross-check runs in `tests/test_entry_contract.py` and the driver's
+CORRECTNESS gate.
+""")
+
+
+if __name__ == "__main__":
+    main()

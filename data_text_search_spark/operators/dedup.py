@@ -1,0 +1,234 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale shapes:
+- exact: one hash aggregate on a normalized fingerprint — the cheapest
+  pass, always run first at corpus scale.
+- ngram_jaccard_pairs: EXACT near-dup pairs via a shingle inverted-index
+  self-join (only pairs sharing >=1 shingle are generated — never an
+  all-pairs cross join). Correct but shuffle-heavy at 100 TB; it is the
+  verification oracle for the approximate paths.
+- minhash_lsh_pairs: the scale path. 64-perm MinHash signatures
+  (vectorized pandas UDF over shingle-hash arrays), banded into
+  buckets; only same-bucket candidates are verified with exact Jaccard.
+  Work ∝ candidates, not pairs.
+- simhash: 64-bit weighted-bit fingerprint per doc; near-dups collide
+  on 16-bit bands and verify with hamming distance.
+
+All hashing is deterministic (xxhash64 JVM-side; fixed perm seeds), so
+results are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from data_text_search_spark.functions.text import lower_expr, tokenize_expr
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, canonical_doc_id, group_size) — exact dedup on the
+    whitespace-normalized lowercase content (hash-groupBy; the canonical
+    representative is the smallest doc_id, deterministic)."""
+    norm = F.trim(F.regexp_replace(lower_expr(text_col), r"\s+", " "))
+    fp = df.select(F.col(id_col).alias("doc_id"), F.sha2(norm, 256).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+    return (fp.join(groups, "fp")
+            .select("doc_id", "canonical_doc_id", "group_size"))
+
+
+# ------------------------------------------------------- shingles (shared)
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+             n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of the engine tokenizer's
+    output, space-joined. Docs with < n tokens produce no shingles."""
+    toks = tokenize_expr(text_col)
+    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0] — short docs must
+    # produce an empty shingle list instead
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for all pairs with exact shingle-set Jaccard
+    >= threshold. Inverted-index join: candidate pairs come only from
+    shared shingles."""
+    sh = shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ MinHash-LSH
+
+N_PERM = 64
+_MERSENNE = (1 << 61) - 1
+_rs = np.random.RandomState(0xC0FFEE)
+_PERM_A = _rs.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_PERM_B = _rs.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_sig(shingle_hashes: pd.Series) -> pd.Series:
+    """64-perm MinHash signature from a doc's shingle-hash array.
+    Vectorized: one (n_shingles x 64) broadcast min per row batch."""
+    A = _PERM_A.astype(np.uint64)
+    B = _PERM_B.astype(np.uint64)
+    M = np.uint64(_MERSENNE)
+
+    def sig(hashes):
+        if hashes is None or len(hashes) == 0:
+            return None
+        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+        # (n, 64): (a*h + b) mod mersenne prime, uint64 wrap is fine for
+        # a deterministic hash family
+        vals = (h[:, None] * A[None, :] + B[None, :]) % M
+        return vals.min(axis=0).astype(np.int64).tolist()
+
+    return shingle_hashes.map(sig)
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle_set array<long>, sig array<long>)."""
+    sh = shingles(df, text_col, id_col, n)
+    hashed = (sh.select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+              .groupBy("doc_id")
+              .agg(F.sort_array(F.collect_set("sh_hash")).alias("shingle_set")))
+    return hashed.withColumn("sig", minhash_sig("shingle_set"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.5, bands: int = 16) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — LSH candidates (same band bucket) verified
+    with EXACT Jaccard on the shingle-hash sets. Approximate in recall
+    (a pair missed by every band is lost), exact in precision."""
+    rows = N_PERM // bands
+    sigs = minhash_signatures(df, text_col, id_col, n).persist()
+    band_cols = F.explode(F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(F.slice("sig", bi * rows + 1, rows).cast("string"))
+            .alias("bucket"),
+        )
+        for bi in range(bands)
+    ]))
+    banded = sigs.select("doc_id", band_cols.alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingle_set").alias("set_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"),
+                     F.col("shingle_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+@F.pandas_udf(LongType())
+def simhash64(tokens: pd.Series) -> pd.Series:
+    """64-bit SimHash over the token multiset (tf-weighted bit votes of
+    a deterministic 64-bit token hash)."""
+
+    def sh(toks):
+        if toks is None or len(toks) == 0:
+            return 0
+        vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        # deterministic python-side 64-bit hash (blake2b digest)
+        import hashlib
+        hs = np.array(
+            [int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(),
+                            "little") for v in vals],
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return int(out.astype(np.int64))
+
+    return tokens.map(sh)
+
+
+def simhash_pairs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
+    Candidates via 4x16-bit band collisions (any pair with hamming <= 3
+    shares at least one of 4 bands — pigeonhole, exact recall)."""
+    sh = df.select(F.col(id_col).alias("doc_id"),
+                   simhash64(tokenize_expr(text_col)).alias("sh")).persist()
+    bands = F.explode(F.array(*[
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.shiftrightunsigned("sh", bi * 16).bitwiseAND(F.lit(0xFFFF))
+            .alias("bucket"))
+        for bi in range(4)
+    ]))
+    banded = sh.select("doc_id", "sh", bands.alias("bb")).select(
+        "doc_id", "sh", F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"), ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,76 @@
+"""Semantic search path — the reference's dense-vector mode
+(semantic_functions.py:239-368) over an embeddings table.
+
+The reference embeds with MiniLM (no model in this sandbox); the
+embedder is a pluggable interface with a deterministic stub, and the
+operator contract — normalize, cosine, top-k, score cutoff, min-length
+filter — is what's reproduced and tested. The driver's `embeddings`
+table provides real vectors for the oracle-checked path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_text_search_spark.operators.similarity import cosine_expr
+
+DEFAULT_CUTOFF = 0.2   # app.py:147
+DEFAULT_K = 9999       # app.py:57
+MIN_DOC_CHARS = 100    # semantic_functions.py:200-206
+
+
+class StubEmbedder:
+    """Deterministic hashing-projection embedder (seeded), standing in for
+    sentence-transformers (semantic_functions.py:109-127). Batch API like
+    the real encoder (batch_size mirrors the reference's 32)."""
+
+    def __init__(self, dim: int = 64, seed: int = 1234):
+        self.dim = dim
+        self.seed = seed
+
+    def encode(self, texts: list[str], batch_size: int = 32) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            h = hashlib.sha256(f"{self.seed}:{t}".encode()).digest()
+            rs = np.random.RandomState(int.from_bytes(h[:4], "little"))
+            v = rs.standard_normal(self.dim)
+            out[i] = (v / np.linalg.norm(v)).astype(np.float32)
+        return out
+
+
+def embed_column(df: DataFrame, text_col: str, dim: int = 64,
+                 seed: int = 1234) -> DataFrame:
+    """Adds `embedding array<float>` via an Arrow-batched pandas UDF with
+    the stub embedder (the real-model path would broadcast the model and
+    use an identical UDF shape — mapInPandas batches ≙ encode batches)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        emb = StubEmbedder(dim=dim, seed=seed).encode(texts.astype(str).tolist())
+        return pd.Series(list(emb))
+
+    return df.withColumn("embedding", _embed(F.col(text_col).cast("string")))
+
+
+def semantic_search(embedded: DataFrame, query_vec: list[float],
+                    k: int = DEFAULT_K, cutoff: float = DEFAULT_CUTOFF,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    text_col: str | None = None) -> DataFrame:
+    """Reference pipeline: cosine vs query → keep score > cutoff (P4) →
+    [len(text) >= 100 filter when a text column exists (P5)] →
+    sort desc → head k (T3); scores rounded like F8 (round 3)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = embedded.withColumn("score", cosine_expr(F.col(vec_col), q))
+    scored = scored.filter(F.col("score") > cutoff)
+    if text_col is not None:
+        scored = scored.filter(F.length(F.col(text_col).cast("string")) >= MIN_DOC_CHARS)
+    return (scored
+            .withColumn("score", F.round("score", 3))
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

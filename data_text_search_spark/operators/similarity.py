@@ -1,0 +1,98 @@
+"""Similarity search over an embedding column (array<float>).
+
+- cosine_topk: exact brute-force scorer — JVM-side dot product via
+  zip_with/aggregate (no Python in the plan), TakeOrderedAndProject
+  top-k. The baseline and the verification oracle.
+- lsh_ann_topk: the scale path — random-hyperplane LSH buckets; the
+  query probes buckets within `probe_hamming` of its own signature, so
+  only a fraction of the corpus is scored. Approximate recall, exact
+  scores; tested against the brute-force path.
+
+The reference's semantic search (semantic_functions.py:239-368) is the
+same shape: normalize, dot product, sort desc, head k (its model-based
+embedder is stubbed here — no model in the sandbox; the driver's
+embeddings table stands in).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64  # driver embeddings table dimension
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return _dot(a, b) / F.nullif(_norm(a) * _norm(b), F.lit(0.0))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                cutoff: float | None = None) -> DataFrame:
+    """Exact top-k by cosine similarity against a literal query vector.
+    (vec_id, score) ordered score desc, vec_id asc."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        cosine_expr(F.col(vec_col), q).alias("_raw"),
+    )
+    if cutoff is not None:
+        # reference score-cutoff filter (semantic_functions.py:192-198)
+        scored = scored.filter(F.col("_raw") > cutoff)
+    return (scored.orderBy(F.desc("_raw"), F.asc(id_col)).limit(k)
+            .select(id_col, F.round("_raw", 6).alias("score")))
+
+
+# ------------------------------------------------------------- LSH ANN
+
+_rs = np.random.RandomState(0x5EED)
+_HYPERPLANES = _rs.standard_normal((16, EMB_DIM))  # 16-bit signatures
+
+
+def _sig_expr(vec_col: str) -> Column:
+    """16-bit hyperplane signature, computed JVM-side: bit i = sign of
+    dot(vec, hyperplane_i)."""
+    sig = F.lit(0).cast("int")
+    for i, hp in enumerate(_HYPERPLANES):
+        plane = F.array(*[F.lit(float(v)) for v in hp])
+        bit = F.when(_dot(F.col(vec_col), plane) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig
+
+
+def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 probe_hamming: int = 2) -> DataFrame:
+    """Approximate top-k: score only vectors whose hyperplane signature is
+    within `probe_hamming` bits of the query's. (vec_id, score)."""
+    qsig = 0
+    qv = np.asarray(query_vec, dtype=np.float64)
+    for i, hp in enumerate(_HYPERPLANES):
+        if float(qv @ hp) > 0:
+            qsig |= 1 << i
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sig = _sig_expr(vec_col)
+    ham = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
+    return (
+        df.withColumn("_ham", ham)
+        .filter(F.col("_ham") <= probe_hamming)
+        .select(F.col(id_col),
+                F.round(cosine_expr(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All four stay JVM-side (whole-stage codegen; zero Python in the plan):
+token counting, language-ID heuristic, quality scoring, document
+fingerprinting. Each has an equivalent DuckDB oracle in oracle_sql.py.
+
+These extend the reference's scope (it has no corpus-analytics layer);
+tokenization reuses the engine's pinned spec so stats are consistent
+with the search index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_text_search_spark.functions.text import lower_expr, tokenize_expr
+
+# deterministic tiny stopword sets (ranking heuristics only)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "on", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "para"],
+    "de": ["der", "die", "und", "das", "nicht", "von", "mit", "ist", "auf", "ein"],
+    "fr": ["le", "la", "et", "les", "des", "une", "est", "pour", "dans", "que"],
+}
+LANG_PREFERENCE = ["en", "es", "de", "fr"]  # deterministic tie-break order
+
+
+def _tokens(text_col: str) -> Column:
+    return tokenize_expr(text_col)
+
+
+def token_count(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_words, n_chars): engine-tokenizer count, a
+    whitespace-ish word count, and raw length."""
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.split(F.trim(F.col(text_col).cast("string")), r"\s+")).alias("n_words"),
+        F.length(F.col(text_col).cast("string")).alias("n_chars"),
+    )
+
+
+def _stop_ratio(toks: Column, words: list[str]) -> Column:
+    # distinct-hit ratio: |tokens ∩ stopwords| / |distinct tokens|
+    return (
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        / F.nullif(F.size(F.array_distinct(toks)), F.lit(0))
+    ).cast("double")
+
+
+def lang_id(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, lang_pred, lang_score): argmax of per-language stopword-hit
+    ratios, ties broken by LANG_PREFERENCE order. A coarse n-gram-free
+    heuristic; the operator contract (not model quality) is the point."""
+    toks = F.array_distinct(_tokens(text_col))
+    cols = {
+        lang: F.coalesce(_stop_ratio(toks, words), F.lit(0.0)).alias(f"r_{lang}")
+        for lang, words in STOPWORDS.items()
+    }
+    scored = df.select(F.col(id_col), *cols.values())
+    pred = F.lit(LANG_PREFERENCE[-1])
+    best = F.col(f"r_{LANG_PREFERENCE[-1]}")
+    for lang in reversed(LANG_PREFERENCE[:-1]):
+        cond = F.col(f"r_{lang}") >= best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"r_{lang}")).otherwise(best)
+    return scored.select(
+        id_col, pred.alias("lang_pred"), F.round(best, 6).alias("lang_score"))
+
+
+def quality(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, punct_ratio, stop_ratio, mean_token_len):
+    the standard cheap quality signals for corpus filtering."""
+    t = df.select(F.col(id_col), _tokens(text_col).alias("toks"))
+    n = F.size("toks")
+    npunct = F.size(F.filter("toks", lambda x: x.rlike("^[^a-z0-9_]$")))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    nstop = F.size(F.filter("toks", lambda x: F.array_contains(en, x)))
+    tok_chars = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))
+    safe_n = F.nullif(n.cast("double"), F.lit(0.0))
+    return t.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.coalesce(F.round(npunct / safe_n, 6), F.lit(0.0)).alias("punct_ratio"),
+        F.coalesce(F.round(nstop / safe_n, 6), F.lit(0.0)).alias("stop_ratio"),
+        F.coalesce(F.round(tok_chars / safe_n, 6), F.lit(0.0)).alias("mean_token_len"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp): content fingerprint = sha256 of whitespace-normalized
+    lowercase text — the cross-engine-stable exact-dedup key."""
+    norm = F.trim(F.regexp_replace(lower_expr(text_col), r"\s+", " "))
+    return df.select(F.col(id_col), F.sha2(norm, 256).alias("fp"))

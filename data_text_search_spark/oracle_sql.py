@@ -81,6 +81,140 @@ FROM contrib GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
 
 
+_TOK_DOCS = ("SELECT doc_id, " + TOKENIZE.format(col="text")
+             + " AS toks FROM documents")
+
+_SW = {
+    "en": "['the','and','of','to','in','is','for','on','with','as']",
+    "es": "['el','la','de','que','y','en','un','por','con','para']",
+    "de": "['der','die','und','das','nicht','von','mit','ist','auf','ein']",
+    "fr": "['le','la','et','les','des','une','est','pour','dans','que']",
+}
+
+
+def token_count_sql() -> str:
+    tok = TOKENIZE.format(col="text")
+    return f"""SELECT doc_id,
+  len({tok}) AS n_tokens,
+  len(regexp_split_to_array(trim(cast(text as varchar)), '\\s+')) AS n_words,
+  length(cast(text as varchar)) AS n_chars
+FROM documents ORDER BY doc_id"""
+
+
+def lang_id_sql() -> str:
+    ratios = ",\n  ".join(
+        f"coalesce(len(list_intersect(toks, {arr}))"
+        f" / nullif(len(toks), 0), 0) AS r_{lang}"
+        for lang, arr in _SW.items())
+    return f"""WITH docs AS ({_TOK_DOCS}),
+d AS (SELECT doc_id, list_distinct(toks) AS toks FROM docs),
+r AS (SELECT doc_id,
+  {ratios}
+FROM d)
+SELECT doc_id,
+  CASE WHEN r_en >= r_es AND r_en >= r_de AND r_en >= r_fr THEN 'en'
+       WHEN r_es >= r_de AND r_es >= r_fr THEN 'es'
+       WHEN r_de >= r_fr THEN 'de' ELSE 'fr' END AS lang_pred,
+  round(greatest(r_en, r_es, r_de, r_fr), 6) AS lang_score
+FROM r ORDER BY doc_id"""
+
+
+def quality_sql() -> str:
+    return f"""WITH docs AS ({_TOK_DOCS})
+SELECT doc_id,
+  len(toks) AS n_tokens,
+  coalesce(round(len(list_filter(toks, x -> regexp_matches(x, '^[^a-z0-9_]$')))
+    / nullif(cast(len(toks) AS double), 0), 6), 0.0) AS punct_ratio,
+  coalesce(round(len(list_filter(toks, x -> list_contains({_SW['en']}, x)))
+    / nullif(cast(len(toks) AS double), 0), 6), 0.0) AS stop_ratio,
+  coalesce(round(list_sum(list_transform(toks, x -> length(x)))
+    / nullif(cast(len(toks) AS double), 0), 6), 0.0) AS mean_token_len
+FROM docs ORDER BY doc_id"""
+
+
+_NORM_TEXT = ("trim(regexp_replace(lower(cast(text as varchar)), "
+              "'\\s+', ' ', 'g'))")
+
+
+def fingerprint_sql() -> str:
+    return (f"SELECT doc_id, sha256({_NORM_TEXT}) AS fp "
+            "FROM documents ORDER BY doc_id")
+
+
+def exact_dedup_sql() -> str:
+    return f"""WITH f AS (
+  SELECT doc_id, sha256({_NORM_TEXT}) AS fp FROM documents)
+SELECT doc_id,
+  min(doc_id) OVER (PARTITION BY fp) AS canonical_doc_id,
+  count(*) OVER (PARTITION BY fp) AS group_size
+FROM f ORDER BY doc_id"""
+
+
+def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""WITH docs AS ({_TOK_DOCS}),
+sh AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(range(1, len(toks) - {n - 2}),
+                          i -> {parts})) AS shingle
+  FROM docs WHERE len(toks) >= {n}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+  round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
+def cosine_topk_sql(query_vec_id: int = 0, k: int = 20) -> str:
+    return f"""WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS score
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT {k}"""
+
+
+def semantic_search_sql(query_vec_id: int = 0, cutoff: float = 0.2,
+                        k: int = 9999) -> str:
+    return f"""WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})
+SELECT e.vec_id,
+  round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 3) AS score
+FROM embeddings e, q
+WHERE list_cosine_similarity(e.embedding::DOUBLE[], q.qv) > {cutoff}
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
+LIMIT {k}"""
+
+
+def fuzzy_search_sql(query: str, max_mistakes: int = 1) -> str:
+    from data_text_search_spark.functions.text import tokenize_py
+    qtokens = sorted(set(tokenize_py(query)))
+    values = ", ".join(f"('{t}')" for t in qtokens)
+    tok = TOKENIZE.format(col="text")
+    return f"""WITH toks AS (
+  SELECT doc_id, length(cast(text as varchar)) AS n_chars,
+         unnest({tok}) AS tok
+  FROM documents),
+q(qtok) AS (VALUES {values}),
+m AS (
+  SELECT doc_id, n_chars, count(*) AS match_count
+  FROM toks JOIN q ON levenshtein(tok, qtok) <= {max_mistakes}
+  GROUP BY doc_id, n_chars)
+SELECT doc_id, match_count, n_chars,
+  round(match_count / n_chars * 100, 4) AS score,
+  abs(round(match_count / n_chars * 100, 2)) AS score_abs
+FROM m WHERE match_count / n_chars * 100 > 0
+ORDER BY doc_id"""
+
+
 def clean_sql() -> str:
     """F1 clean pipeline on lowercased text, regexes in reference order.
 
