@@ -43,7 +43,13 @@ import re
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 # --- tokenizer spec (shared verbatim by engine / python oracle / duckdb sql) ---
 # word runs of ascii alnum+underscore, else one token per non-space char
@@ -110,6 +116,36 @@ def tokenize_pandas_udf(texts: pd.Series) -> pd.Series:
     (bm25_functions.py:222-223) with Arrow batches in place of pipe(256).
     """
     return texts.astype(str).str.lower().str.findall(TOKEN_PATTERN)
+
+
+_TOKTF_SCHEMA = StructType([
+    StructField("pairs", ArrayType(StructType([
+        StructField("term", StringType()),
+        StructField("tf", IntegerType()),
+    ]))),
+    StructField("doc_len", IntegerType()),
+])
+
+
+@F.pandas_udf(_TOKTF_SCHEMA)
+def tokenize_tf_pandas_udf(texts: pd.Series) -> pd.DataFrame:
+    """Tokenize AND pre-aggregate term frequencies per document in one
+    Arrow batch (SURVEY §2 A2 scale note): emitting unique (term, tf)
+    pairs instead of raw tokens cuts the exploded row count ~2-3x, removes
+    the (term, doc) groupBy shuffle entirely (pairs are already unique per
+    doc), and keeps the string-heavy work in Python processes that scale
+    with cores instead of JVM allocation/GC. Pairs are term-sorted so
+    downstream float summation order is deterministic."""
+    from collections import Counter
+
+    pairs_out, dlen_out = [], []
+    for t in texts.astype(str):
+        toks = _TOKEN_RE.findall(t.lower())
+        c = Counter(toks)
+        pairs_out.append([(k, int(v)) for k, v in sorted(c.items())])
+        dlen_out.append(len(toks))
+    return pd.DataFrame({"pairs": pairs_out,
+                         "doc_len": pd.Series(dlen_out, dtype="int32")})
 
 
 @F.pandas_udf(StringType())

@@ -40,7 +40,8 @@ from data_text_search_spark.functions.text import (
 
 
 def ingest(corpus: DataFrame, text_col: str = "content",
-           id_col: str | None = None, clean: bool = False) -> DataFrame:
+           id_col: str | None = None, clean: bool = False,
+           materialize_tokens: bool = True) -> DataFrame:
     """Normalize a corpus table into (doc_id, <original cols>, content_sha256,
     tokens, doc_len).
 
@@ -69,9 +70,13 @@ def ingest(corpus: DataFrame, text_col: str = "content",
     prepared = lower_expr(text_col)          # P2: lowercase before everything
     if clean:
         prepared = clean_expr(prepared)      # F1: exact reference regex chain
+    df = df.withColumn("content_sha256", sha256_expr(text_col))
+    if not materialize_tokens:
+        # physical-index build path: the Arrow tokenizer UDF consumes the
+        # prepared string directly (tokens never materialize JVM-side)
+        return df.withColumn("prepared", prepared)
     return (
-        df.withColumn("content_sha256", sha256_expr(text_col))
-        .withColumn("tokens", tokenize_expr(prepared))
+        df.withColumn("tokens", tokenize_expr(prepared))
         .withColumn("doc_len", F.size("tokens"))
     )
 

@@ -51,7 +51,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_text_search_spark.config import BM25Config, IndexPaths
-from data_text_search_spark.functions.text import TOKEN_PATTERN
+from data_text_search_spark.functions.text import (
+    TOKEN_PATTERN,
+    tokenize_tf_pandas_udf,
+)
 from data_text_search_spark.operators.bm25_exhaustive import ingest
 
 POSTINGS_SCHEMA = (
@@ -88,20 +91,25 @@ def _encode_shard_factory(block_size: int):
             return pd.DataFrame(columns=[
                 "term", "shard", "block_id", "first_doc_id", "last_doc_id",
                 "n_docs", "doc_deltas", "tfs", "impacts", "block_max", "block_min"])
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort", ignore_index=True)
-        terms = pdf["term"].to_numpy()
-        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        impacts = pdf["impact"].to_numpy(dtype=np.float64)
+        # sort by (term, doc_id) via integer codes — a pandas object-string
+        # multi-key sort is python-comparison-bound and turns superlinear on
+        # large shards (70s+ per 690k-row shard vs ~1s this way)
+        codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+        order = np.lexsort((pdf["doc_id"].to_numpy(dtype=np.int64),
+                            codes.astype(np.int64)))
+        codes = codes[order]
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)[order]
+        impacts = pdf["impact"].to_numpy(dtype=np.float64)[order]
         shard = int(pdf["shard"].iloc[0])
 
         # per-row term-run id and rank within term (all vectorized)
-        new_term = np.empty(len(terms), dtype=bool)
+        new_term = np.empty(len(codes), dtype=bool)
         new_term[0] = True
-        new_term[1:] = terms[1:] != terms[:-1]
+        new_term[1:] = codes[1:] != codes[:-1]
         term_rid = np.cumsum(new_term) - 1
         term_start = np.flatnonzero(new_term)
-        rank_in_term = np.arange(len(terms)) - term_start[term_rid]
+        rank_in_term = np.arange(len(codes)) - term_start[term_rid]
         block_in_term = rank_in_term // block_size
 
         # per-row block-run id (term_rid, block_in_term) boundaries
@@ -109,7 +117,7 @@ def _encode_shard_factory(block_size: int):
         block_rid = np.cumsum(new_block) - 1
         block_start = np.flatnonzero(new_block)
         n_blocks = block_start.size
-        block_end = np.concatenate((block_start[1:], [len(terms)]))
+        block_end = np.concatenate((block_start[1:], [len(codes)]))
         block_len = block_end - block_start
 
         first_doc = docs[block_start]
@@ -136,7 +144,7 @@ def _encode_shard_factory(block_size: int):
         impacts_bufs = [imp_le[s:e] for s, e in zip(imp_starts, imp_ends)]
 
         return pd.DataFrame({
-            "term": terms[block_start],
+            "term": np.asarray(uniq_terms, dtype=object)[codes[block_start]],
             "shard": np.full(n_blocks, shard, dtype=np.int32),
             "block_id": (block_in_term[block_start]).astype(np.int32),
             "first_doc_id": first_doc,
@@ -191,72 +199,82 @@ def build_index(
         manifest["stages"][name] = {"status": "done", **info}
         _write_manifest_atomic(paths.manifest, manifest)
 
-    # ---- stage: enc (ingest → tf → idf → impact) checkpoint -------------
-    enc_path = f"{root}/enc"
-    if not stage_done("enc"):
+    # ---- stage: tokenized term_doc checkpoint ----------------------------
+    # ONE tokenize pass total: the Arrow UDF pre-aggregates (term, tf) per
+    # document (no (term, doc) groupBy shuffle — pairs are already unique),
+    # and the compact exploded table is checkpointed to parquet once. This
+    # is the engine's analog of the reference's tokenised-corpus parquet
+    # (S7, bm25_functions.py:372-381). Downstream stats/joins all derive
+    # from the checkpoint, never re-tokenizing.
+    td_path = f"{root}/tokenized"
+    if not stage_done("tokenized"):
         t0 = time.perf_counter()
-        prep = ingest(corpus, text_col=text_col, id_col=id_col, clean=config.clean)
+        prep = ingest(corpus, text_col=text_col, id_col=id_col,
+                      clean=config.clean, materialize_tokens=False)
+        (prep.select(
+            "doc_id", tokenize_tf_pandas_udf("prepared").alias("s"),
+            F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard"))
+         .select("doc_id", "shard", F.col("s.pairs").alias("pairs"),
+                 F.col("s.doc_len").alias("doc_len"))
+         .write.mode("overwrite").parquet(td_path))
 
-        # ONE tokenize pass total: the exploded (term, doc_id, doc_len, tf)
-        # aggregate is persisted (compact columns — caching the raw token
-        # arrays instead is 2-3x slower end to end), and every downstream
-        # stat derives from it:
-        #   n_docs   — count of the un-tokenized corpus (column-pruned scan)
-        #   sum(dl)  — sum(tf) over term_doc (identical integer sum)
-        #   idf      — df agg over term_doc
-        term_doc = (
-            prep.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-            .groupBy("term", "doc_id", "doc_len")
-            .agg(F.count("*").alias("tf"))
-        ).persist()
-        n_docs = prep.count()  # tokens column pruned away by Catalyst
-        total_len = term_doc.agg(F.sum("tf")).first()[0] or 0
+        # every downstream stat is a cheap derivation of the checkpoint —
+        # empty docs are present (pairs=[], doc_len=0), so no backfill join
+        pairs_df = spark.read.parquet(td_path)
+        pairs_df.select("doc_id", "doc_len", "shard").write.mode(
+            "overwrite").parquet(paths.doc_stats)
+        row = pairs_df.agg(F.count("*").alias("n"),
+                           F.sum("doc_len").alias("len")).first()
+        n_docs, total_len = int(row["n"]), int(row["len"] or 0)
         avgdl = total_len / n_docs if n_docs else 0.0
-
-        term_stats = (
-            term_doc.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .withColumn(
-                "idf",
-                F.log(F.lit(float(n_docs)) - F.col("df") + 0.5)
-                - F.log(F.col("df") + 0.5),
-            )
-            .filter(F.col("idf") > F.lit(config.alpha))
-        )
-        k1, b = config.k1, config.b
-        enc = (
-            term_doc.join(term_stats.select("term", "idf"), "term")
-            .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int"))
-            .withColumn(
-                "impact",
-                F.col("idf") * F.col("tf") * F.lit(k1 + 1)
-                / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("doc_len") / F.lit(avgdl))),
-            )
-            .select("term", "doc_id", "tf", "impact", "shard")
-        )
-        enc.write.mode("overwrite").parquet(enc_path)
-
-        # doc_stats side table (not on the query hot path); zero-token docs
-        # (no posting rows) are restored via a left join on the id column
-        doc_lens = term_doc.select("doc_id", "doc_len").distinct()
-        (prep.select("doc_id").join(doc_lens, "doc_id", "left")
-         .fillna(0, subset=["doc_len"])
-         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int"))
-         .write.mode("overwrite").parquet(paths.doc_stats))
-        term_stats.withColumn(
-            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int")
-        ).write.mode("overwrite").parquet(paths.term_stats)
-
-        term_doc.unpersist()
         manifest["n_docs"] = n_docs
         manifest["avgdl"] = avgdl
-        dt = time.perf_counter() - t0
-        mark_stage("enc", seconds=round(dt, 3))
-        manifest["metrics"]["enc_docs_per_sec"] = round(n_docs / dt, 1)
+        mark_stage("tokenized", seconds=round(time.perf_counter() - t0, 3))
+        manifest["metrics"]["tokenize_docs_per_sec"] = round(
+            n_docs / max(time.perf_counter() - t0, 1e-9), 1)
         _write_manifest_atomic(paths.manifest, manifest)
 
+    n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+    td = (spark.read.parquet(td_path)
+          .select("doc_id", "doc_len", "shard", F.explode("pairs").alias("p"))
+          .select("doc_id", "doc_len", "shard",
+                  F.col("p.term").alias("term"), F.col("p.tf").alias("tf")))
+
+    # ---- stage: term_stats (df → unsmoothed Robertson idf, alpha cutoff) --
+    if not stage_done("term_stats"):
+        t0 = time.perf_counter()
+        (td.groupBy("term")
+         .agg(F.count("*").alias("df"))
+         .withColumn(
+             "idf",
+             F.log(F.lit(float(n_docs)) - F.col("df") + 0.5)
+             - F.log(F.col("df") + 0.5))
+         .filter(F.col("idf") > F.lit(config.alpha))
+         .withColumn("term_bucket",
+                     F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
+         .write.mode("overwrite").parquet(paths.term_stats))
+        # A6 (bm25_functions.py:104-117): average IDF sanity metric + warn
+        avg_idf_row = spark.read.parquet(paths.term_stats).agg(
+            F.avg("idf")).first()
+        avg_idf = float(avg_idf_row[0]) if avg_idf_row[0] is not None else 0.0
+        manifest["metrics"]["average_idf"] = round(avg_idf, 6)
+        if avg_idf < 0:
+            print("Average inverse document frequency is less than zero. "
+                  "Your corpus is either too small or not natural text; "
+                  "BM25 may produce unintuitive results.")
+        mark_stage("term_stats", seconds=round(time.perf_counter() - t0, 3))
+
     # ---- stage: postings, one job per group (resumable) ------------------
-    enc_df = spark.read.parquet(enc_path)
+    k1, b = config.k1, config.b
+    term_stats = spark.read.parquet(paths.term_stats)
+    enc_df = (
+        td.join(term_stats.select("term", "idf"), "term")
+        .withColumn(
+            "impact",
+            F.col("idf") * F.col("tf") * F.lit(k1 + 1)
+            / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("doc_len") / F.lit(avgdl))))
+        .select("term", "doc_id", "tf", "impact", "shard")
+    )
     kernel = _encode_shard_factory(config.block_size)
     for g in range(groups):
         gkey = str(g)
@@ -269,6 +287,11 @@ def build_index(
             .applyInPandas(kernel, schema=POSTINGS_SCHEMA)
             .withColumn("term_bucket",
                         F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
+            # one output file per bucket dir instead of (tasks x buckets)
+            # small files, and term-sorted rows so query-time term filters
+            # prune parquet row groups via min/max stats
+            .repartition(tp, "term_bucket")
+            .sortWithinPartitions("term", "shard", "block_id")
         )
         gdir = f"{paths.postings}/group={g}"
         blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)

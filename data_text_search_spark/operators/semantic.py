@@ -58,6 +58,25 @@ def embed_column(df: DataFrame, text_col: str, dim: int = 64,
     return df.withColumn("embedding", _embed(F.col(text_col).cast("string")))
 
 
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  scale: float = 127.0) -> DataFrame:
+    """V3 (semantic_functions.py:125-127): int8 embedding storage.
+    Vectors are unit-normalized, so a fixed *scale* maps [-1,1] →
+    [-127,127]; queries stay float (the reference notes int8 queries
+    'don't actually seem to work', :294-297 — same posture here)."""
+    return df.withColumn(
+        vec_col + "_int8",
+        F.transform(F.col(vec_col),
+                    lambda x: F.round(x * scale).cast("tinyint")))
+
+
+def dequantize_int8(df: DataFrame, col: str = "embedding_int8",
+                    scale: float = 127.0) -> DataFrame:
+    return df.withColumn(
+        col.replace("_int8", ""),
+        F.transform(F.col(col), lambda x: (x / scale).cast("float")))
+
+
 def semantic_search(embedded: DataFrame, query_vec: list[float],
                     k: int = DEFAULT_K, cutoff: float = DEFAULT_CUTOFF,
                     vec_col: str = "embedding", id_col: str = "vec_id",

@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
     )
+    # shuffle/spill to tmpfs when available: /tmp here is a virtual disk
+    # whose bandwidth flatlines multi-core scaling (on a real cluster this
+    # is the node-local NVMe that scales with node count)
+    shm = "/dev/shm/spark-local"
+    if os.path.isdir("/dev/shm"):
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -48,7 +48,8 @@ def test_index_query_parity(spark, corpus_pdf, searcher, q):
 def test_manifest_lineage(index_root):
     m = load_manifest(index_root)
     assert m["complete"]
-    assert m["stages"]["enc"]["status"] == "done"
+    assert m["stages"]["tokenized"]["status"] == "done"
+    assert m["stages"]["term_stats"]["status"] == "done"
     assert all(g["status"] == "done" for g in m["groups_state"].values())
     assert sum(g["n_postings"] for g in m["groups_state"].values()) > 0
     assert m["n_docs"] == 300 and m["avgdl"] > 0
@@ -91,7 +92,7 @@ def test_resume_skips_done_work(spark, corpus, tmp_path):
     # re-running a complete build must be a no-op (same group timings kept)
     m2 = build_index(spark, corpus, root, id_col="doc_id", shards=8, groups=2)
     assert m2["groups_state"] == m1["groups_state"]
-    assert m2["stages"]["enc"] == m1["stages"]["enc"]
+    assert m2["stages"]["tokenized"] == m1["stages"]["tokenized"]
 
 
 def test_pruning_matches_exhaustive_random(spark, tmp_path):

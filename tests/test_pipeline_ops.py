@@ -236,3 +236,16 @@ def test_frame_sampling(spark):
     for r in frames[:3]:
         assert len(r["frame_feature"]) == 64
         assert r["ts_ms"] % 500 == 0
+
+
+def test_int8_quantization_roundtrip(spark, embeddings):
+    import numpy as np
+    q = semantic.quantize_int8(embeddings.limit(20))
+    d = (semantic.dequantize_int8(q.drop("embedding"))
+         .withColumnRenamed("embedding", "deq"))
+    rows = d.join(embeddings.select("vec_id", "embedding"), "vec_id").collect()
+    assert rows
+    for r in rows:
+        a = np.array(r["embedding"], dtype=np.float32)
+        b = np.array(r["deq"], dtype=np.float32)
+        assert np.max(np.abs(a - b)) <= 1.0 / 127 + 1e-6

@@ -1,0 +1,74 @@
+"""Plan-shape pins: pushdown, pruning, broadcast, codegen — the plans we
+WANT, asserted so regressions surface (100 TB posture: a scan that reads
+all columns or skips pushdown is a bug even when results are right)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_text_search_spark.plans.explain_tools import (
+    codegen_stage_count,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    # private copy: other test modules .cache() the shared documents path,
+    # and Spark's cache manager swaps matching scans for InMemoryTableScan,
+    # which hides PushedFilters/ReadSchema from the plan under test
+    p = str(tmp_path_factory.mktemp("plans") / "documents.parquet")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").write.parquet(p)
+    return p
+
+
+def test_filter_pushdown_reaches_scan(spark, docs_path):
+    df = spark.read.parquet(docs_path).filter(F.col("lang") == "en").select("doc_id")
+    pf = pushed_filters(df)
+    assert any("lang" in f for f in pf), pf
+
+
+def test_column_pruning(spark, docs_path):
+    df = spark.read.parquet(docs_path).select("doc_id", "lang")
+    cols = read_schema_columns(df)
+    assert cols == {"doc_id", "lang"}, cols  # no 'text' read for a 2-col projection
+
+
+def test_postings_scan_prunes_term_bucket_and_term(spark, corpus, tmp_path_factory):
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+    root = str(tmp_path_factory.mktemp("planidx") / "idx")
+    build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    qcounts, buckets = s._query_terms("zyzzyva obelisk")
+    blocks = s.postings.filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(list(qcounts)))
+    pf = pushed_filters(blocks)
+    # the term IN-filter must reach the parquet scan (row-group pruning);
+    # term_bucket is a partition column (directory pruning, not in
+    # PushedFilters)
+    assert any("term" in f for f in pf), pf
+
+
+def test_query_term_join_is_broadcast(spark, corpus):
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.operators.bm25_exhaustive import (
+        build_logical,
+        ingest,
+        search,
+    )
+    idx = build_logical(ingest(corpus, id_col="doc_id"), BM25Config())
+    res = search(idx, spark, "zyzzyva obelisk", 10)
+    assert has_broadcast_join(res)
+
+
+def test_tokenize_expr_stays_in_codegen(spark, docs_path):
+    from data_text_search_spark.functions.text import tokenize_expr
+    df = (spark.read.parquet(docs_path)
+          .select(F.size(tokenize_expr("text")).alias("n")))
+    assert codegen_stage_count(df) >= 1

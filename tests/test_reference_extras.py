@@ -1,0 +1,89 @@
+"""F10-F14, P3, J3, T2, S1/S2 reference-parity operators."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_text_search_spark.operators import reference_extras as rx
+
+
+def test_metadata_roundtrip(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "a": ['va"l', "x\ny"], "b": ["1", "2"]}))
+    out = rx.parse_metadata(rx.combine_metadata_columns(df, ["a", "b"]))
+    rows = out.collect()
+    for r in rows:
+        assert json.loads(r["metadata"]) == {"a": r["a"], "b": r["b"]}
+        assert r["metadata_map"]["a"] == r["a"]
+
+
+def test_highlight_spans_merge_and_minlen(spark):
+    text = "a specific x example farther away specific again ee"
+    df = spark.createDataFrame(pd.DataFrame({
+        "q": ["specific example"], "t": [text]}))
+    spans = df.select(rx.highlight_spans_udf("q", "t").alias("s")).first()["s"]
+    # 'specific'(2..10) and 'example'(13..20) are within 10 chars → merged
+    assert (spans[0]["start"], spans[0]["end"]) == (2, 20)
+    assert text[2:10] == "specific"
+    # the later isolated 'specific' is its own span
+    assert any(text[s["start"]:s["end"]] == "specific" for s in spans[1:])
+
+
+def test_dormant_normalizers_off_by_default(spark):
+    # the engine must NOT apply stopwords/stemming on the live path (F14);
+    # these helpers exist but are opt-in
+    df = spark.createDataFrame(pd.DataFrame({"toks": [
+        ["january", "report", "x", "hyphen-ated"]]}))
+    out = df.select(
+        rx.remove_stopwords("toks").alias("nostop"),
+        rx.remove_short_tokens("toks").alias("long"),
+        rx.alpha_lowercase_only("toks").alias("alpha"),
+    ).first()
+    assert out["nostop"] == ["report", "x", "hyphen-ated"]
+    assert out["long"] == ["january", "report", "hyphen-ated"]
+    assert out["alpha"] == ["january", "report", "x"]
+
+
+def test_blank_copied_notes_and_join(spark):
+    orig = spark.createDataFrame(pd.DataFrame({
+        "note_id": [1, 2, 3],
+        "copy_of_case_note_id": [None, 1.0, None],
+        "text": ["original", "copy of 1", "other"]}))
+    blanked = rx.blank_copied_notes(orig, "text")
+    vals = {r["note_id"]: r["text"] for r in blanked.collect()}
+    assert vals[2] == "" and vals[1] == "original"
+
+    results = spark.createDataFrame(pd.DataFrame({"note_id": [1], "score": [2.0]}))
+    joined = rx.case_note_join(results, orig)
+    # note 1 is original_note_id for notes 1 AND 2 (the copy) → fan-out 2
+    assert joined.count() == 2
+
+
+def test_reference_output_sort(spark):
+    df = spark.createDataFrame(pd.DataFrame({
+        "search_score_abs": [1.0, 2.0, 2.0],
+        "search_text": ["a", "b", "c"]}))
+    got = [(r["search_score_abs"], r["search_text"])
+           for r in rx.reference_output_sort(df).collect()]
+    assert got == [(2.0, "c"), (2.0, "b"), (1.0, "a")]
+
+
+def test_read_table_csv(spark, tmp_path):
+    p = str(tmp_path / "t.csv")
+    pd.DataFrame({"text": ["aa", "bb", "cc"]}).to_csv(p, index=False)
+    df = rx.read_table(spark, p)
+    assert [r["doc_id"] for r in df.orderBy("doc_id").collect()] == [0, 1, 2]
+    assert rx.detect_file_type("x.parquet") == "parquet"
+    with pytest.raises(ValueError):
+        rx.detect_file_type("x.unknown")
+    with pytest.raises(ValueError):
+        rx.read_table(spark, "old_index.pkl.gz")
+
+
+def test_clean_line_breaks(spark):
+    df = spark.createDataFrame(pd.DataFrame({"t": ["a\nb\rc"]}))
+    assert df.select(rx.clean_line_breaks("t").alias("o")).first()["o"] == "a b c"
