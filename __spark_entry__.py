@@ -171,6 +171,17 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"), "score_abs")
 
 
+FUZZY_PHRASE = "tible hash"  # 1 edit from the frequent bigram 'table hash'
+
+
+def q_fuzzy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import fuzzy
+    res = fuzzy.fuzzy_phrase_search(spark, _documents(spark, sf_dir),
+                                    FUZZY_PHRASE, max_mistakes=1)
+    return res.select("doc_id", "match_count", "n_chars",
+                      F.round("score", 4).alias("score"), "score_abs")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, SF_DEFAULT)
@@ -195,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "semantic_search": q_semantic_search,
         "fuzzy_search": q_fuzzy_search,
+        "fuzzy_phrase": q_fuzzy_phrase,
     }
 
 
@@ -217,4 +229,5 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": osql.cosine_topk_sql(query_vec_id=0, k=20),
         "semantic_search": osql.semantic_search_sql(0, 0.2, 9999),
         "fuzzy_search": osql.fuzzy_search_sql(FUZZY_QUERY, max_mistakes=1),
+        "fuzzy_phrase": osql.fuzzy_phrase_sql(FUZZY_PHRASE, max_mistakes=1),
     }

@@ -22,6 +22,43 @@ from pyspark.sql import functions as F
 from data_text_search_spark.functions.text import tokenize_expr, tokenize_py
 
 
+def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
+                        max_mistakes: int = 1, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Z2 (spacy_search_funcs.py:58-92): whole-phrase fuzzy match — the
+    reference PhraseMatcher(attr='LOWER') candidates filtered by
+    Levenshtein.distance(query, span) <= max. Distributed as a sliding
+    token window of the query's length, space-joined, levenshtein-filtered.
+    Score semantics identical to Z3."""
+    qtokens = tokenize_py(query)
+    n = len(qtokens)
+    if n == 0:
+        return spark.createDataFrame(
+            [], f"{id_col} long, match_count long, n_chars int, "
+                "score double, score_abs double")
+    qphrase = " ".join(qtokens)
+    toks = tokenize_expr(text_col)
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col).cast("string")).alias("n_chars"),
+        F.explode(windows).alias("span"))
+    matched = spans.filter(
+        F.levenshtein(F.col("span"), F.lit(qphrase)) <= max_mistakes)
+    return (
+        matched.groupBy(id_col, "n_chars")
+        .agg(F.count("*").alias("match_count"))
+        .withColumn("score", F.col("match_count") / F.col("n_chars") * 100.0)
+        .withColumn("score_abs", F.abs(F.round("score", 2)))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score_abs"), F.asc(id_col))
+    )
+
+
 def fuzzy_search(spark: SparkSession, df: DataFrame, query: str,
                  max_mistakes: int = 1, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:

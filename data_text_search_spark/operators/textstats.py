@@ -56,12 +56,16 @@ def lang_id(df: DataFrame, text_col: str = "text",
     """(doc_id, lang_pred, lang_score): argmax of per-language stopword-hit
     ratios, ties broken by LANG_PREFERENCE order. A coarse n-gram-free
     heuristic; the operator contract (not model quality) is the point."""
-    toks = F.array_distinct(_tokens(text_col))
+    # project the tokenized column ONCE — inlining the tokenizer expression
+    # into each ratio would re-run regex extraction per language
+    base = df.select(F.col(id_col),
+                     F.array_distinct(_tokens(text_col)).alias("_toks"))
     cols = {
-        lang: F.coalesce(_stop_ratio(toks, words), F.lit(0.0)).alias(f"r_{lang}")
+        lang: F.coalesce(_stop_ratio(F.col("_toks"), words), F.lit(0.0))
+        .alias(f"r_{lang}")
         for lang, words in STOPWORDS.items()
     }
-    scored = df.select(F.col(id_col), *cols.values())
+    scored = base.select(F.col(id_col), *cols.values())
     pred = F.lit(LANG_PREFERENCE[-1])
     best = F.col(f"r_{LANG_PREFERENCE[-1]}")
     for lang in reversed(LANG_PREFERENCE[:-1]):

@@ -215,6 +215,31 @@ FROM m WHERE match_count / n_chars * 100 > 0
 ORDER BY doc_id"""
 
 
+def fuzzy_phrase_sql(query: str, max_mistakes: int = 1) -> str:
+    from data_text_search_spark.functions.text import tokenize_py
+    qtokens = tokenize_py(query)
+    n = len(qtokens)
+    qphrase = " ".join(qtokens).replace("'", "''")
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    tok = TOKENIZE.format(col="text")
+    return f"""WITH docs AS (
+  SELECT doc_id, length(cast(text as varchar)) AS n_chars, {tok} AS toks
+  FROM documents),
+spans AS (
+  SELECT doc_id, n_chars,
+    unnest(list_transform(range(1, len(toks) - {n - 2}), i -> {parts})) AS span
+  FROM docs WHERE len(toks) >= {n}),
+m AS (
+  SELECT doc_id, n_chars, count(*) AS match_count
+  FROM spans WHERE levenshtein(span, '{qphrase}') <= {max_mistakes}
+  GROUP BY doc_id, n_chars)
+SELECT doc_id, match_count, n_chars,
+  round(match_count / n_chars * 100, 4) AS score,
+  abs(round(match_count / n_chars * 100, 2)) AS score_abs
+FROM m WHERE match_count / n_chars * 100 > 0
+ORDER BY doc_id"""
+
+
 def clean_sql() -> str:
     """F1 clean pipeline on lowercased text, regexes in reference order.
 

@@ -249,3 +249,20 @@ def test_int8_quantization_roundtrip(spark, embeddings):
         a = np.array(r["embedding"], dtype=np.float32)
         b = np.array(r["deq"], dtype=np.float32)
         assert np.max(np.abs(a - b)) <= 1.0 / 127 + 1e-6
+
+
+def test_fuzzy_phrase_search(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox", "the quick crown fox jumps",
+                 "nothing here"]})
+    df = spark.createDataFrame(pdf)
+    rows = {r["doc_id"]: r for r in
+            fuzzy.fuzzy_phrase_search(spark, df, "quick brown fox", 1).collect()}
+    assert rows[0]["match_count"] == 1       # exact phrase
+    assert rows[1]["match_count"] == 1       # 'crown' = 1 edit from 'brown'
+    assert 2 not in rows
+    # phrase longer than doc and empty query are safe
+    assert fuzzy.fuzzy_phrase_search(
+        spark, df, "a b c d e f g h i j k l m n o p", 1).count() == 0
+    assert fuzzy.fuzzy_phrase_search(spark, df, "", 1).count() == 0
