@@ -182,6 +182,24 @@ def q_fuzzy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"), "score_abs")
 
 
+def q_bm25_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference §3.2 end-to-end: top-k → J1 join-back → F6 search_text →
+    F7 score_abs → T2 ordering."""
+    from data_text_search_spark.functions.text import tokenize_expr
+    from data_text_search_spark.operators.joins import join_results_to_corpus
+    idx = _logical_index(spark, sf_dir)
+    topk = bx.search(idx, spark, FLAGSHIP_QUERY, 10)
+    docs = _documents(spark, sf_dir)
+    joined = join_results_to_corpus(
+        topk.select("doc_id", "score_abs"), docs)
+    return joined.select(
+        "doc_id",
+        F.array_join(tokenize_expr("text"), " ").alias("search_text"),
+        F.col("score_abs").alias("search_score_abs"),
+        "lang", "source",
+    ).orderBy(F.desc("search_score_abs"), F.desc("search_text"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, SF_DEFAULT)
@@ -190,6 +208,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_full_pipeline": q_bm25_full_pipeline,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
         "term_tf": q_term_tf,
@@ -213,6 +232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha),
+        "bm25_full_pipeline": osql.bm25_full_pipeline_sql(
+            FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha),
         "doc_stats": osql.doc_stats_sql(),
         "term_stats": osql.term_stats_sql(alpha=APP_CFG.alpha),
         "term_tf": osql.term_tf_sql(min_tf=3),

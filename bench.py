@@ -85,6 +85,19 @@ def main() -> None:
     searcher.search(qtexts[2], 10).collect()
     results["query_single"] = round(time.perf_counter() - t0, 3)
 
+    # throughput-regime QPS: 1000 generated queries, one Spark job
+    # (comparable to BENCH/BASELINE.md's scaling workload)
+    import numpy as np
+    from data_text_search_spark.fixtures.corpus import VOCAB
+    rs = np.random.RandomState(123)
+    big = qtexts + [" ".join(rs.choice(VOCAB[:200], size=1 + (i % 3)))
+                    for i in range(1000 - len(qtexts))]
+    searcher.search_batch(big[:8], 10).collect()
+    t0 = time.perf_counter()
+    searcher.search_batch(big, 10).collect()
+    big_sec = time.perf_counter() - t0
+    results["query_batch_1000"] = round(big_sec, 3)
+
     # --- driver-contract queries at sf_dir ---
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
@@ -101,6 +114,7 @@ def main() -> None:
         "corpus_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "query_qps": round(len(QUERIES) / query_sec, 2),
+        "query_qps_batch1000": round(1000 / big_sec, 1),
         "cpus": cpus,
     }
     print(json.dumps(out))

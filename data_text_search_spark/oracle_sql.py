@@ -215,6 +215,22 @@ FROM m WHERE match_count / n_chars * 100 > 0
 ORDER BY doc_id"""
 
 
+def bm25_full_pipeline_sql(query: str, k: int = 10, k1: float = 1.5,
+                           b: float = 0.75, alpha: float = -5.0) -> str:
+    """The reference's end-to-end keyword flow (§3.2): BM25 top-k →
+    re-attach original columns (J1) → search_text = ' '.join(tokens) (F6)
+    → abs(round(score,2)) (F7)."""
+    topk = bm25_topk_sql(query, k=k, k1=k1, b=b, alpha=alpha)
+    tok = TOKENIZE.format(col="d.text")
+    return f"""WITH topk AS ({topk})
+SELECT t.doc_id,
+  array_to_string({tok}, ' ') AS search_text,
+  t.score_abs AS search_score_abs,
+  d.lang, d.source
+FROM topk t LEFT JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY search_score_abs DESC, search_text DESC"""
+
+
 def fuzzy_phrase_sql(query: str, max_mistakes: int = 1) -> str:
     from data_text_search_spark.functions.text import tokenize_py
     qtokens = tokenize_py(query)
