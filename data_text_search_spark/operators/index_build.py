@@ -297,13 +297,28 @@ def build_index(
         blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)
         written = spark.read.parquet(gdir)
         stats = written.agg(
-            F.count("*").alias("n_blocks"), F.sum("n_docs").alias("n_postings")
+            F.count("*").alias("n_blocks"),
+            F.sum("n_docs").alias("n_postings"),
+            (F.sum(F.length("doc_deltas")) + F.sum(F.length("tfs"))
+             + F.sum(F.length("impacts"))).alias("payload_bytes"),
         ).first()
+        # shard balance: the doc-hash salting claim, measured (hot terms
+        # must not concentrate postings on any shard)
+        shard_stats = written.groupBy("shard").agg(
+            F.sum("n_docs").alias("p")).agg(
+            F.max("p").alias("mx"), F.avg("p").alias("av")).first()
+        n_post = int(stats["n_postings"] or 0)
         manifest["groups_state"][gkey] = {
             "status": "done",
             "seconds": round(time.perf_counter() - t0, 3),
             "n_blocks": int(stats["n_blocks"] or 0),
-            "n_postings": int(stats["n_postings"] or 0),
+            "n_postings": n_post,
+            "payload_bytes": int(stats["payload_bytes"] or 0),
+            "bytes_per_posting": round(
+                (stats["payload_bytes"] or 0) / max(n_post, 1), 3),
+            "shard_balance_max_over_mean": round(
+                float(shard_stats["mx"]) / float(shard_stats["av"]), 3)
+            if shard_stats["av"] else None,
         }
         _write_manifest_atomic(paths.manifest, manifest)
 

@@ -132,3 +132,17 @@ def test_search_batch_parity(spark, corpus_pdf, searcher, nq):
         # batch results must equal single-query results exactly (ranks)
         single = searcher.search(qtext, 10).collect()
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single]
+
+
+def test_hot_term_shard_balance(spark, tmp_path):
+    """Salting claim, measured: a term in EVERY doc must spread its
+    postings ~evenly over shards (max/mean per-shard postings < 1.5)."""
+    import pandas as pd
+    texts = [f"ubiquitous filler_{i % 11} tail_{i}" for i in range(400)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(400), "content": texts}))
+    root = str(tmp_path / "hot")
+    m = build_index(spark, df, root, id_col="doc_id", shards=8, groups=1)
+    bal = m["groups_state"]["0"]["shard_balance_max_over_mean"]
+    assert bal is not None and bal < 1.5, bal
+    assert m["groups_state"]["0"]["bytes_per_posting"] < 16

@@ -72,3 +72,17 @@ def test_tokenize_expr_stays_in_codegen(spark, docs_path):
     df = (spark.read.parquet(docs_path)
           .select(F.size(tokenize_expr("text")).alias("n")))
     assert codegen_stage_count(df) >= 1
+
+
+def test_batch_query_plan_has_partition_and_rowgroup_pruning(
+        spark, corpus, tmp_path_factory):
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+    from data_text_search_spark.plans.explain_tools import formatted_plan
+    root = str(tmp_path_factory.mktemp("planidx2") / "idx")
+    build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    plan = formatted_plan(s.search_batch(["zyzzyva obelisk", "return"], 10))
+    assert "PartitionFilters: [term_bucket" in plan       # directory pruning
+    assert "In(term" in plan                              # row-group pruning
+    assert "WindowGroupLimit" in plan                     # per-query top-k
