@@ -33,11 +33,12 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-_CACHE: dict[tuple[str, float], tuple[DataFrame, object]] = {}
+_CACHE: dict[tuple, tuple[DataFrame, object]] = {}
 
 
 def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (sf_dir, 0.0)
+    # keyed by session identity too: cached DataFrames die with their session
+    key = (id(spark), sf_dir, 0.0)
     if key not in _CACHE:
         prep = bx.ingest(_documents(spark, sf_dir), text_col="text",
                          id_col="doc_id").persist()
@@ -46,7 +47,7 @@ def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _logical_index(spark: SparkSession, sf_dir: str, cfg: BM25Config = APP_CFG):
-    key = (sf_dir, cfg.alpha)
+    key = (id(spark), sf_dir, cfg.alpha)
     if key not in _CACHE:
         _CACHE[key] = (None, bx.build_logical(_prepared(spark, sf_dir), cfg,
                                               persist=True))

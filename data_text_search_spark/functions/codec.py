@@ -27,20 +27,8 @@ _MASK7 = np.uint64(0x7F)
 _CONT = np.uint8(0x80)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int array, vectorized."""
-    v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bitlength/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 is unsafe at 2^53; use frexp-free integer approach
-    tmp = v.copy()
-    while np.any(tmp > 0):
-        nbits[tmp > 0] += 1
-        tmp >>= np.uint64(1)
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+def _encode_core(v: np.ndarray, nbytes: np.ndarray) -> bytes:
+    """Encode with a precomputed per-value byte-length array."""
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
@@ -54,9 +42,15 @@ def varint_encode(values: np.ndarray) -> bytes:
     is_last = idx == (ends[owner] - 1)
     byte[~is_last] |= _CONT
     out[:] = byte
-    # silence unused-var lint for nz (kept for clarity of intent)
-    del nz
     return out.tobytes()
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int array, vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    return _encode_core(v, varint_nbytes(v))
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -101,8 +95,9 @@ def varint_encode_segmented(values: np.ndarray, seg_lengths: np.ndarray) -> list
     """
     v = np.asarray(values, dtype=np.uint64)
     assert int(np.sum(seg_lengths)) == v.size
-    buf = np.frombuffer(varint_encode(v), dtype=np.uint8)
-    per_val = varint_nbytes(v)
+    per_val = varint_nbytes(v)  # computed once; shared by encode and slicing
+    buf = (np.frombuffer(_encode_core(v, per_val), dtype=np.uint8)
+           if v.size else np.empty(0, dtype=np.uint8))
     # byte offset where each segment starts
     seg_ends_vals = np.cumsum(np.asarray(seg_lengths, dtype=np.int64))
     byte_ends = np.cumsum(per_val)

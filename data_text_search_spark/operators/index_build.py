@@ -176,6 +176,12 @@ def build_index(
     Returns the final manifest. Stage timings land in manifest["metrics"].
     """
     paths = IndexPaths(root)
+    if not resume and os.path.exists(root):
+        # full rebuild: wipe everything, including incremental segment dirs
+        # (postings/group=seg*) that a stage-wise overwrite would leave
+        # behind — stale segments would double-count their documents
+        import shutil
+        shutil.rmtree(root)
     os.makedirs(root, exist_ok=True)
     shards = shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     tp = config.term_partitions
@@ -191,6 +197,16 @@ def build_index(
     if manifest["shards"] != shards or manifest["groups"] != groups:
         # layout params are pinned by the first run of a build
         shards, groups = manifest["shards"], manifest["groups"]
+    # semantic/layout config is pinned too: resuming with different
+    # k1/b/alpha/block_size/term_partitions would mix incompatible impacts
+    # or bucket layouts across groups and silently corrupt query results
+    want_cfg = {"k1": config.k1, "b": config.b, "alpha": config.alpha,
+                "clean": config.clean, "block_size": config.block_size}
+    if manifest["config"] != want_cfg or manifest["term_buckets"] != tp:
+        raise ValueError(
+            f"resume config mismatch: index at {root} was built with "
+            f"{manifest['config']} / term_buckets={manifest['term_buckets']}, "
+            f"got {want_cfg} / term_buckets={tp}; pass resume=False to rebuild")
 
     def stage_done(name: str) -> bool:
         return manifest["stages"].get(name, {}).get("status") == "done"
@@ -224,8 +240,15 @@ def build_index(
         pairs_df.select("doc_id", "doc_len", "shard").write.mode(
             "overwrite").parquet(paths.doc_stats)
         row = pairs_df.agg(F.count("*").alias("n"),
-                           F.sum("doc_len").alias("len")).first()
+                           F.sum("doc_len").alias("len"),
+                           F.countDistinct("doc_id").alias("nd")).first()
         n_docs, total_len = int(row["n"]), int(row["len"] or 0)
+        if int(row["nd"]) != n_docs:
+            # hash-derived ids (ingest) or dirty input: colliding doc_ids
+            # would silently merge documents into phantom posting sets
+            raise ValueError(
+                f"doc_id collision: {n_docs} rows but {row['nd']} distinct "
+                f"ids — supply a unique id column or widen the key")
         avgdl = total_len / n_docs if n_docs else 0.0
         manifest["n_docs"] = n_docs
         manifest["avgdl"] = avgdl
@@ -243,19 +266,26 @@ def build_index(
     # ---- stage: term_stats (df → unsmoothed Robertson idf, alpha cutoff) --
     if not stage_done("term_stats"):
         t0 = time.perf_counter()
+        # ALL terms are kept, alpha-cutoff ones flagged `pruned` instead of
+        # deleted: queries and the posting encoder skip pruned terms (same
+        # semantics as the reference's deletion, bm25_functions.py:92-102),
+        # but incremental segments can still see the base df — otherwise a
+        # pruned hot term reappearing in a delta would be misclassified as
+        # new and get a wildly inflated delta-only IDF
         (td.groupBy("term")
          .agg(F.count("*").alias("df"))
          .withColumn(
              "idf",
              F.log(F.lit(float(n_docs)) - F.col("df") + 0.5)
              - F.log(F.col("df") + 0.5))
-         .filter(F.col("idf") > F.lit(config.alpha))
+         .withColumn("pruned", ~(F.col("idf") > F.lit(config.alpha)))
          .withColumn("term_bucket",
                      F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
          .write.mode("overwrite").parquet(paths.term_stats))
         # A6 (bm25_functions.py:104-117): average IDF sanity metric + warn
-        avg_idf_row = spark.read.parquet(paths.term_stats).agg(
-            F.avg("idf")).first()
+        # (over surviving terms, like the reference's self.idf average)
+        avg_idf_row = spark.read.parquet(paths.term_stats).filter(
+            ~F.col("pruned")).agg(F.avg("idf")).first()
         avg_idf = float(avg_idf_row[0]) if avg_idf_row[0] is not None else 0.0
         manifest["metrics"]["average_idf"] = round(avg_idf, 6)
         if avg_idf < 0:
@@ -266,7 +296,7 @@ def build_index(
 
     # ---- stage: postings, one job per group (resumable) ------------------
     k1, b = config.k1, config.b
-    term_stats = spark.read.parquet(paths.term_stats)
+    term_stats = spark.read.parquet(paths.term_stats).filter(~F.col("pruned"))
     enc_df = (
         td.join(term_stats.select("term", "idf"), "term")
         .withColumn(

@@ -205,6 +205,10 @@ class IndexSearcher:
         self.manifest = m
         self.postings = spark.read.parquet(self.paths.postings)
         self.term_stats = spark.read.parquet(self.paths.term_stats)
+        if "pruned" in self.term_stats.columns:
+            # alpha-cutoff terms are flagged, not deleted (kept for
+            # incremental stats); queries must not see them
+            self.term_stats = self.term_stats.filter(~F.col("pruned"))
         if cache:
             # term_stats is consulted per query — keep it hot; postings
             # benefit too at repeated-query workloads (at cluster scale the

@@ -65,3 +65,78 @@ def test_stream_ingest_foreachbatch(spark, tmp_path):
     assert [r["doc_id"] for r in s.search("streamedneedle", 3).collect()] == [300000]
     m = load_manifest(root)
     assert m["segments"] and m["n_docs"] == 201
+
+
+def test_pruned_term_does_not_resurrect(spark, tmp_path):
+    # base: alpha=1.0 prunes hot terms; a delta containing a pruned term
+    # must NOT re-introduce it with inflated delta-only idf
+    pdf = corpus_pandas(150).reset_index().rename(columns={"index": "doc_id"})
+    df = spark.createDataFrame(pdf)
+    root = str(tmp_path / "pruned")
+    build_index(spark, df, root, BM25Config(alpha=1.0), id_col="doc_id",
+                shards=4, groups=1)
+    s0 = IndexSearcher(spark, root)
+    assert s0.search("return", 5).count() == 0     # pruned in base
+    delta = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [500000], "content": ["return return return brandnewterm"]}))
+    add_documents(spark, root, delta, id_col="doc_id")
+    s = IndexSearcher(spark, root)
+    assert s.search("return", 5).count() == 0      # still pruned
+    assert [r["doc_id"] for r in s.search("brandnewterm", 5).collect()] == [500000]
+
+
+def test_duplicate_delta_doc_rejected(spark, tmp_path):
+    root = _base(spark, tmp_path, n=50)
+    dup = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [10], "content": ["whatever"]}))  # id 10 exists in base
+    with pytest.raises(ValueError, match="already exist"):
+        add_documents(spark, root, dup, id_col="doc_id")
+    both = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [700000, 700000], "content": ["a", "b"]}))
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        add_documents(spark, root, both, id_col="doc_id")
+
+
+def test_zero_token_delta_doc_counted(spark, tmp_path):
+    root = _base(spark, tmp_path, n=50)
+    delta = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [800000, 800001], "content": ["", "realwords here"]}))
+    m = add_documents(spark, root, delta, id_col="doc_id")
+    assert m["n_docs"] == 52                        # empty doc counted
+    assert m["segments"][0]["n_docs"] == 2
+
+
+def test_batch_key_idempotence(spark, tmp_path):
+    root = _base(spark, tmp_path, n=50)
+    delta = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [810000], "content": ["idempotencyneedle"]}))
+    m1 = add_documents(spark, root, delta, id_col="doc_id", batch_key="b1")
+    m2 = add_documents(spark, root, delta, id_col="doc_id", batch_key="b1")
+    assert m1["n_docs"] == m2["n_docs"] == 51
+    assert len(m2["segments"]) == 1
+
+
+def test_rebuild_wipes_segments(spark, tmp_path):
+    import os
+    root = _base(spark, tmp_path, n=80)
+    delta = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [820000], "content": ["segmentword alpha"]}))
+    add_documents(spark, root, delta, id_col="doc_id")
+    assert os.path.exists(f"{root}/postings/group=seg0")
+    # full rebuild over base corpus only → segments must vanish
+    pdf = corpus_pandas(80).reset_index().rename(columns={"index": "doc_id"})
+    m = build_index(spark, spark.createDataFrame(pdf), root,
+                    BM25Config(), id_col="doc_id", shards=4, groups=1,
+                    resume=False)
+    assert not os.path.exists(f"{root}/postings/group=seg0")
+    assert m["n_docs"] == 80 and "segments" not in m
+    assert IndexSearcher(spark, root).search("segmentword", 3).count() == 0
+
+
+def test_resume_config_mismatch_raises(spark, tmp_path):
+    root = _base(spark, tmp_path, n=50)
+    pdf = corpus_pandas(50).reset_index().rename(columns={"index": "doc_id"})
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        build_index(spark, df, root, BM25Config(k1=2.0), id_col="doc_id",
+                    shards=4, groups=1, resume=True)
