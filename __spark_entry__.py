@@ -154,6 +154,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(_embeddings(spark, sf_dir), qv, k=20)
 
 
+def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import similarity
+    return similarity.cosine_dup_pairs(_embeddings(spark, sf_dir),
+                                       threshold=0.4)
+
+
+def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate recall → rows-only; precision/recall tested vs exact
+    from data_text_search_spark.operators import similarity
+    return similarity.lsh_dup_pairs(_embeddings(spark, sf_dir),
+                                    threshold=0.4)
+
+
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_text_search_spark.operators import semantic
     qv = _query_vec(spark, sf_dir, 0)
@@ -223,6 +236,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash_pairs": q_simhash_pairs,
         "cosine_topk": q_cosine_topk,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "lsh_dup_pairs": q_lsh_dup_pairs,
         "ann_lsh": q_ann_lsh,
         "semantic_search": q_semantic_search,
         "fuzzy_search": q_fuzzy_search,
@@ -249,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         # dependent) → intentionally no SQL oracle; driver rows-only check,
         # engine-side tests verify them against their exact counterparts
         "cosine_topk": osql.cosine_topk_sql(query_vec_id=0, k=20),
+        "cosine_dup_pairs": osql.cosine_dup_pairs_sql(threshold=0.4),
         "semantic_search": osql.semantic_search_sql(0, 0.2, 9999),
         "fuzzy_search": osql.fuzzy_search_sql(FUZZY_QUERY, max_mistakes=1),
         "fuzzy_phrase": osql.fuzzy_phrase_sql(FUZZY_PHRASE, max_mistakes=1),

@@ -219,6 +219,12 @@ class IndexSearcher:
         """Materialize caches (bench calls this before timing)."""
         self.term_stats.count()
 
+    def refresh(self) -> None:
+        """Re-list index files — pick up segments appended by
+        streaming.incremental.add_documents since this searcher opened
+        (Spark snapshots the file listing at DataFrame creation)."""
+        self.__init__(self.spark, self.paths.root)
+
     def search_batch(self, queries: list[str], n: int = 10) -> DataFrame:
         """Top-n per query for a batch, one Spark job.
 

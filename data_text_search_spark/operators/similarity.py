@@ -58,6 +58,53 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .select(id_col, F.round("_raw", 6).alias("score")))
 
 
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for all
+    pairs with cosine >= threshold. Exact all-pairs self-join — the
+    verification baseline; at corpus scale, bucket with the hyperplane
+    signature first (see lsh_dup_pairs) so only same-bucket pairs join."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  band_bits: int = 8) -> DataFrame:
+    """Scale path for cosine near-dup pairs: candidates share one of two
+    hyperplane-signature bands (8 bits each); verified with exact cosine.
+    Approximate recall, exact precision (tested vs cosine_dup_pairs)."""
+    sig = _sig_expr(vec_col)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     sig.alias("sig"))
+    banded = base.select(
+        "id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned("sig", i * band_bits)
+                     .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bucket"))
+            for i in range(16 // band_bits)
+        ])).alias("bb"),
+    ).select("id", "v", F.col("bb.band").alias("band"),
+             F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine"))
+
+
 # ------------------------------------------------------------- LSH ANN
 
 _rs = np.random.RandomState(0x5EED)

@@ -30,15 +30,25 @@ def _tokens(text_col: str) -> Column:
     return tokenize_expr(text_col)
 
 
+# BPE-ish pre-tokenization (GPT-2 flavored, dialect-portable subset):
+# letter runs, <=3-digit number chunks (GPT-style number splitting),
+# symbol runs — no capture groups or quotes so the same literal works in
+# Java regex, RE2 (DuckDB) and Python
+BPE_PATTERN = r"[a-z]+|[0-9]{1,3}|[^\sa-z0-9]+"
+
+
 def token_count(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, n_tokens, n_words, n_chars): engine-tokenizer count, a
-    whitespace-ish word count, and raw length."""
+    """(doc_id, n_tokens, n_words, n_bpe_tokens, n_chars): engine-tokenizer
+    count, whitespace word count, a BPE-style pre-tokenizer count (the
+    LLM-training cost proxy), and raw length."""
     toks = _tokens(text_col)
+    low = F.lower(F.col(text_col).cast("string"))
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.split(F.trim(F.col(text_col).cast("string")), r"\s+")).alias("n_words"),
+        F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
         F.length(F.col(text_col).cast("string")).alias("n_chars"),
     )
 

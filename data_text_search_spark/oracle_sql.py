@@ -93,10 +93,12 @@ _SW = {
 
 
 def token_count_sql() -> str:
+    from data_text_search_spark.operators.textstats import BPE_PATTERN
     tok = TOKENIZE.format(col="text")
     return f"""SELECT doc_id,
   len({tok}) AS n_tokens,
   len(regexp_split_to_array(trim(cast(text as varchar)), '\\s+')) AS n_words,
+  len(regexp_extract_all(lower(cast(text as varchar)), '{BPE_PATTERN}')) AS n_bpe_tokens,
   length(cast(text as varchar)) AS n_chars
 FROM documents ORDER BY doc_id"""
 
@@ -180,6 +182,16 @@ SELECT e.vec_id,
 FROM embeddings e, q
 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT {k}"""
+
+
+def cosine_dup_pairs_sql(threshold: float = 0.4) -> str:
+    sim = ("list_cosine_similarity(a.embedding::DOUBLE[], "
+           "b.embedding::DOUBLE[])")
+    return f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({sim}, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({sim}, 6) >= {threshold}
+ORDER BY id_a, id_b"""
 
 
 def semantic_search_sql(query_vec_id: int = 0, cutoff: float = 0.2,

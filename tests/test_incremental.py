@@ -140,3 +140,13 @@ def test_resume_config_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="resume config mismatch"):
         build_index(spark, df, root, BM25Config(k1=2.0), id_col="doc_id",
                     shards=4, groups=1, resume=True)
+
+
+def test_searcher_refresh_sees_new_segments(spark, tmp_path):
+    root = _base(spark, tmp_path, n=50)
+    s = IndexSearcher(spark, root)
+    assert s.search("refreshneedle", 3).count() == 0
+    add_documents(spark, root, spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [830000], "content": ["refreshneedle zz"]})), id_col="doc_id")
+    s.refresh()
+    assert [r["doc_id"] for r in s.search("refreshneedle", 3).collect()] == [830000]

@@ -266,3 +266,13 @@ def test_fuzzy_phrase_search(spark):
     assert fuzzy.fuzzy_phrase_search(
         spark, df, "a b c d e f g h i j k l m n o p", 1).count() == 0
     assert fuzzy.fuzzy_phrase_search(spark, df, "", 1).count() == 0
+
+
+def test_cosine_dup_pairs_exact_vs_lsh(embeddings):
+    exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             similarity.cosine_dup_pairs(embeddings, threshold=0.6).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           similarity.lsh_dup_pairs(embeddings, threshold=0.6).collect()}
+    assert set(lsh) <= set(exact)       # exact-verify → perfect precision
+    for k, v in lsh.items():
+        assert exact[k] == v
