@@ -196,6 +196,10 @@ class IndexSearcher:
     the shared decoded arrays.
     """
 
+    # vocab at or below this collects to a driver dict, removing one Spark
+    # job per query; larger dictionaries stay distributed
+    DRIVER_TERM_CACHE_MAX = 2_000_000
+
     def __init__(self, spark: SparkSession, root: str, cache: bool = True):
         self.spark = spark
         self.paths = IndexPaths(root)
@@ -209,6 +213,7 @@ class IndexSearcher:
             # alpha-cutoff terms are flagged, not deleted (kept for
             # incremental stats); queries must not see them
             self.term_stats = self.term_stats.filter(~F.col("pruned"))
+        self._term_map: dict[str, int] | None = None
         if cache:
             # term_stats is consulted per query — keep it hot; postings
             # benefit too at repeated-query workloads (at cluster scale the
@@ -217,7 +222,12 @@ class IndexSearcher:
 
     def warm(self) -> None:
         """Materialize caches (bench calls this before timing)."""
-        self.term_stats.count()
+        n = self.term_stats.count()
+        if n <= self.DRIVER_TERM_CACHE_MAX and self._term_map is None:
+            self._term_map = {
+                r["term"]: r["term_bucket"]
+                for r in self.term_stats.select("term", "term_bucket").collect()
+            }
 
     def refresh(self) -> None:
         """Re-list index files — pick up segments appended by
@@ -240,10 +250,14 @@ class IndexSearcher:
                       "score_abs double")
         if not all_terms:
             return spark.createDataFrame([], out_schema)
-        present = (self.term_stats.filter(F.col("term").isin(all_terms))
-                   .select("term", "term_bucket").collect())
-        term_set = {r["term"] for r in present}
-        buckets = sorted({r["term_bucket"] for r in present})
+        if self._term_map is not None:
+            term_set = {t for t in all_terms if t in self._term_map}
+            buckets = sorted({self._term_map[t] for t in term_set})
+        else:
+            present = (self.term_stats.filter(F.col("term").isin(all_terms))
+                       .select("term", "term_bucket").collect())
+            term_set = {r["term"] for r in present}
+            buckets = sorted({r["term_bucket"] for r in present})
         if not term_set:
             return spark.createDataFrame([], out_schema)
         qterms = {i: {t: c for t, c in qc.items() if t in term_set}
@@ -265,7 +279,11 @@ class IndexSearcher:
         counts = Counter(tokenize_py(query))
         if not counts:
             return {}, []
-        # term_stats is term-bucketed too? no — small table; filter directly.
+        if self._term_map is not None:
+            # driver-side dictionary (warm() collected it): zero Spark jobs
+            qcounts = {t: c for t, c in counts.items() if t in self._term_map}
+            buckets = sorted({self._term_map[t] for t in qcounts})
+            return qcounts, buckets
         present = (self.term_stats
                    .filter(F.col("term").isin(list(counts)))
                    .select("term", "term_bucket").collect())

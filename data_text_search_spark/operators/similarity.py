@@ -62,15 +62,44 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for all
-    pairs with cosine >= threshold. Exact all-pairs self-join — the
-    verification baseline; at corpus scale, bucket with the hyperplane
-    signature first (see lsh_dup_pairs) so only same-bucket pairs join."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
-            .filter(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", "cosine"))
+    pairs with cosine >= threshold — exact.
+
+    Physical shape: the vector matrix is broadcast (numpy float64) and
+    each partition multiplies its block against it (BLAS matmul inside
+    mapInPandas) — a row-pair SQL self-join re-evaluates the 64-dim dot
+    per pair in interpreted HOF lambdas and is ~50x slower. This is the
+    verification baseline; for corpora whose matrix can't broadcast,
+    bucket with the hyperplane signature first (lsh_dup_pairs)."""
+    import pandas as pd
+
+    rows = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).alias("v")).collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+    th = float(threshold)
+
+    def block(batches):
+        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        for pdf in batches:
+            bid = pdf["id"].to_numpy(dtype=np.int64)
+            bv = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bn = np.linalg.norm(bv, axis=1)
+            bn[bn == 0] = 1.0
+            sims = (bv @ all_mat.T) / bn[:, None] / all_norms[None, :]
+            sims = np.round(sims, 6)
+            li, gi = np.nonzero((sims >= th) & (bid[:, None] < all_ids[None, :]))
+            yield pd.DataFrame({
+                "id_a": bid[li], "id_b": all_ids[gi],
+                "cosine": sims[li, gi]})
+
+    return (df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .mapInPandas(block, schema="id_a long, id_b long, cosine double"))
 
 
 def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
