@@ -196,6 +196,25 @@ def q_fuzzy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"), "score_abs")
 
 
+def q_bm25_topk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with the F1 clean pipeline ON (Clean=Yes path of the reference,
+    bm25_functions.py:322-336) — exercises clean+tokenize+score end to end."""
+    cfg = BM25Config(alpha=APP_CFG.alpha, clean=True)
+    idx = _logical_index_clean(spark, sf_dir, cfg)
+    res = bx.search(idx, spark, FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
+def _logical_index_clean(spark: SparkSession, sf_dir: str, cfg: BM25Config):
+    key = (id(spark), sf_dir, cfg.alpha, "clean")
+    if key not in _CACHE:
+        prep = bx.ingest(_documents(spark, sf_dir), text_col="text",
+                         id_col="doc_id", clean=True)
+        _CACHE[key] = (None, bx.build_logical(prep, cfg, persist=True))
+    return _CACHE[key][1]
+
+
 def q_bm25_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference §3.2 end-to-end: top-k → J1 join-back → F6 search_text →
     F7 score_abs → T2 ordering."""
@@ -222,6 +241,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_clean": q_bm25_topk_clean,
         "bm25_full_pipeline": q_bm25_full_pipeline,
         "doc_stats": q_doc_stats,
         "term_stats": q_term_stats,
@@ -248,6 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha),
+        "bm25_topk_clean": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                              alpha=APP_CFG.alpha, clean=True),
         "bm25_full_pipeline": osql.bm25_full_pipeline_sql(
             FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha),
         "doc_stats": osql.doc_stats_sql(),

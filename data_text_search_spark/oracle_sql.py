@@ -27,8 +27,26 @@ def _values_for_query(query: str) -> str:
     return rows
 
 
-def _base_ctes(table: str = "documents", text_col: str = "text") -> str:
-    tok = TOKENIZE.format(col=text_col)
+def _clean_expr_sql(col: str) -> str:
+    """The F1 clean chain as a DuckDB expression over a lowercased column."""
+    expr = f"lower(cast({col} as varchar))"
+    steps = [
+        (r"\\", "/"),
+        (r"<.*?>|&([a-z0-9]+|#[0-9]{1,6}|#x[0-9a-f]{1,6});|\xa0|&nbsp;", ""),
+        (r".*importance:|.*subject:", ""),
+        (r"kind regards.*|many thanks.*|sincerely.*", ""),
+        (r"\S*@\S*\s?", ""),
+        (r"\s{2,}", " "),
+    ]
+    for pat, rep in steps:
+        expr = f"regexp_replace({expr}, '{pat.replace(chr(39), chr(39)*2)}', '{rep}', 'g')"
+    return expr
+
+
+def _base_ctes(table: str = "documents", text_col: str = "text",
+               clean: bool = False) -> str:
+    src = _clean_expr_sql(text_col) if clean else f"cast({text_col} as varchar)"
+    tok = f"regexp_extract_all(lower({src}), '[a-z0-9_]+|[^a-z0-9_\\s]')"
     return f"""
 docs AS (
   SELECT doc_id, {tok} AS toks FROM {table}
@@ -61,8 +79,8 @@ SELECT term, doc_id, tf FROM tf WHERE tf >= {min_tf} ORDER BY term, doc_id"""
 
 
 def bm25_topk_sql(query: str, k: int = 10, k1: float = 1.5, b: float = 0.75,
-                  alpha: float = -5.0) -> str:
-    return f"""WITH {_base_ctes()},
+                  alpha: float = -5.0, clean: bool = False) -> str:
+    return f"""WITH {_base_ctes(clean=clean)},
 q(term, qcount) AS (VALUES {_values_for_query(query)}),
 contrib AS (
   SELECT tf.doc_id,
