@@ -36,9 +36,16 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CACHE: dict[tuple, tuple[DataFrame, object]] = {}
 
 
+def _session_token(spark: SparkSession) -> str:
+    # a session-unique key: id(spark) alone can be reused after GC and
+    # would hand back persisted DataFrames of a dead session
+    return spark.sparkContext.applicationId
+
+
 def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # keyed by session identity too: cached DataFrames die with their session
-    key = (id(spark), sf_dir, 0.0)
+    # namespaced cache keys: 'prep' vs 'idx' must never collide (an alpha
+    # of 0.0 used to alias the prepared-corpus entry)
+    key = ("prep", _session_token(spark), sf_dir)
     if key not in _CACHE:
         prep = bx.ingest(_documents(spark, sf_dir), text_col="text",
                          id_col="doc_id").persist()
@@ -47,7 +54,7 @@ def _prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _logical_index(spark: SparkSession, sf_dir: str, cfg: BM25Config = APP_CFG):
-    key = (id(spark), sf_dir, cfg.alpha)
+    key = ("idx", _session_token(spark), sf_dir, cfg.alpha)
     if key not in _CACHE:
         _CACHE[key] = (None, bx.build_logical(_prepared(spark, sf_dir), cfg,
                                               persist=True))
@@ -207,7 +214,7 @@ def q_bm25_topk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _logical_index_clean(spark: SparkSession, sf_dir: str, cfg: BM25Config):
-    key = (id(spark), sf_dir, cfg.alpha, "clean")
+    key = ("idx-clean", _session_token(spark), sf_dir, cfg.alpha)
     if key not in _CACHE:
         prep = bx.ingest(_documents(spark, sf_dir), text_col="text",
                          id_col="doc_id", clean=True)

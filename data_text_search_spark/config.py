@@ -51,6 +51,18 @@ class IndexPaths:
     def docmap(self) -> str:
         return f"{self.root}/docmap"
 
+    # --- incremental segments: each delta owns its directories, so an
+    # uncommitted (crashed) append can be wiped and replayed idempotently;
+    # the atomic manifest write is the sole commit point -----------------
+    def postings_seg(self, seg_id: int) -> str:
+        return f"{self.postings}/group=seg{seg_id}"
+
+    def doc_stats_seg(self, seg_id: int) -> str:
+        return f"{self.root}/doc_stats_segs/seg{seg_id}"
+
+    def term_stats_seg(self, seg_id: int) -> str:
+        return f"{self.root}/term_stats_segs/seg{seg_id}"
+
     @property
     def manifest(self) -> str:
         return f"{self.root}/manifest.json"

@@ -79,6 +79,32 @@ def load_manifest(root: str) -> dict | None:
         return json.load(f)
 
 
+# --- committed-view path listings -----------------------------------------
+# Readers enumerate directories FROM THE MANIFEST, never by globbing the
+# filesystem: a crashed append leaves fully-written but uncommitted segment
+# dirs on disk, and those must stay invisible until replayed + committed.
+
+def committed_postings_dirs(root: str, manifest: dict) -> list[str]:
+    paths = IndexPaths(root)
+    dirs = [f"{paths.postings}/group={g}" for g in sorted(manifest["groups_state"])]
+    dirs += [paths.postings_seg(s["segment"])
+             for s in manifest.get("segments", [])]
+    return dirs
+
+
+def committed_doc_stats_paths(root: str, manifest: dict) -> list[str]:
+    paths = IndexPaths(root)
+    return [paths.doc_stats] + [paths.doc_stats_seg(s["segment"])
+                                for s in manifest.get("segments", [])]
+
+
+def committed_term_stats_paths(root: str, manifest: dict) -> list[str]:
+    paths = IndexPaths(root)
+    return [paths.term_stats] + [
+        paths.term_stats_seg(s["segment"])
+        for s in manifest.get("segments", []) if s.get("new_terms")]
+
+
 def _encode_shard_factory(block_size: int):
     """applyInPandas kernel: one pandas group per shard → posting blocks."""
 

@@ -21,9 +21,28 @@ would be slower in Python than vectorized scoring):
    potential (score so far + remaining bound) can still reach θ;
 4. exact scores for all surviving candidates → shard-local top-k.
 
+Negative-IDF soundness. Unsmoothed Robertson IDF admits NEGATIVE
+impacts, so θ can shrink over time and partial scores are not
+monotone. Soundness still holds because φ_i = kth_live(i) + Σ
+remaining losses is non-decreasing (a doc at or above the live kth
+can never fail its own alive check, since its margin gain-suffix ≥ 0 ≥
+loss-suffix), so every dead doc's stale accumulated score sits below φ
+at kill time ≤ φ forever after: stale scores can neither re-enter the
+top-k of the accumulator nor pass a later alive check. Two refinements
+make this locally checkable instead of relying on that global
+argument (and prune more):
+- θ_lb's kth is taken over never-dead docs only (a dead doc's
+  accumulated score is stale — it skipped later contributions);
+- the candidate universe freezes permanently at the first pruned term:
+  the certificate "every unseen doc's final score < θ_lb(then) ≤ final
+  kth" is established once and stays valid even if θ_lb later shrinks,
+  so later terms run in pruned mode unconditionally (never admit new
+  docs, decode only candidate-intersecting blocks).
+
 Results are exact (property-tested against the exhaustive DataFrame
-scorer): pruning only discards docs whose score provably cannot reach
-the shard's kth score.
+scorer, including adversarial negative-IDF corpora and a 30k-case
+posting-level fuzz of this kernel vs brute force): pruning only
+discards docs whose score provably cannot reach the shard's kth score.
 
 Scale shape: a query touches TP-pruned parquet directories + term-IN
 row-group pruning, so I/O ∝ posting lists of the query terms only —
@@ -42,7 +61,11 @@ from pyspark.sql import functions as F
 
 from data_text_search_spark.config import IndexPaths
 from data_text_search_spark.functions.text import tokenize_py
-from data_text_search_spark.operators.index_build import load_manifest
+from data_text_search_spark.operators.index_build import (
+    committed_postings_dirs,
+    committed_term_stats_paths,
+    load_manifest,
+)
 
 RESULT_SCHEMA = "doc_id long, score double"
 
@@ -124,6 +147,13 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int):
         # score, so they can't be in the top-k — but their accumulated score
         # is stale (missed later contributions) and must not be emitted
         dead = np.empty(0, dtype=np.int64)
+        # once ANY term is processed in pruned (non-essential) mode, the
+        # candidate universe is permanently frozen: every doc unseen at that
+        # point has final score < θ_lb(then) ≤ final kth (the proof is a
+        # one-time certificate — it stays valid even if θ_lb later shrinks
+        # under negative impacts), so later terms must never admit new docs
+        # even if they test as "essential" again
+        frozen = False
 
         def accumulate(docs, contribs):
             nonlocal acc_docs, acc_scores
@@ -138,18 +168,27 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int):
             q = qcounts[term]
             rows = pdf[pdf["term"] == term]
             # θ_lb: the final kth score is at least (current kth) + all
-            # remaining possible losses (incl. this term's)
-            if acc_scores.size >= k:
-                kth = np.partition(acc_scores, acc_scores.size - k)[acc_scores.size - k]
+            # remaining possible losses (incl. this term's). The kth MUST
+            # be taken over never-dead docs only: a dead doc's accumulated
+            # score is stale-HIGH (it skipped later contributions, which
+            # can be negative under unsmoothed IDF), so including it could
+            # inflate θ_lb and over-prune a true top-k doc.
+            live_mask = (~np.isin(acc_docs, dead) if dead.size
+                         else np.ones(acc_docs.size, dtype=bool))
+            live_scores = acc_scores[live_mask]
+            if live_scores.size >= k:
+                kth = np.partition(live_scores, live_scores.size - k)[live_scores.size - k]
                 theta_lb = kth + loss[i] + sloss[i]
             else:
                 theta_lb = -np.inf
             # an unseen doc's best final score uses this term + the suffix
             unseen_best = gain[i] + sgain[i]
-            essential = not (unseen_best < theta_lb)
-            if not essential:
-                # only current candidates that can still reach θ_lb matter
-                alive = acc_scores + gain[i] + sgain[i] >= theta_lb
+            pruned_mode = frozen or (unseen_best < theta_lb)
+            if pruned_mode:
+                frozen = True
+                # only never-dead candidates that can still reach θ_lb
+                # matter; a dead doc's stale score must never resurrect it
+                alive = (acc_scores + gain[i] + sgain[i] >= theta_lb) & live_mask
                 cand = acc_docs[alive]
                 dead = np.union1d(dead, acc_docs[~alive])
                 if cand.size == 0:
@@ -165,7 +204,7 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int):
                 imp_l.append(np.frombuffer(ibuf, dtype="<f8"))
             docs = np.concatenate(docs_l)
             imps = np.concatenate(imp_l) * q
-            if not essential:
+            if pruned_mode:
                 m = np.isin(docs, cand)
                 docs, imps = docs[m], imps[m]
                 if docs.size == 0:
@@ -207,8 +246,12 @@ class IndexSearcher:
         if not m or not m.get("complete"):
             raise ValueError(f"no complete index at {root}")
         self.manifest = m
-        self.postings = spark.read.parquet(self.paths.postings)
-        self.term_stats = spark.read.parquet(self.paths.term_stats)
+        # enumerate committed directories from the manifest (never glob the
+        # root: a crashed incremental append can leave fully-written but
+        # uncommitted segment dirs that must stay invisible)
+        self.postings = spark.read.option("basePath", self.paths.postings) \
+            .parquet(*committed_postings_dirs(root, m))
+        self.term_stats = spark.read.parquet(*committed_term_stats_paths(root, m))
         if "pruned" in self.term_stats.columns:
             # alpha-cutoff terms are flagged, not deleted (kept for
             # incremental stats); queries must not see them

@@ -38,9 +38,18 @@ from data_text_search_spark.operators.index_build import (
     POSTINGS_SCHEMA,
     _encode_shard_factory,
     _write_manifest_atomic,
+    committed_doc_stats_paths,
+    committed_term_stats_paths,
     load_manifest,
 )
 from data_text_search_spark.functions.text import tokenize_tf_pandas_udf
+
+
+def _wipe_segment_dirs(paths: IndexPaths, seg_id: int) -> None:
+    import shutil
+    for d in (paths.postings_seg(seg_id), paths.doc_stats_seg(seg_id),
+              paths.term_stats_seg(seg_id)):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
@@ -53,6 +62,15 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     manifest is skipped (foreachBatch delivers at-least-once; a replayed
     micro-batch must not double-ingest its documents).
 
+    Crash safety: the intent (`pending` marker) is recorded in the
+    manifest BEFORE any data is written; every write lands in the
+    segment's own directories, invisible to readers (which enumerate
+    paths from the manifest); the single atomic manifest write at the
+    end is the commit point. A crash anywhere in between leaves an
+    uncommitted segment that the next writer wipes and replays — so a
+    replayed micro-batch is a clean redo, never a 'doc_ids already
+    exist' repair case.
+
     Note: an IndexSearcher snapshots the postings file listing at
     construction; re-open it after appends to see new segments.
     """
@@ -60,6 +78,13 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     manifest = load_manifest(root)
     if not manifest or not manifest.get("complete"):
         raise ValueError(f"no complete index at {root}")
+    if manifest.get("pending") is not None:
+        # a previous append crashed between intent and commit: its segment
+        # dirs may exist but are uncommitted — wipe and forget the intent
+        # (single-writer assumption, same as the reference's artifact cache)
+        _wipe_segment_dirs(paths, manifest["pending"]["segment"])
+        manifest.pop("pending")
+        _write_manifest_atomic(paths.manifest, manifest)
     if batch_key is not None and batch_key in manifest.get("applied_batches", []):
         return manifest
     cfg = manifest["config"]
@@ -67,6 +92,9 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     tp = manifest["term_buckets"]
     n_old, avgdl = manifest["n_docs"], manifest["avgdl"]
     seg_id = len(manifest.get("segments", []))
+    # intent record — must hit disk before any data write
+    manifest["pending"] = {"segment": seg_id, "batch_key": batch_key}
+    _write_manifest_atomic(paths.manifest, manifest)
 
     t0 = time.perf_counter()
     prep = ingest(new_corpus, text_col=text_col, id_col=id_col,
@@ -79,17 +107,22 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
         F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard"))
         .select("doc_id", "shard", F.col("s.pairs").alias("pairs"),
                 F.col("s.doc_len").alias("doc_len"))).persist()
+    def _abort(msg: str):
+        pairs_df.unpersist()
+        manifest.pop("pending", None)
+        _write_manifest_atomic(paths.manifest, manifest)
+        raise ValueError(msg)
+
     row = pairs_df.agg(F.count("*").alias("n"),
                        F.countDistinct("doc_id").alias("nd")).first()
     n_new = int(row["n"] or 0)
     if int(row["nd"] or 0) != n_new:
-        pairs_df.unpersist()
-        raise ValueError("delta contains duplicate doc_ids")
-    existing = spark.read.parquet(paths.doc_stats).select("doc_id")
+        _abort("delta contains duplicate doc_ids")
+    existing = spark.read.parquet(
+        *committed_doc_stats_paths(root, manifest)).select("doc_id")
     n_dup = pairs_df.join(existing, "doc_id").count()
     if n_dup:
-        pairs_df.unpersist()
-        raise ValueError(
+        _abort(
             f"{n_dup} delta doc_ids already exist in the index — re-adding "
             "would double their postings; dedup upstream or rebuild")
     n_total = n_old + n_new
@@ -102,7 +135,8 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     # anti-join against ALL terms (incl. alpha-pruned ones, which are
     # flagged, not deleted) — a pruned hot term in the delta must stay
     # pruned, not resurrect with a delta-only df and inflated IDF
-    full_stats = spark.read.parquet(paths.term_stats)
+    ts_paths = committed_term_stats_paths(root, manifest)
+    full_stats = spark.read.parquet(*ts_paths)
     delta_terms = (td.groupBy("term").agg(F.count("*").alias("df"))
                    .join(full_stats.select("term"), "term", "left_anti")
                    .withColumn("idf",
@@ -115,10 +149,15 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
                    ).persist()
     new_terms = delta_terms.count()
     if new_terms:
-        delta_terms.write.mode("append").parquet(paths.term_stats)
+        # the segment's own term_stats dir — uncommitted until the final
+        # manifest write; readers list term_stats paths from the manifest
+        delta_terms.write.mode("overwrite").parquet(paths.term_stats_seg(seg_id))
+        live_stats = (full_stats.unionByName(
+            spark.read.parquet(paths.term_stats_seg(seg_id)))
+            .filter(~F.col("pruned")))
+    else:
+        live_stats = full_stats.filter(~F.col("pruned"))
     delta_terms.unpersist()
-    live_stats = (spark.read.parquet(paths.term_stats)
-                  .filter(~F.col("pruned")))
 
     k1, b = cfg["k1"], cfg["b"]
     enc = (td.join(live_stats.select("term", "idf"), "term")
@@ -134,12 +173,14 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
                           F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
               .repartition(tp, "term_bucket")
               .sortWithinPartitions("term", "shard", "block_id"))
-    gdir = f"{paths.postings}/group=seg{seg_id}"
-    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)
+    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        paths.postings_seg(seg_id))
     pairs_df.select("doc_id", "doc_len", "shard").write.mode(
-        "append").parquet(paths.doc_stats)
+        "overwrite").parquet(paths.doc_stats_seg(seg_id))
     pairs_df.unpersist()
 
+    # COMMIT POINT: one atomic manifest write makes the segment visible,
+    # records the batch key, and clears the pending intent together
     drift = manifest.get("drift", 0.0) + (n_new / n_total if n_total else 0.0)
     manifest.setdefault("segments", []).append({
         "segment": seg_id, "n_docs": n_new, "new_terms": int(new_terms),
@@ -149,6 +190,7 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     manifest["needs_rebuild"] = drift > rebuild_threshold
     if batch_key is not None:
         manifest.setdefault("applied_batches", []).append(batch_key)
+    manifest.pop("pending", None)
     _write_manifest_atomic(paths.manifest, manifest)
     return manifest
 
