@@ -73,6 +73,52 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _physical_searcher(spark: SparkSession, sf_dir: str):
+    """Build (once per session+sf) the real on-disk index and return a
+    warmed IndexSearcher — the production path: index_build encode +
+    block-max pruned WAND executor, under the same DuckDB oracle as the
+    exhaustive scorer."""
+    key = ("pidx", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.index_build import build_index
+        from data_text_search_spark.operators.index_query import IndexSearcher
+
+        root = tempfile.mkdtemp(prefix="dts_pidx_") + "/idx"
+        build_index(spark, _documents(spark, sf_dir), root,
+                    BM25Config(alpha=APP_CFG.alpha), text_col="text",
+                    id_col="doc_id")
+        s = IndexSearcher(spark, root)
+        s.warm()
+        _CACHE[key] = (None, s)
+    return _CACHE[key][1]
+
+
+def q_bm25_topk_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same flagship query as bm25_topk but answered by the PHYSICAL index
+    (delta-varint posting blocks + block-max pruning), hash-checked against
+    the identical DuckDB oracle — proves the production executor, not just
+    the logical scorer."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
+BATCH_QUERIES = [FLAGSHIP_QUERY, "sort merge window", "stream batch filter"]
+
+
+def q_bm25_batch_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_batch (the throughput path: one Spark job, shared per-shard
+    term decode) under the oracle gate: per-query top-10 for a 3-query
+    batch, hash-matched against a UNION ALL of per-query oracle SQL."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.search_batch(BATCH_QUERIES, 10)
+    return res.select("query_id", "doc_id",
+                      F.round("score", 4).alias("score"), F.col("score_abs"))
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prepared(spark, sf_dir).select("doc_id", "doc_len")
 
@@ -248,6 +294,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25_topk_physical": q_bm25_topk_physical,
+        "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_clean": q_bm25_topk_clean,
         "bm25_full_pipeline": q_bm25_full_pipeline,
         "doc_stats": q_doc_stats,
@@ -275,6 +323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha),
+        "bm25_topk_physical": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                                 alpha=APP_CFG.alpha),
+        "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
+                                                   alpha=APP_CFG.alpha),
         "bm25_topk_clean": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                               alpha=APP_CFG.alpha, clean=True),
         "bm25_full_pipeline": osql.bm25_full_pipeline_sql(

@@ -99,6 +99,17 @@ FROM contrib GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
 
 
+def bm25_batch_sql(queries: list[str], k: int = 10, k1: float = 1.5,
+                   b: float = 0.75, alpha: float = -5.0) -> str:
+    """Batch oracle: UNION ALL of per-query top-k, tagged with query_id
+    (positional, matching IndexSearcher.search_batch)."""
+    parts = [
+        f"SELECT {i} AS query_id, * FROM ({bm25_topk_sql(q, k=k, k1=k1, b=b, alpha=alpha)})"
+        for i, q in enumerate(queries)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 _TOK_DOCS = ("SELECT doc_id, " + TOKENIZE.format(col="text")
              + " AS toks FROM documents")
 
