@@ -200,11 +200,25 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(_embeddings(spark, sf_dir), qv, k=20)
 
 
+def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
+    from data_text_search_spark.operators import similarity
+    key = ("ann", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+        root = tempfile.mkdtemp(prefix="dts_ann_") + "/ann"
+        similarity.build_ann_index(_embeddings(spark, sf_dir), root)
+        _CACHE[key] = (None, root)
+    return _CACHE[key][1]
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate recall → rows-only check; tested vs brute force in tests/
+    # approximate recall → rows-only check; tested vs brute force in tests/.
+    # Exercises the PERSISTED signature index: bucket-partitioned parquet,
+    # multi-probe partition-pruned scan (the 100 TB path).
     from data_text_search_spark.operators import similarity
     qv = _query_vec(spark, sf_dir, 0)
-    return similarity.lsh_ann_topk(_embeddings(spark, sf_dir), qv, k=20)
+    root = _ann_index_root(spark, sf_dir)
+    return similarity.ann_index_search(spark, root, qv, k=20)
 
 
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,29 +69,63 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for all pairs with exact shingle-set Jaccard
     >= threshold. Inverted-index join: candidate pairs come only from
-    shared shingles."""
+    shared shingles.
+
+    `max_shingle_df`: hot-shingle ceiling for the candidate join — a
+    boilerplate shingle shared by M docs would alone emit M²/2 candidate
+    rows, so shingles with document frequency above the cap are excluded
+    from candidate GENERATION (standard practice; a pair is lost only if
+    *every* shared shingle is ultra-common). Jaccard for surviving
+    candidates is still computed over the FULL shingle sets, so emitted
+    values are exact. None (the default) = the uncapped exact oracle."""
     sh = shingles(df, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("jaccard", F.round(
-            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    if max_shingle_df is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+        return (
+            inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_shingle_df).select("shingle"),
+        "shingle")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    # exact verification over the full (hashed) shingle sets — the cap
+    # bounds candidates, never the Jaccard value itself
+    sets = (sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+            .groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("h")).alias("hs")))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("set_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
 
 
 # ------------------------------------------------------------ MinHash-LSH
@@ -135,10 +169,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
-                      threshold: float = 0.5, bands: int = 16) -> DataFrame:
+                      threshold: float = 0.5, bands: int = 16,
+                      bucket_cap: int | None = 100_000) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH candidates (same band bucket) verified
     with EXACT Jaccard on the shingle-hash sets. Approximate in recall
-    (a pair missed by every band is lost), exact in precision."""
+    (a pair missed by every band is lost), exact in precision.
+
+    `bucket_cap`: (band, bucket) groups larger than the cap are skipped
+    before the self-join, bounding candidates against degenerate buckets
+    (e.g. the empty-signature class, boilerplate-only docs)."""
     rows = N_PERM // bands
     sigs = minhash_signatures(df, text_col, id_col, n).persist()
     band_cols = F.explode(F.array(*[
@@ -151,6 +190,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ]))
     banded = sigs.select("doc_id", band_cols.alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if bucket_cap is not None:
+        ok = (banded.groupBy("band", "bucket")
+              .agg(F.count("*").alias("_bsz"))
+              .filter(F.col("_bsz") <= bucket_cap).select("band", "bucket"))
+        banded = banded.join(ok, ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -177,31 +221,56 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 @F.pandas_udf(LongType())
-def simhash64(tokens: pd.Series) -> pd.Series:
-    """64-bit SimHash over the token multiset (tf-weighted bit votes of
-    a deterministic 64-bit token hash)."""
+def simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-token-occurrence 64-bit hashes: bit i of
+    the fingerprint is set iff more than half the occurrences have bit i
+    set (tf-weighted majority vote — each occurrence votes once).
 
-    def sh(toks):
-        if toks is None or len(toks) == 0:
-            return 0
-        vals, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        # deterministic python-side 64-bit hash (blake2b digest)
-        import hashlib
-        hs = np.array(
-            [int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(),
-                            "little") for v in vals],
-            dtype=np.uint64,
-        )
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        votes = ((bits * 2 - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
-        out = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return int(out.astype(np.int64))
+    Fully batch-vectorized: one flat (total_tokens, 64) bit matrix per
+    Arrow slice with a reduceat segment-sum — no per-row Python loop and
+    no Python-side hashing (token hashes arrive from JVM xxhash64)."""
+    n = len(hashes)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return pd.Series(out)
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n)
+    nz = np.flatnonzero(lens > 0)
+    if nz.size == 0:
+        return pd.Series(out)
+    # bound the bit-matrix working set: process ~1M tokens per slice
+    budget = 1_000_000
+    pos = 0
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    while pos < nz.size:
+        end = pos
+        tok = 0
+        while end < nz.size and (tok == 0 or tok + lens[nz[end]] <= budget):
+            tok += lens[nz[end]]
+            end += 1
+        idx = nz[pos:end]
+        flat = np.concatenate([
+            np.asarray(hashes.iloc[i], dtype=np.int64) for i in idx
+        ]).view(np.uint64)
+        bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        starts = np.concatenate(([0], np.cumsum(lens[idx])[:-1]))
+        ones = np.add.reduceat(bits, starts, axis=0)
+        setbit = (2 * ones) > lens[idx][:, None]
+        sig = np.zeros(idx.size, dtype=np.uint64)
+        for b in range(64):
+            sig |= setbit[:, b].astype(np.uint64) << np.uint64(b)
+        out[idx] = sig.view(np.int64)
+        pos = end
+    return pd.Series(out)
 
-    return tokens.map(sh)
+
+def simhash_expr(text_col: str):
+    """SimHash plan: JVM-side tokenize + per-token xxhash64 (inside a
+    higher-order transform, whole-stage codegen) → one vectorized vote
+    UDF. The old per-row blake2b loop was the slowest code per byte in
+    the repo; hashing now never leaves the JVM."""
+    tok_hashes = F.transform(tokenize_expr(text_col), lambda t: F.xxhash64(t))
+    return simhash_from_hashes(tok_hashes)
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
@@ -210,7 +279,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     Candidates via 4x16-bit band collisions (any pair with hamming <= 3
     shares at least one of 4 bands — pigeonhole, exact recall)."""
     sh = df.select(F.col(id_col).alias("doc_id"),
-                   simhash64(tokenize_expr(text_col)).alias("sh")).persist()
+                   simhash_expr(text_col).alias("sh")).persist()
     bands = F.explode(F.array(*[
         F.struct(
             F.lit(bi).alias("band"),

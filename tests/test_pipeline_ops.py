@@ -61,6 +61,67 @@ def test_simhash_identical_docs_collide(spark):
     assert pairs[0]["hamming"] == 0
 
 
+def test_simhash_banding_recall_exact(spark, documents):
+    """Pigeonhole recall is EXACT: every pair within max_hamming=3 of the
+    computed fingerprints must be emitted (checked brute-force over a
+    1000-doc sample), and nothing below the bar."""
+    sample = documents.limit(1000)
+    vals = {r["doc_id"]: r["sh"] for r in sample.select(
+        "doc_id", dedup.simhash_expr("text").alias("sh")).collect()}
+    ids = sorted(vals)
+    arr = np.array([vals[i] for i in ids], dtype=np.int64).view(np.uint64)
+    xor = arr[:, None] ^ arr[None, :]
+    ham = np.zeros(xor.shape, dtype=np.int32)
+    for _ in range(64):
+        ham += (xor & np.uint64(1)).astype(np.int32)
+        xor >>= np.uint64(1)
+    ai, bi = np.nonzero((ham <= 3) & (np.arange(len(ids))[:, None]
+                                      < np.arange(len(ids))[None, :]))
+    want = {(ids[x], ids[y]) for x, y in zip(ai, bi)}
+    got = {(r["doc_a"], r["doc_b"])
+           for r in dedup.simhash_pairs(sample, max_hamming=3).collect()}
+    assert got == want
+
+
+def test_simhash_small_edit_small_hamming(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight ") * 3
+    edited = base.replace("forest", "woods")
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [0, 1], "text": [base, edited]}))
+    rows = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dedup.simhash_expr("text").alias("sh")).collect()}
+    ham = bin((rows[0] ^ rows[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham <= 12, ham        # one token of ~60 flips few vote margins
+
+
+def test_hot_shingle_cap_bounds_candidates(spark):
+    """Pathological corpus: one boilerplate line shared by ALL docs. The
+    capped candidate join must skip the hot shingles (bounded work) while
+    keeping pairs that share any rare shingle, with EXACT jaccard."""
+    boiler = ("this standard header line appears in every single document "
+              "of the whole corpus")
+    texts = [f"{boiler} unique tail {i} content {i * 7}" for i in range(100)]
+    texts.append("rare alpha beta gamma delta epsilon zeta eta theta")
+    texts.append("rare alpha beta gamma delta epsilon zeta eta iota")
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}))
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in dedup.ngram_jaccard_pairs(
+                  df, threshold=0.3, max_shingle_df=10).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    # the rare-shingle near-dup pair survives the cap with its exact value
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == exact[(100, 101)]
+    # capped ⊆ exact; boilerplate-only pairs (candidates via hot shingles
+    # alone) are the ones dropped
+    assert set(capped) <= set(exact)
+    assert len(capped) < len(exact)
+    for k, v in capped.items():
+        assert exact[k] == v
+
+
 def test_exact_dedup_groups(spark):
     pdf = pd.DataFrame({
         "doc_id": [0, 1, 2, 3],
@@ -81,15 +142,84 @@ def test_ann_lsh_vs_brute_force(embeddings):
     brute = [r["vec_id"] for r in
              similarity.cosine_topk(embeddings, qv, k=10).collect()]
     ann = [r["vec_id"] for r in
-           similarity.lsh_ann_topk(embeddings, qv, k=10, probe_hamming=16).collect()]
-    # probe_hamming=16 degenerates to exhaustive → must equal brute force
+           similarity.lsh_ann_topk(embeddings, qv, k=10, probe_hamming=64).collect()]
+    # probe_hamming=64 degenerates to exhaustive → must equal brute force
     assert ann == brute
     # narrow probe: results are a subset of the scored universe and any
     # returned score matches the brute-force score for that id
     brute_scores = {r["vec_id"]: r["score"] for r in
                     similarity.cosine_topk(embeddings, qv, k=500).collect()}
-    for r in similarity.lsh_ann_topk(embeddings, qv, k=10, probe_hamming=2).collect():
+    for r in similarity.lsh_ann_topk(embeddings, qv, k=10, probe_hamming=8).collect():
         assert brute_scores[r["vec_id"]] == r["score"]
+
+
+def test_ann_index_search_vs_brute_force(spark, embeddings, tmp_path):
+    root = str(tmp_path / "ann")
+    similarity.build_ann_index(embeddings, root)
+    qv = [float(v) for v in
+          embeddings.filter("vec_id = 3").first()["embedding"]]
+    brute = [r["vec_id"] for r in
+             similarity.cosine_topk(embeddings, qv, k=10).collect()]
+    # full probe (all buckets, hamming 64) degenerates to exhaustive
+    full = [r["vec_id"] for r in similarity.ann_index_search(
+        spark, root, qv, k=10, probe_hamming=64,
+        n_flip_bits=similarity.BUCKET_BITS).collect()]
+    assert full == brute
+    # default probes: the self-match must be found, and every returned
+    # score is the exact brute-force score for that id (exact rescoring)
+    got = similarity.ann_index_search(spark, root, qv, k=10).collect()
+    assert got and got[0]["vec_id"] == 3 and abs(got[0]["score"] - 1.0) < 1e-6
+    brute_scores = {r["vec_id"]: r["score"] for r in
+                    similarity.cosine_topk(embeddings, qv, k=500).collect()}
+    for r in got:
+        assert brute_scores[r["vec_id"]] == r["score"]
+
+
+def test_ann_index_recall_on_planted_near_dups(spark, tmp_path):
+    """Recall contract where ANN recall is actually defined: high-cosine
+    neighbors. 40 random base vectors, each with 3 planted near-dup
+    copies (pairwise cosine ≈ 0.97); querying a perturbed base vector at default
+    probes must recover ≥90% of its planted family. (The driver
+    embeddings' 'top-10' sit at cosine ≈0.3 — near-orthogonal points no
+    LSH family can bucket; that regime is covered by the exact path.)"""
+    rs = np.random.RandomState(5)
+    rows, fam = [], {}
+    vid = 0
+    for b in range(40):
+        base = rs.standard_normal(similarity.EMB_DIM)
+        base /= np.linalg.norm(base)
+        fam[b] = []
+        for c in range(4):
+            v = base + rs.standard_normal(similarity.EMB_DIM) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            fam[b].append(vid)
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    root = str(tmp_path / "annplant")
+    similarity.build_ann_index(df, root)
+    found = total = 0
+    for b in (0, 7, 23):
+        qv = rows[fam[b][0]][1]
+        got = {r["vec_id"] for r in
+               similarity.ann_index_search(spark, root, qv, k=4).collect()}
+        found += len(got & set(fam[b]))
+        total += 4
+    assert found / total >= 0.9, (found, total)
+
+
+def test_ann_index_scan_is_bucket_pruned(spark, embeddings, tmp_path):
+    """The probed scan must read only probed bucket partitions
+    (PartitionFilters on `bucket`), not the whole index."""
+    root = str(tmp_path / "annplan")
+    similarity.build_ann_index(embeddings, root)
+    qv = [float(v) for v in
+          embeddings.filter("vec_id = 0").first()["embedding"]]
+    plan = similarity.ann_index_search(
+        spark, root, qv, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
 
 
 def test_cosine_self_similarity_first(embeddings):
@@ -276,3 +406,20 @@ def test_cosine_dup_pairs_exact_vs_lsh(embeddings):
     assert set(lsh) <= set(exact)       # exact-verify → perfect precision
     for k, v in lsh.items():
         assert exact[k] == v
+    # 8 wide bands over the 64-bit signature: recall should be solid on
+    # the driver corpus (planted near-dup clusters)
+    assert len(lsh) >= 0.8 * len(exact), (len(lsh), len(exact))
+
+
+def test_cosine_dup_pairs_block_equals_broadcast(embeddings):
+    """The distributed block-matmul path (no driver collect) must equal
+    the broadcast path exactly — same pairs, same rounded cosines."""
+    bc = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+          similarity.cosine_dup_pairs(embeddings, threshold=0.5,
+                                      strategy="broadcast").collect()}
+    blk = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           similarity.cosine_dup_pairs(embeddings, threshold=0.5,
+                                       strategy="block",
+                                       block_rows=100).collect()}
+    assert bc == blk
+    assert len(blk) > 0
