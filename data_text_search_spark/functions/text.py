@@ -11,14 +11,16 @@ Parity contract with the reference (seanpedrick-case/data_text_search):
   tokenizer only (``nlp.tokenizer.pipe``, bm25_functions.py:213-226).
   spaCy is not available in this sandbox and is nondeterministic across
   model versions, so the engine pins a deterministic regex spec that
-  approximates spaCy defaults on code-like ASCII text: maximal runs of
-  ``[a-z0-9_]`` are word tokens; every other non-whitespace character is
-  its own single-character token. The *same* pattern string is used by
-  the Spark engine (``F.regexp_extract_all``), the in-repo pure-Python
-  oracle (``re.findall``) and the DuckDB oracle SQL
-  (``regexp_extract_all``), so all three tokenize identically.
-  (Known divergence vs spaCy: contractions, URLs, unicode whitespace —
-  documented, not rank-relevant on the pinned corpora.)
+  approximates spaCy defaults: maximal runs of unicode
+  letters/digits/underscore are word tokens (spaCy keeps unicode words
+  whole — bm25_functions.py:213-226); every other character outside an
+  explicit ASCII whitespace set is its own single-character token. The
+  same SEMANTIC is spelled per engine (see TOKEN_PATTERN /
+  PY_TOKEN_PATTERN / DUCKDB_TOKEN_PATTERN below) and the three are
+  parity-tested on multilingual corpora, so Spark, the pure-Python
+  oracle and the DuckDB oracle tokenize identically.
+  (Known divergence vs spaCy: contractions, URLs — documented, not
+  rank-relevant on the pinned corpora.)
 
 - **Clean pipeline**: exact regex strings and application order of the
   reference's live polars pipeline ``initial_clean``
@@ -51,10 +53,27 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# --- tokenizer spec (shared verbatim by engine / python oracle / duckdb sql) ---
-# word runs of ascii alnum+underscore, else one token per non-space char
-TOKEN_PATTERN = r"[a-z0-9_]+|[^a-z0-9_\s]"
-_TOKEN_RE = re.compile(TOKEN_PATTERN)
+# --- tokenizer spec (one semantic, three engine-flavored spellings) -------
+# Word tokens are maximal runs of unicode letters/digits/underscore
+# (categories L* ∪ Nd ∪ Nl ∪ No ∪ {_}); every other character is its own
+# single-character token, except an EXPLICIT ASCII whitespace set
+# [ \t\n\r\f\x0b] which separates tokens. The whitespace set is explicit
+# because \s differs across the engines (Java \s lacks \xa0, RE2 lacks
+# \x0b and \xa0, Python matches all unicode spaces) — with the explicit
+# class, NBSP and other unicode spaces are one-char tokens EVERYWHERE,
+# identically. The three spellings below are equivalent:
+# - Java/Spark: \p{L}\p{N} property classes
+# - Python: \w (defined as str.isalnum ∪ {_} = the same L*/N* set)
+# - DuckDB/RE2: \pL \pN property classes
+# Known cross-engine divergences (documented, excluded from fuzz
+# corpora) — CASE-MAPPING differences, not tokenizer ones: lowercasing
+# U+0130 İ yields 'i'+combining-dot in Java/Python but plain 'i' in
+# DuckDB; word-final Greek Σ lowers to final sigma ς in Java/Python
+# (Final_Sigma context rule) but plain σ in DuckDB.
+TOKEN_PATTERN = r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_ \t\n\r\f\x0B]"
+PY_TOKEN_PATTERN = r"[\w]+|[^\w \t\n\r\f\x0b]"
+DUCKDB_TOKEN_PATTERN = r"[\pL\pN_]+|[^\pL\pN_ \t\n\r\f\x0b]"
+_TOKEN_RE = re.compile(PY_TOKEN_PATTERN)
 
 # --- clean pipeline spec: (pattern, replacement) in application order ---
 # exact strings from /root/reference/search_funcs/clean_funcs.py:23-32
@@ -115,7 +134,7 @@ def tokenize_pandas_udf(texts: pd.Series) -> pd.Series:
     agree. Mirrors the reference's batched spaCy pipe
     (bm25_functions.py:222-223) with Arrow batches in place of pipe(256).
     """
-    return texts.astype(str).str.lower().str.findall(TOKEN_PATTERN)
+    return texts.astype(str).str.lower().str.findall(PY_TOKEN_PATTERN)
 
 
 _TOKTF_SCHEMA = StructType([
@@ -181,7 +200,8 @@ def join_key_norm_expr(col: str | Column) -> Column:
 
 
 def duckdb_tokenize_sql(text_expr: str) -> str:
-    """DuckDB-SQL fragment producing the identical token array."""
-    # duckdb string literal: escape backslashes via $$-quoting to keep the
-    # pattern byte-identical with TOKEN_PATTERN
-    return f"regexp_extract_all(lower(cast({text_expr} as varchar)), '[a-z0-9_]+|[^a-z0-9_\\s]')"
+    """DuckDB-SQL fragment producing the identical token array (RE2
+    spelling of the shared tokenizer spec; backslashes are literal inside
+    standard SQL single-quoted strings, so RE2 receives them verbatim)."""
+    return (f"regexp_extract_all(lower(cast({text_expr} as varchar)), "
+            f"'{DUCKDB_TOKEN_PATTERN}')")

@@ -37,16 +37,18 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
             [], f"{id_col} long, match_count long, n_chars int, "
                 "score double, score_abs double")
     qphrase = " ".join(qtokens)
-    toks = tokenize_expr(text_col)
+    toks = F.col("_toks")
     windows = F.when(
         F.size(toks) >= n,
         F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                     lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
     ).otherwise(F.array().cast("array<string>"))
-    spans = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col).cast("string")).alias("n_chars"),
-        F.explode(windows).alias("span"))
+    # n_chars = length of the space-joined TOKENIZED text — the reference
+    # scores against df_list = ' '.join(tokens) (spacy_search_funcs.py:34,100-104)
+    spans = (df.withColumn("_toks", tokenize_expr(text_col))
+             .select(F.col(id_col),
+                     F.length(F.array_join("_toks", " ")).alias("n_chars"),
+                     F.explode(windows).alias("span")))
     matched = spans.filter(
         F.levenshtein(F.col("span"), F.lit(qphrase)) <= max_mistakes)
     return (
@@ -69,9 +71,11 @@ def fuzzy_search(spark: SparkSession, df: DataFrame, query: str,
         return spark.createDataFrame(
             [], f"{id_col} long, match_count long, n_chars int, "
                 "score double, score_abs double")
-    toks = (df.select(F.col(id_col),
-                      F.length(F.col(text_col).cast("string")).alias("n_chars"),
-                      F.explode(tokenize_expr(text_col)).alias("tok")))
+    # reference denominator: len(' '.join(tokens)) — spacy_search_funcs.py:34,100-104
+    toks = (df.withColumn("_toks", tokenize_expr(text_col))
+            .select(F.col(id_col),
+                    F.length(F.array_join("_toks", " ")).alias("n_chars"),
+                    F.explode("_toks").alias("tok")))
     qdf = F.broadcast(spark.createDataFrame([(t,) for t in qtokens], "qtok string"))
     matched = toks.join(
         qdf, F.levenshtein(F.col("tok"), F.col("qtok")) <= max_mistakes)

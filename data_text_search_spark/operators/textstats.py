@@ -92,7 +92,7 @@ def quality(df: DataFrame, text_col: str = "text",
     the standard cheap quality signals for corpus filtering."""
     t = df.select(F.col(id_col), _tokens(text_col).alias("toks"))
     n = F.size("toks")
-    npunct = F.size(F.filter("toks", lambda x: x.rlike("^[^a-z0-9_]$")))
+    npunct = F.size(F.filter("toks", lambda x: x.rlike("^[^\\p{L}\\p{N}_]$")))
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     nstop = F.size(F.filter("toks", lambda x: F.array_contains(en, x)))
     tok_chars = F.aggregate("toks", F.lit(0), lambda acc, x: acc + F.length(x))

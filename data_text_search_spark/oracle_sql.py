@@ -18,7 +18,7 @@ from collections import Counter
 
 from data_text_search_spark.functions.text import tokenize_py
 
-TOKENIZE = "regexp_extract_all(lower(cast({col} as varchar)), '[a-z0-9_]+|[^a-z0-9_\\s]')"
+TOKENIZE = "regexp_extract_all(lower(cast({col} as varchar)), '[\pL\pN_]+|[^\pL\pN_ \t\n\r\f\x0b]')"
 
 
 def _values_for_query(query: str) -> str:
@@ -46,7 +46,7 @@ def _clean_expr_sql(col: str) -> str:
 def _base_ctes(table: str = "documents", text_col: str = "text",
                clean: bool = False) -> str:
     src = _clean_expr_sql(text_col) if clean else f"cast({text_col} as varchar)"
-    tok = f"regexp_extract_all(lower({src}), '[a-z0-9_]+|[^a-z0-9_\\s]')"
+    tok = f"regexp_extract_all(lower({src}), '[\pL\pN_]+|[^\pL\pN_ \t\n\r\f\x0b]')"
     return f"""
 docs AS (
   SELECT doc_id, {tok} AS toks FROM {table}
@@ -154,7 +154,7 @@ def quality_sql() -> str:
     return f"""WITH docs AS ({_TOK_DOCS})
 SELECT doc_id,
   len(toks) AS n_tokens,
-  coalesce(round(len(list_filter(toks, x -> regexp_matches(x, '^[^a-z0-9_]$')))
+  coalesce(round(len(list_filter(toks, x -> regexp_matches(x, '^[^\pL\pN_]$')))
     / nullif(cast(len(toks) AS double), 0), 6), 0.0) AS punct_ratio,
   coalesce(round(len(list_filter(toks, x -> list_contains({_SW['en']}, x)))
     / nullif(cast(len(toks) AS double), 0), 6), 0.0) AS stop_ratio,
@@ -240,10 +240,12 @@ def fuzzy_search_sql(query: str, max_mistakes: int = 1) -> str:
     qtokens = sorted(set(tokenize_py(query)))
     values = ", ".join(f"('{t}')" for t in qtokens)
     tok = TOKENIZE.format(col="text")
-    return f"""WITH toks AS (
-  SELECT doc_id, length(cast(text as varchar)) AS n_chars,
-         unnest({tok}) AS tok
-  FROM documents),
+    return f"""WITH docs AS (
+  SELECT doc_id, {tok} AS toks FROM documents),
+toks AS (
+  SELECT doc_id, length(array_to_string(toks, ' ')) AS n_chars,
+         unnest(toks) AS tok
+  FROM docs),
 q(qtok) AS (VALUES {values}),
 m AS (
   SELECT doc_id, n_chars, count(*) AS match_count
@@ -280,7 +282,8 @@ def fuzzy_phrase_sql(query: str, max_mistakes: int = 1) -> str:
     parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
     tok = TOKENIZE.format(col="text")
     return f"""WITH docs AS (
-  SELECT doc_id, length(cast(text as varchar)) AS n_chars, {tok} AS toks
+  SELECT doc_id, length(array_to_string({tok}, ' ')) AS n_chars,
+         {tok} AS toks
   FROM documents),
 spans AS (
   SELECT doc_id, n_chars,

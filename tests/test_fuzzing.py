@@ -36,6 +36,16 @@ NASTY_CORPORA = [
          "mixed 0a 1b 2c mixed"],
         ["0", "a0b1c2", "_score_", "9", "mixed mixed"],
     ),
+    # unicode: whole words in several scripts, NBSP (\xa0) and VT (\x0b)
+    # per the explicit-whitespace-class contract, numerics beyond ASCII
+    (
+        ["straße großes wörterbuch", "STRASSE UND STRAẞE", "café au lait",
+         "привет мир тест", "日本語 のテキスト", "nbsp\xa0joined words",
+         "vt\x0bsplit words", "½ cup and ² power", "¿qué? ¡sí! ñandú",
+         "mixed ascii and wörter"],
+        ["straße", "wörter", "привет", "日本語", "nbsp\xa0joined", "vt split",
+         "½ ²", "qué", "café lait", "ß"],
+    ),
 ]
 
 

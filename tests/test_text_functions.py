@@ -32,6 +32,18 @@ SAMPLES = [
     "under_score __dunder__ x_1_y",
     "<p>Hello</p> &nbsp; bob@example.com kind regards bob",
     "number 123 mixed a1b2",
+    # unicode: words stay whole in every engine; NBSP (\xa0) and VT (\x0b)
+    # are NOT in the explicit whitespace class → one-char token / split
+    "Straße wörterbuch ÉLAN café_au_lait",
+    "привет мир ПРИВЕТ",
+    "日本語のテキスト 漢字",
+    "nbsp\xa0here vt\x0bthere",
+    "½ cup ² power ① circled",
+    "¿qué? ¡sí! ñandú ǅungla ẞ",
+    # NB: no word-final Σ and no İ — lower() context rules differ between
+    # Python/Java (final sigma, i+combining dot) and DuckDB (plain σ/i);
+    # documented divergence in functions/text.py
+    "Ψηφιακός ΣΟΦΙΑ ς σ",
 ]
 
 
