@@ -91,23 +91,50 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int):
                 docs_l.append(decode_doc_block(int(fd), int(nd), dbuf))
                 imp_l.append(np.frombuffer(ibuf, dtype="<f8"))
             decoded[term] = (np.concatenate(docs_l), np.concatenate(imp_l))
+        # dense shard-local doc space, built ONCE: per query the old path
+        # re-sorted its candidate postings (concatenate+unique, O(nnz log
+        # nnz)); with term posting indices precomputed via searchsorted,
+        # each query is O(nnz) adds + an O(U) candidate sweep + an
+        # O(k log k) tail sort — the kernel's hot loop is pure streaming.
+        all_docs = np.unique(np.concatenate([d for d, _ in decoded.values()]))
+        tidx = {t: np.searchsorted(all_docs, d) for t, (d, _) in decoded.items()}
+        scores = np.zeros(all_docs.size, dtype=np.float64)
+        touched = np.zeros(all_docs.size, dtype=bool)
         out_q, out_d, out_s = [], [], []
         for qid in sorted(qterms):
             counts = qterms[qid]
-            parts = [(decoded[t][0], decoded[t][1] * c)
+            parts = [(tidx[t], decoded[t][1], c)
                      for t, c in sorted(counts.items()) if t in decoded]
             if not parts:
                 continue
-            docs = np.concatenate([p[0] for p in parts])
-            imps = np.concatenate([p[1] for p in parts])
-            uniq, inv = np.unique(docs, return_inverse=True)
-            sums = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(sums, inv, imps)
-            m = min(k, uniq.size)
-            order = np.lexsort((uniq, -sums))[:m]
+            for ix, imp, c in parts:
+                np.add.at(scores, ix, imp * c)
+                touched[ix] = True
+            cand = np.flatnonzero(touched)
+            sc = scores[cand]
+            m = min(k, cand.size)
+            if cand.size > m:
+                # exact top-m with the deterministic tie-break
+                # (score desc, doc_id asc) without sorting all candidates
+                kth = np.partition(sc, cand.size - m)[cand.size - m]
+                gt = np.flatnonzero(sc > kth)
+                need = m - gt.size
+                tied = np.flatnonzero(sc == kth)
+                if need:
+                    tied = tied[np.argsort(all_docs[cand[tied]],
+                                           kind="stable")[:need]]
+                    chosen = np.concatenate((gt, tied))
+                else:
+                    chosen = gt
+            else:
+                chosen = np.arange(cand.size)
+            order = np.lexsort((all_docs[cand[chosen]], -sc[chosen]))
+            sel = chosen[order]
             out_q.append(np.full(m, qid, dtype=np.int32))
-            out_d.append(uniq[order])
-            out_s.append(sums[order])
+            out_d.append(all_docs[cand[sel]])
+            out_s.append(sc[sel])
+            scores[cand] = 0.0
+            touched[cand] = False
         if not out_q:
             return empty
         return pd.DataFrame({"query_id": np.concatenate(out_q),
@@ -311,11 +338,23 @@ class IndexSearcher:
         kernel = _batch_kernel_factory(qterms, n)
         local = blocks.groupBy("shard").applyInPandas(
             kernel, schema="query_id int, doc_id long, score double")
-        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        # global merge as ONE hash aggregate instead of a window rank:
+        # per-shard results are already top-n, so each query carries at
+        # most shards·n tiny rows — collect_list gets map-side partial
+        # aggregation (a window would shuffle-sort every row). Sort key
+        # struct(-score, doc_id) = score desc, doc_id asc.
+        item = F.struct((-F.col("score")).alias("ns"),
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("score").alias("score"))
+        merged = local.groupBy("query_id").agg(
+            F.slice(F.array_sort(F.collect_list(item)), 1, n).alias("top"))
         return (
-            local.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= n)
-            .withColumn("score_abs", F.abs(F.round("score", 2)))
+            merged.select("query_id", F.posexplode("top").alias("pos", "it"))
+            .select("query_id",
+                    F.col("it.doc_id").alias("doc_id"),
+                    F.col("it.score").alias("score"),
+                    (F.col("pos") + 1).cast("int").alias("rank"),
+                    F.abs(F.round("it.score", 2)).alias("score_abs"))
         )
 
     def _query_terms(self, query: str) -> tuple[dict[str, int], list[int]]:
