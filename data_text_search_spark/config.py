@@ -54,8 +54,15 @@ class IndexPaths:
     # --- incremental segments: each delta owns its directories, so an
     # uncommitted (crashed) append can be wiped and replayed idempotently;
     # the atomic manifest write is the sole commit point -----------------
+    @property
+    def tokenized(self) -> str:
+        return f"{self.root}/tokenized"
+
     def postings_seg(self, seg_id: int) -> str:
         return f"{self.postings}/group=seg{seg_id}"
+
+    def tokenized_seg(self, seg_id: int) -> str:
+        return f"{self.root}/tokenized_segs/seg{seg_id}"
 
     def doc_stats_seg(self, seg_id: int) -> str:
         return f"{self.root}/doc_stats_segs/seg{seg_id}"

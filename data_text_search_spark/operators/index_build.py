@@ -105,6 +105,12 @@ def committed_term_stats_paths(root: str, manifest: dict) -> list[str]:
         for s in manifest.get("segments", []) if s.get("new_terms")]
 
 
+def committed_tokenized_paths(root: str, manifest: dict) -> list[str]:
+    paths = IndexPaths(root)
+    return [paths.tokenized] + [paths.tokenized_seg(s["segment"])
+                                for s in manifest.get("segments", [])]
+
+
 def _encode_shard_factory(block_size: int):
     """applyInPandas kernel: one pandas group per shard → posting blocks."""
 
@@ -188,7 +194,7 @@ def _encode_shard_factory(block_size: int):
 
 def build_index(
     spark: SparkSession,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     root: str,
     config: BM25Config = BM25Config(),
     text_col: str = "content",
@@ -196,8 +202,15 @@ def build_index(
     shards: int | None = None,
     groups: int = 4,
     resume: bool = True,
+    tokenized_pairs: DataFrame | None = None,
 ) -> dict:
     """Build (or resume building) a physical index under `root`.
+
+    `tokenized_pairs`: pre-tokenized (doc_id, shard, pairs, doc_len)
+    rows to use instead of tokenizing `corpus` — the segment-merge path
+    (streaming.incremental.merge_segments) rebuilds from the persisted
+    tokenized checkpoints of the base index + all segments, skipping the
+    (dominant) tokenize cost entirely.
 
     Returns the final manifest. Stage timings land in manifest["metrics"].
     """
@@ -251,14 +264,23 @@ def build_index(
     td_path = f"{root}/tokenized"
     if not stage_done("tokenized"):
         t0 = time.perf_counter()
-        prep = ingest(corpus, text_col=text_col, id_col=id_col,
-                      clean=config.clean, materialize_tokens=False)
-        (prep.select(
-            "doc_id", tokenize_tf_pandas_udf("prepared").alias("s"),
-            F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard"))
-         .select("doc_id", "shard", F.col("s.pairs").alias("pairs"),
-                 F.col("s.doc_len").alias("doc_len"))
-         .write.mode("overwrite").parquet(td_path))
+        if tokenized_pairs is not None:
+            # merge path: re-shard the persisted pairs (shards may differ
+            # from the source index's layout) and checkpoint
+            (tokenized_pairs
+             .withColumn("shard", F.pmod(F.xxhash64("doc_id"),
+                                         F.lit(shards)).cast("int"))
+             .select("doc_id", "shard", "pairs", "doc_len")
+             .write.mode("overwrite").parquet(td_path))
+        else:
+            prep = ingest(corpus, text_col=text_col, id_col=id_col,
+                          clean=config.clean, materialize_tokens=False)
+            (prep.select(
+                "doc_id", tokenize_tf_pandas_udf("prepared").alias("s"),
+                F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard"))
+             .select("doc_id", "shard", F.col("s.pairs").alias("pairs"),
+                     F.col("s.doc_len").alias("doc_len"))
+             .write.mode("overwrite").parquet(td_path))
 
         # every downstream stat is a cheap derivation of the checkpoint —
         # empty docs are present (pairs=[], doc_len=0), so no backfill join

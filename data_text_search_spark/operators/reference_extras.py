@@ -48,39 +48,99 @@ _SPAN_TYPE = ArrayType(StructType([
 ]))
 
 
+def highlight_positions_py(search: str, full: str, merge_gap: int = 10,
+                           min_len: int = 2) -> list[tuple[int, int]]:
+    """F13 span math (helper_functions.py:405-474), shared by the
+    distributed UDF and the driver-side Excel writer: find every
+    occurrence of each space-split search token in the full text, merge
+    spans closer than `merge_gap` chars (:457), keep spans of length > 1
+    (:468)."""
+    tl = str(full).lower()
+    pos: list[tuple[int, int]] = []
+    for tok in {w for w in str(search).lower().split() if w}:
+        start = 0
+        while True:
+            i = tl.find(tok, start)
+            if i < 0:
+                break
+            pos.append((i, i + len(tok)))
+            start = i + 1
+    pos.sort()
+    merged: list[list[int]] = []
+    for a, b in pos:
+        if merged and a - merged[-1][1] <= merge_gap:
+            merged[-1][1] = max(merged[-1][1], b)
+        else:
+            merged.append([a, b])
+    return [(a, b) for a, b in merged if b - a >= min_len]
+
+
 def highlight_spans_udf(search_text_col, full_text_col,
                         merge_gap: int = 10, min_len: int = 2):
-    """F13 (helper_functions.py:405-474): find every occurrence of each
-    space-split search token in the full text, merge spans closer than
-    `merge_gap` chars (:457), keep spans of length > 1 (:468). Returns
-    array<struct<start,end>> — presentation-layer only, never
-    rank-affecting. Arrow-batched."""
+    """F13 distributed form: array<struct<start,end>> per row —
+    presentation-layer only, never rank-affecting. Arrow-batched."""
 
     @F.pandas_udf(_SPAN_TYPE)
     def _spans(search: pd.Series, full: pd.Series) -> pd.Series:
-        out = []
-        for s, t in zip(search.astype(str), full.astype(str)):
-            tl = t.lower()
-            pos: list[tuple[int, int]] = []
-            for tok in {w for w in s.lower().split() if w}:
-                start = 0
-                while True:
-                    i = tl.find(tok, start)
-                    if i < 0:
-                        break
-                    pos.append((i, i + len(tok)))
-                    start = i + 1
-            pos.sort()
-            merged: list[list[int]] = []
-            for a, b in pos:
-                if merged and a - merged[-1][1] <= merge_gap:
-                    merged[-1][1] = max(merged[-1][1], b)
-                else:
-                    merged.append([a, b])
-            out.append([(a, b) for a, b in merged if b - a >= min_len])
-        return pd.Series(out)
+        return pd.Series([
+            highlight_positions_py(s, t, merge_gap, min_len)
+            for s, t in zip(search.astype(str), full.astype(str))])
 
     return _spans(search_text_col, full_text_col)
+
+
+# ------------------------------------------- S10 highlighted-Excel sink
+
+
+def write_results_excel(results: pd.DataFrame, path: str, search_text: str,
+                        column_to_highlight: str, merge_gap: int = 10,
+                        min_len: int = 2) -> None:
+    """S10 (helper_functions.py:504-548 + bm25_functions.py:675-682): the
+    reference's visible product output — an xlsx of the top-k results
+    with every matched span of the search text highlighted red in the
+    results column (rich-text runs), bold headers, wrapped wide column.
+
+    Driver-side by design: the input is the COLLECTED top-k (tens of
+    rows), never a distributed table. openpyxl-optional — raises
+    NotImplementedError with the install hint when absent (same gating
+    as the xlsx reader, S2)."""
+    try:
+        from openpyxl import Workbook
+        from openpyxl.cell.rich_text import CellRichText, TextBlock
+        from openpyxl.cell.text import InlineFont
+        from openpyxl.styles import Alignment, Font
+    except ImportError as e:  # pragma: no cover - sandbox lacks openpyxl
+        raise NotImplementedError(
+            "highlighted-Excel sink needs openpyxl (pip install openpyxl); "
+            "span math is available without it via highlight_spans_udf"
+        ) from e
+
+    wb = Workbook()
+    sheet = wb.active
+    sheet.append(list(results.columns))
+    for cell in sheet[1]:
+        cell.font = Font(bold=True)
+    hi_no = list(results.columns).index(column_to_highlight) + 1
+    # reference pins the highlighted column wide (helper_functions.py:531)
+    sheet.column_dimensions[
+        sheet.cell(row=1, column=hi_no).column_letter].width = 150
+    red = InlineFont(color="00FF0000")
+    for r_idx, row in enumerate(results.itertuples(index=False), start=2):
+        for c_idx, val in enumerate(row, start=1):
+            cell = sheet.cell(row=r_idx, column=c_idx, value=val)
+            if c_idx == hi_no:
+                full = str(val)
+                rich = CellRichText()
+                prev = 0
+                for a, b in highlight_positions_py(search_text, full,
+                                                   merge_gap, min_len):
+                    rich.append(full[prev:a])
+                    rich.append(TextBlock(red, full[a:b]))
+                    prev = b
+                rich.append(full[prev:])
+                cell.value = rich
+                cell.alignment = Alignment(wrap_text=True)
+    wb.save(path)
 
 
 # ------------------------------------------- F14 dormant normalizers (OFF)

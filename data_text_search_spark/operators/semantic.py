@@ -43,19 +43,67 @@ class StubEmbedder:
         return out
 
 
+class LengthBucketEmbedder:
+    """Minimal second implementation of the embedder protocol
+    (`encode(list[str], batch_size) -> (n, dim) float array`) — used by
+    tests to prove an arbitrary model object drops into embed_corpus
+    unchanged. Must live in an importable module: sc.broadcast pickles by
+    reference, and executors re-import the class."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def encode(self, texts: list[str], batch_size: int = 32) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            out[i, len(t) % self.dim] = 1.0
+        return out
+
+
+def embed_corpus(df: DataFrame, text_col: str, embedder=None,
+                 out_col: str = "embedding",
+                 batch_size: int = 32) -> DataFrame:
+    """V1 — the broadcast-model embedding pass (the real-model path, not
+    just a docstring promise): the embedder object is sc.broadcast once,
+    each Python worker deserializes it ONCE (`bc.value` outside the batch
+    loop — for a sentence-transformers model this is the weights load,
+    semantic_functions.py:109-127), then encodes Arrow batches through
+    mapInPandas. Any object with `.encode(list[str], batch_size) ->
+    (n, dim) array` drops in — the deterministic StubEmbedder goes
+    through this exact code path in tests, so swapping in a real model
+    changes no engine code."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+    embedder = embedder if embedder is not None else StubEmbedder()
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(embedder)
+    # fresh StructType — .add() would mutate the DataFrame's cached schema
+    schema = StructType(list(df.schema.fields)
+                        + [StructField(out_col, ArrayType(FloatType()))])
+
+    def run(batches):
+        model = bc.value  # one deserialize/weights-load per python worker
+        for pdf in batches:
+            out = pdf.copy()
+            if len(pdf):
+                vecs = np.asarray(
+                    model.encode(pdf[text_col].astype(str).tolist(),
+                                 batch_size=batch_size), dtype=np.float32)
+                out[out_col] = list(vecs)
+            else:
+                out[out_col] = []
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def embed_column(df: DataFrame, text_col: str, dim: int = 64,
                  seed: int = 1234) -> DataFrame:
-    """Adds `embedding array<float>` via an Arrow-batched pandas UDF with
-    the stub embedder (the real-model path would broadcast the model and
-    use an identical UDF shape — mapInPandas batches ≙ encode batches)."""
-    from pyspark.sql.types import ArrayType, FloatType
-
-    @F.pandas_udf(ArrayType(FloatType()))
-    def _embed(texts: pd.Series) -> pd.Series:
-        emb = StubEmbedder(dim=dim, seed=seed).encode(texts.astype(str).tolist())
-        return pd.Series(list(emb))
-
-    return df.withColumn("embedding", _embed(F.col(text_col).cast("string")))
+    """Adds `embedding array<float>` with the stub embedder, routed
+    through the SAME broadcast-model pass a real model would use."""
+    return embed_corpus(df, text_col, StubEmbedder(dim=dim, seed=seed))
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",

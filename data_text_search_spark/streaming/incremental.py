@@ -27,6 +27,7 @@ once batch tracking.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,7 +49,7 @@ from data_text_search_spark.functions.text import tokenize_tf_pandas_udf
 def _wipe_segment_dirs(paths: IndexPaths, seg_id: int) -> None:
     import shutil
     for d in (paths.postings_seg(seg_id), paths.doc_stats_seg(seg_id),
-              paths.term_stats_seg(seg_id)):
+              paths.term_stats_seg(seg_id), paths.tokenized_seg(seg_id)):
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -177,6 +178,10 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
         paths.postings_seg(seg_id))
     pairs_df.select("doc_id", "doc_len", "shard").write.mode(
         "overwrite").parquet(paths.doc_stats_seg(seg_id))
+    # tokenized checkpoint per segment (same role as the base build's
+    # `tokenized/` stage): merge_segments re-scores from these without
+    # re-tokenizing any document
+    pairs_df.write.mode("overwrite").parquet(paths.tokenized_seg(seg_id))
     pairs_df.unpersist()
 
     # COMMIT POINT: one atomic manifest write makes the segment visible,
@@ -193,6 +198,51 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     manifest.pop("pending", None)
     _write_manifest_atomic(paths.manifest, manifest)
     return manifest
+
+
+def merge_segments(spark: SparkSession, root: str) -> dict:
+    """Compact all delta segments into the base index under REFRESHED
+    global statistics (N, avgdl, df/idf recomputed over base + deltas).
+
+    Result is bit-identical to a from-scratch rebuild over the full
+    corpus (pytest-pinned), but re-tokenizes NOTHING: it re-scores from
+    the persisted tokenized checkpoints (base `tokenized/` + per-segment
+    `tokenized_segs/`), so the cost is the stats + encode stages only —
+    this removes the rebuild cliff the drift threshold used to force.
+
+    The merged index is built beside the live one and swapped in with
+    two directory renames; the live index keeps answering queries until
+    the swap (open IndexSearchers hold the old file listing — re-open
+    after a merge)."""
+    import shutil
+
+    from data_text_search_spark.operators.index_build import (
+        build_index,
+        committed_tokenized_paths,
+    )
+
+    paths = IndexPaths(root)
+    manifest = load_manifest(root)
+    if not manifest or not manifest.get("complete"):
+        raise ValueError(f"no complete index at {root}")
+    if not manifest.get("segments"):
+        return manifest
+    c = manifest["config"]
+    cfg = BM25Config(k1=c["k1"], b=c["b"], alpha=c["alpha"], clean=c["clean"],
+                     block_size=c["block_size"],
+                     term_partitions=manifest["term_buckets"])
+    pairs = spark.read.parquet(*committed_tokenized_paths(root, manifest))
+    tmp = f"{root}.merge"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_index(spark, corpus=None, root=tmp, config=cfg,
+                shards=manifest["shards"], groups=manifest["groups"],
+                resume=False, tokenized_pairs=pairs)
+    old = f"{root}.premerge"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(root, old)
+    os.rename(tmp, root)
+    shutil.rmtree(old)
+    return load_manifest(root)
 
 
 def stream_ingest(spark: SparkSession, root: str, source_dir: str,

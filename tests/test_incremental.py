@@ -9,7 +9,11 @@ from data_text_search_spark.config import BM25Config
 from data_text_search_spark.fixtures.corpus import corpus_pandas
 from data_text_search_spark.operators.index_build import build_index, load_manifest
 from data_text_search_spark.operators.index_query import IndexSearcher
-from data_text_search_spark.streaming.incremental import add_documents, stream_ingest
+from data_text_search_spark.streaming.incremental import (
+    add_documents,
+    merge_segments,
+    stream_ingest,
+)
 
 
 def _base(spark, tmp_path, n=200):
@@ -140,6 +144,53 @@ def test_resume_config_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="resume config mismatch"):
         build_index(spark, df, root, BM25Config(k1=2.0), id_col="doc_id",
                     shards=4, groups=1, resume=True)
+
+
+def test_merge_segments_equals_full_rebuild(spark, tmp_path):
+    """Compaction contract: after merge, every query answers bit-identical
+    to a from-scratch rebuild over the full corpus (stats fully
+    refreshed), without re-tokenizing — and the drift state clears."""
+    base_n = 120
+    pdf = corpus_pandas(base_n).reset_index().rename(columns={"index": "doc_id"})
+    root = str(tmp_path / "mrg")
+    build_index(spark, spark.createDataFrame(pdf), root, BM25Config(),
+                id_col="doc_id", shards=4, groups=2)
+    d1 = pd.DataFrame({"doc_id": [700001, 700002],
+                       "content": ["mergedterm fresh content return import",
+                                   "another delta with table scan words"]})
+    d2 = pd.DataFrame({"doc_id": [700003],
+                       "content": ["second segment mergedterm again"]})
+    add_documents(spark, root, spark.createDataFrame(d1), id_col="doc_id")
+    add_documents(spark, root, spark.createDataFrame(d2), id_col="doc_id")
+
+    m = merge_segments(spark, root)
+    assert not m.get("segments") and m["n_docs"] == base_n + 3
+    assert m.get("drift", 0.0) == 0.0 or "drift" not in m
+    assert not m.get("needs_rebuild")
+    import os
+    assert not os.path.exists(f"{root}/postings/group=seg0")
+
+    # ground truth: from-scratch rebuild over the full corpus
+    full = pd.concat([pdf.rename(columns={"content": "content"}), d1, d2],
+                     ignore_index=True)
+    froot = str(tmp_path / "full")
+    build_index(spark, spark.createDataFrame(full), froot, BM25Config(),
+                id_col="doc_id", shards=4, groups=2)
+    s_m, s_f = IndexSearcher(spark, root), IndexSearcher(spark, froot)
+    for q in ["mergedterm", "return import", "table scan", "zyzzyva",
+              "the fast key"]:
+        a = [(r["doc_id"], r["score"]) for r in s_m.search(q, 10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in s_f.search(q, 10).collect()]
+        assert a == b, (q, a, b)
+
+    # a second merge with no segments is a no-op
+    assert merge_segments(spark, root)["n_docs"] == base_n + 3
+
+    # and the merged index accepts new segments again
+    add_documents(spark, root, spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [700010], "content": ["postmerge needle"]})), id_col="doc_id")
+    s2 = IndexSearcher(spark, root)
+    assert [r["doc_id"] for r in s2.search("postmerge", 3).collect()] == [700010]
 
 
 def test_searcher_refresh_sees_new_segments(spark, tmp_path):

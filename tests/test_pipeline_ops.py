@@ -423,3 +423,21 @@ def test_cosine_dup_pairs_block_equals_broadcast(embeddings):
                                        block_rows=100).collect()}
     assert bc == blk
     assert len(blk) > 0
+
+
+def test_embed_corpus_broadcast_path(spark):
+    """The broadcast-model mapInPandas pass: a second embedder-protocol
+    implementation drops in, extra columns pass through, vectors match
+    driver-side encode. (The class lives in the engine package: broadcast
+    pickles by reference and executors re-import it.)"""
+    ToyModel = semantic.LengthBucketEmbedder
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "text": ["a", "bb", "ccc"],
+                        "extra": ["x", "y", "z"]})
+    got = (semantic.embed_corpus(spark.createDataFrame(pdf), "text",
+                                 embedder=ToyModel())
+           .orderBy("doc_id").collect())
+    want = ToyModel().encode(pdf["text"].tolist())
+    assert [r["extra"] for r in got] == ["x", "y", "z"]
+    for r, w in zip(got, want):
+        assert np.allclose(r["embedding"], w)

@@ -85,4 +85,6 @@ def test_batch_query_plan_has_partition_and_rowgroup_pruning(
     plan = formatted_plan(s.search_batch(["zyzzyva obelisk", "return"], 10))
     assert "PartitionFilters: [term_bucket" in plan       # directory pruning
     assert "In(term" in plan                              # row-group pruning
-    assert "WindowGroupLimit" in plan                     # per-query top-k
+    # per-query top-k merge is a hash aggregate (map-side partial), not a
+    # window shuffle-sort over every shard-local row
+    assert "collect_list" in plan and "Window" not in plan

@@ -87,3 +87,47 @@ def test_read_table_csv(spark, tmp_path):
 def test_clean_line_breaks(spark):
     df = spark.createDataFrame(pd.DataFrame({"t": ["a\nb\rc"]}))
     assert df.select(rx.clean_line_breaks("t").alias("o")).first()["o"] == "a b c"
+
+
+def test_highlight_positions_py_matches_udf(spark):
+    import pandas as pd
+    cases = [("table scan", "a table on the scanner does table scan daily"),
+             ("and", "and and and"),
+             ("xyz", "no match here"),
+             ("", "anything")]
+    df = spark.createDataFrame(pd.DataFrame(
+        {"q": [c[0] for c in cases], "t": [c[1] for c in cases]}))
+    got = [r["s"] for r in
+           df.select(rx.highlight_spans_udf("q", "t").alias("s")).collect()]
+    for (q, t), spans in zip(cases, got):
+        want = rx.highlight_positions_py(q, t)
+        assert [(s["start"], s["end"]) for s in spans] == want
+
+
+def test_write_results_excel_gated_or_golden(tmp_path):
+    """With openpyxl: write a workbook and read back the rich-text runs.
+    Without it (this sandbox): a clean NotImplementedError with the
+    install hint — same gating pattern as the S2 xlsx reader."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "search_text": ["the table scan runs a table scan", "no match"],
+        "search_score_abs": [4.5, 1.0]})
+    path = str(tmp_path / "out.xlsx")
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        import pytest
+        with pytest.raises(NotImplementedError, match="openpyxl"):
+            rx.write_results_excel(pdf, path, "table scan", "search_text")
+        return
+    rx.write_results_excel(pdf, path, "table scan", "search_text")
+    from openpyxl import load_workbook
+    wb = load_workbook(path, rich_text=True)
+    sheet = wb.active
+    assert [c.value for c in sheet[1]] == list(pdf.columns)
+    from openpyxl.cell.rich_text import CellRichText, TextBlock
+    cell = sheet.cell(row=2, column=2).value
+    assert isinstance(cell, CellRichText)
+    red_runs = [str(b) for b in cell if isinstance(b, TextBlock)]
+    assert red_runs and all("table scan" in r for r in red_runs)
