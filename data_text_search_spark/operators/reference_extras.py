@@ -242,10 +242,9 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     elif kind == "xlsx":
         try:
             pdf = pd.read_excel(path)  # first sheet, like the reference
-        except ImportError as e:  # openpyxl not in this sandbox
-            raise NotImplementedError(
-                "xlsx read needs openpyxl (driver-side pandas path, "
-                "out of the hot path like the reference)") from e
+        except ImportError:  # no openpyxl: stdlib-only fallback reader
+            from data_text_search_spark.sources.xlsx_lite import read_xlsx
+            pdf = read_xlsx(path)
         df = spark.createDataFrame(pdf)
     else:
         raise ValueError("pkl.gz index blobs are replaced by the parquet "
