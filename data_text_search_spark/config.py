@@ -26,6 +26,13 @@ class BM25Config:
     # reference keeps the whole index as one in-RAM dict)
     block_size: int = 128          # postings per compressed block
     term_partitions: int = 32      # hash-partition count of the term dictionary
+    # posting payload codec:
+    # - "f64": exact per-posting impact scores, 8 B each (default)
+    # - "compact": store doc_len varints instead; the query kernel
+    #   recomputes the EXACT same f64 impact from (idf, tf, doc_len)
+    #   with the build expression's operand order — ~2.5x smaller
+    #   payload, bit-identical scores (pytest-pinned)
+    impact_codec: str = "f64"
     salt_docs_per_split: int = 1 << 20  # doc-range width per salt bucket (hot-term split)
 
 

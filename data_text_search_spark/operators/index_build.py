@@ -14,10 +14,15 @@ bm25_functions.py:203-210):
 
 - **Block codec.** Within a shard, postings sort by (term, doc_id) and
   chunk into blocks of `block_size`: first/last doc id + delta-varint
-  doc gaps + varint tfs + raw-f64 per-posting impact scores +
-  block_max metadata for block-skipping at query time. Impacts are the
-  exact BM25 per-(term,doc) contribution (idf·tf·(k1+1)/(tf+k1(1−b+b·dl/avgdl)))
+  doc gaps + varint tfs + per-posting impact payload + block max/min
+  metadata for block-skipping at query time. Impacts are the exact BM25
+  per-(term,doc) contribution (idf·tf·(k1+1)/(tf+k1(1−b+b·dl/avgdl)))
   computed in float64 at build time — queries never touch doc_stats.
+  Two payload codecs (BM25Config.impact_codec): "f64" stores the raw
+  impact (8 B/posting, ~10.1 B total); "compact" stores the doc_len
+  varint instead (~3.8 B total) and the query kernel recomputes the
+  identical f64 impact from (idf, tf, doc_len) with the same operand
+  order — 2.6x smaller index, bit-identical scores (pytest-pinned).
 
 - **Term-bucketed layout.** Files are parquet partitioned by
   term_bucket = pmod(xxhash64(term), TP), so a query reads only the
@@ -111,8 +116,14 @@ def committed_tokenized_paths(root: str, manifest: dict) -> list[str]:
                                 for s in manifest.get("segments", [])]
 
 
-def _encode_shard_factory(block_size: int):
-    """applyInPandas kernel: one pandas group per shard → posting blocks."""
+def _encode_shard_factory(block_size: int, impact_codec: str = "f64"):
+    """applyInPandas kernel: one pandas group per shard → posting blocks.
+
+    impact_codec "f64" stores exact per-posting impacts (8 B each);
+    "compact" stores per-posting doc_len varints in the same binary
+    column instead — the query kernel recomputes the identical f64
+    impact from (idf, tf, doc_len). block_max/block_min are exact
+    either way (computed from the exact impacts here)."""
 
     def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         from data_text_search_spark.functions.codec import (
@@ -169,11 +180,17 @@ def _encode_shard_factory(block_size: int):
         block_max = np.maximum.reduceat(impacts, block_start)
         block_min = np.minimum.reduceat(impacts, block_start)
 
-        # impacts: raw little-endian float64 per block
-        imp_le = impacts.astype("<f8").tobytes()
-        imp_ends = np.cumsum(block_len) * 8
-        imp_starts = imp_ends - block_len * 8
-        impacts_bufs = [imp_le[s:e] for s, e in zip(imp_starts, imp_ends)]
+        if impact_codec == "compact":
+            # per-posting doc_len varints (impacts recomputed at read)
+            dlens = pdf["doc_len"].to_numpy(dtype=np.int64)[order]
+            impacts_bufs = varint_encode_segmented(
+                dlens.astype(np.uint64), block_len)
+        else:
+            # impacts: raw little-endian float64 per block
+            imp_le = impacts.astype("<f8").tobytes()
+            imp_ends = np.cumsum(block_len) * 8
+            imp_starts = imp_ends - block_len * 8
+            impacts_bufs = [imp_le[s:e] for s, e in zip(imp_starts, imp_ends)]
 
         return pd.DataFrame({
             "term": np.asarray(uniq_terms, dtype=object)[codes[block_start]],
@@ -229,7 +246,8 @@ def build_index(
         "version": 1,
         "tokenizer": TOKEN_PATTERN,
         "config": {"k1": config.k1, "b": config.b, "alpha": config.alpha,
-                   "clean": config.clean, "block_size": config.block_size},
+                   "clean": config.clean, "block_size": config.block_size,
+                   "impact_codec": config.impact_codec},
         "shards": shards, "term_buckets": tp, "groups": groups,
         "stages": {}, "groups_state": {}, "metrics": {},
     }
@@ -240,7 +258,8 @@ def build_index(
     # k1/b/alpha/block_size/term_partitions would mix incompatible impacts
     # or bucket layouts across groups and silently corrupt query results
     want_cfg = {"k1": config.k1, "b": config.b, "alpha": config.alpha,
-                "clean": config.clean, "block_size": config.block_size}
+                "clean": config.clean, "block_size": config.block_size,
+                "impact_codec": config.impact_codec}
     if manifest["config"] != want_cfg or manifest["term_buckets"] != tp:
         raise ValueError(
             f"resume config mismatch: index at {root} was built with "
@@ -351,9 +370,10 @@ def build_index(
             "impact",
             F.col("idf") * F.col("tf") * F.lit(k1 + 1)
             / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("doc_len") / F.lit(avgdl))))
-        .select("term", "doc_id", "tf", "impact", "shard")
+        .select("term", "doc_id", "tf", "impact", "shard",
+                *(["doc_len"] if config.impact_codec == "compact" else []))
     )
-    kernel = _encode_shard_factory(config.block_size)
+    kernel = _encode_shard_factory(config.block_size, config.impact_codec)
     for g in range(groups):
         gkey = str(g)
         if manifest["groups_state"].get(gkey, {}).get("status") == "done":

@@ -70,27 +70,60 @@ from data_text_search_spark.operators.index_build import (
 RESULT_SCHEMA = "doc_id long, score double"
 
 
-def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int):
+def _term_decoder(codec: str, qidf: dict[str, float] | None,
+                  avgdl: float, k1: float, b: float):
+    """Per-term posting decode, shared by both kernels.
+
+    codec "compact": the impacts buffer holds doc_len varints; the exact
+    f64 impact is recomputed with the BUILD expression's operand order
+    (index_build enc_df), so scores are bit-identical to the f64 codec:
+    ((idf·tf)·(k1+1)) / (tf + k1·((1−b) + (b·dl)/avgdl))."""
+    from data_text_search_spark.functions.codec import (
+        decode_doc_block,
+        varint_decode,
+    )
+
+    one_minus_b = 1 - b
+    k1p1 = k1 + 1
+
+    def decode(term: str, rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        docs_l, imp_l = [], []
+        idf_t = qidf[term] if codec == "compact" else 0.0
+        for fd, nd, dbuf, ibuf, tbuf in zip(
+                rows["first_doc_id"], rows["n_docs"], rows["doc_deltas"],
+                rows["impacts"], rows["tfs"]):
+            docs_l.append(decode_doc_block(int(fd), int(nd), dbuf))
+            if codec == "compact":
+                tfs = varint_decode(tbuf, int(nd)).astype(np.float64)
+                dls = varint_decode(ibuf, int(nd)).astype(np.float64)
+                imp_l.append(idf_t * tfs * k1p1
+                             / (tfs + k1 * (one_minus_b + (b * dls) / avgdl)))
+            else:
+                imp_l.append(np.frombuffer(ibuf, dtype="<f8"))
+        return np.concatenate(docs_l), np.concatenate(imp_l)
+
+    return decode
+
+
+def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
+                          codec: str = "f64",
+                          qidf: dict[str, float] | None = None,
+                          avgdl: float = 1.0, k1: float = 1.5,
+                          b: float = 0.75):
     """Per-shard kernel for search_batch: decode each term once, score all
     queries from the shared arrays (exhaustive within the shard — the read
     was already pruned to the union of query terms)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        from data_text_search_spark.functions.codec import decode_doc_block
-
         empty = pd.DataFrame({"query_id": pd.Series([], dtype="int32"),
                               "doc_id": pd.Series([], dtype="int64"),
                               "score": pd.Series([], dtype="float64")})
         if pdf.empty:
             return empty
+        decode = _term_decoder(codec, qidf, avgdl, k1, b)
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, rows in pdf.groupby("term", sort=True):
-            docs_l, imp_l = [], []
-            for fd, nd, dbuf, ibuf in zip(rows["first_doc_id"], rows["n_docs"],
-                                          rows["doc_deltas"], rows["impacts"]):
-                docs_l.append(decode_doc_block(int(fd), int(nd), dbuf))
-                imp_l.append(np.frombuffer(ibuf, dtype="<f8"))
-            decoded[term] = (np.concatenate(docs_l), np.concatenate(imp_l))
+            decoded[term] = decode(term, rows)
         # dense shard-local doc space, built ONCE: per query the old path
         # re-sorted its candidate postings (concatenate+unique, O(nnz log
         # nnz)); with term posting indices precomputed via searchsorted,
@@ -144,13 +177,16 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int):
     return kernel
 
 
-def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int):
+def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int,
+                               codec: str = "f64",
+                               qidf: dict[str, float] | None = None,
+                               avgdl: float = 1.0, k1: float = 1.5,
+                               b: float = 0.75):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        from data_text_search_spark.functions.codec import decode_doc_block
-
         if pdf.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
+        decode = _term_decoder(codec, qidf, avgdl, k1, b)
 
         # per-term bounds: gain = best possible contribution to one doc,
         # loss = worst possible (negative IDF → impacts may be < 0, so
@@ -224,13 +260,8 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int):
                 rows = rows[(rows["last_doc_id"] >= lo) & (rows["first_doc_id"] <= hi)]
                 if rows.empty:
                     continue
-            docs_l, imp_l = [], []
-            for fd, nd, dbuf, ibuf in zip(rows["first_doc_id"], rows["n_docs"],
-                                          rows["doc_deltas"], rows["impacts"]):
-                docs_l.append(decode_doc_block(int(fd), int(nd), dbuf))
-                imp_l.append(np.frombuffer(ibuf, dtype="<f8"))
-            docs = np.concatenate(docs_l)
-            imps = np.concatenate(imp_l) * q
+            docs, imps = decode(term, rows)
+            imps = imps * q
             if pruned_mode:
                 m = np.isin(docs, cand)
                 docs, imps = docs[m], imps[m]
@@ -283,7 +314,12 @@ class IndexSearcher:
             # alpha-cutoff terms are flagged, not deleted (kept for
             # incremental stats); queries must not see them
             self.term_stats = self.term_stats.filter(~F.col("pruned"))
-        self._term_map: dict[str, int] | None = None
+        cfg = m.get("config", {})
+        self.codec = cfg.get("impact_codec", "f64")
+        self.k1 = cfg.get("k1", 1.5)
+        self.b = cfg.get("b", 0.75)
+        self.avgdl = m.get("avgdl", 1.0)
+        self._term_map: dict[str, tuple[int, float]] | None = None
         if cache:
             # term_stats is consulted per query — keep it hot; postings
             # benefit too at repeated-query workloads (at cluster scale the
@@ -295,8 +331,9 @@ class IndexSearcher:
         n = self.term_stats.count()
         if n <= self.DRIVER_TERM_CACHE_MAX and self._term_map is None:
             self._term_map = {
-                r["term"]: r["term_bucket"]
-                for r in self.term_stats.select("term", "term_bucket").collect()
+                r["term"]: (r["term_bucket"], r["idf"])
+                for r in self.term_stats.select("term", "term_bucket",
+                                                "idf").collect()
             }
 
     def refresh(self) -> None:
@@ -322,12 +359,14 @@ class IndexSearcher:
             return spark.createDataFrame([], out_schema)
         if self._term_map is not None:
             term_set = {t for t in all_terms if t in self._term_map}
-            buckets = sorted({self._term_map[t] for t in term_set})
+            buckets = sorted({self._term_map[t][0] for t in term_set})
+            qidf = {t: self._term_map[t][1] for t in term_set}
         else:
             present = (self.term_stats.filter(F.col("term").isin(all_terms))
-                       .select("term", "term_bucket").collect())
+                       .select("term", "term_bucket", "idf").collect())
             term_set = {r["term"] for r in present}
             buckets = sorted({r["term_bucket"] for r in present})
+            qidf = {r["term"]: r["idf"] for r in present}
         if not term_set:
             return spark.createDataFrame([], out_schema)
         qterms = {i: {t: c for t, c in qc.items() if t in term_set}
@@ -335,7 +374,8 @@ class IndexSearcher:
         blocks = self.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(sorted(term_set))
         )
-        kernel = _batch_kernel_factory(qterms, n)
+        kernel = _batch_kernel_factory(qterms, n, self.codec, qidf,
+                                       self.avgdl, self.k1, self.b)
         local = blocks.groupBy("shard").applyInPandas(
             kernel, schema="query_id int, doc_id long, score double")
         # global merge as ONE hash aggregate instead of a window rank:
@@ -357,31 +397,35 @@ class IndexSearcher:
                     F.abs(F.round("it.score", 2)).alias("score_abs"))
         )
 
-    def _query_terms(self, query: str) -> tuple[dict[str, int], list[int]]:
+    def _query_terms(self, query: str) -> tuple[
+            dict[str, int], list[int], dict[str, float]]:
         counts = Counter(tokenize_py(query))
         if not counts:
-            return {}, []
+            return {}, [], {}
         if self._term_map is not None:
             # driver-side dictionary (warm() collected it): zero Spark jobs
             qcounts = {t: c for t, c in counts.items() if t in self._term_map}
-            buckets = sorted({self._term_map[t] for t in qcounts})
-            return qcounts, buckets
+            buckets = sorted({self._term_map[t][0] for t in qcounts})
+            qidf = {t: self._term_map[t][1] for t in qcounts}
+            return qcounts, buckets, qidf
         present = (self.term_stats
                    .filter(F.col("term").isin(list(counts)))
-                   .select("term", "term_bucket").collect())
+                   .select("term", "term_bucket", "idf").collect())
         qcounts = {r["term"]: counts[r["term"]] for r in present}
         buckets = sorted({r["term_bucket"] for r in present})
-        return qcounts, buckets
+        qidf = {r["term"]: r["idf"] for r in present}
+        return qcounts, buckets, qidf
 
     def search(self, query: str, n: int = 10) -> DataFrame:
-        qcounts, buckets = self._query_terms(query)
+        qcounts, buckets, qidf = self._query_terms(query)
         spark = self.spark
         if not qcounts:
             return spark.createDataFrame([], RESULT_SCHEMA + ", rank int, score_abs double")
         blocks = self.postings.filter(
             F.col("term_bucket").isin(buckets) & F.col("term").isin(list(qcounts))
         )
-        kernel = _shard_topk_kernel_factory(qcounts, n)
+        kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
+                                            self.avgdl, self.k1, self.b)
         local = blocks.groupBy("shard").applyInPandas(kernel, schema=RESULT_SCHEMA)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (

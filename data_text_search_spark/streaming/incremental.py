@@ -167,8 +167,11 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
                F.col("idf") * F.col("tf") * F.lit(k1 + 1)
                / (F.col("tf") + F.lit(k1)
                   * (1 - b + b * F.col("doc_len") / F.lit(avgdl))))
-           .select("term", "doc_id", "tf", "impact", "shard"))
-    kernel = _encode_shard_factory(cfg["block_size"])
+           .select("term", "doc_id", "tf", "impact", "shard",
+                   *(["doc_len"] if cfg.get("impact_codec", "f64") == "compact"
+                     else [])))
+    kernel = _encode_shard_factory(cfg["block_size"],
+                                   cfg.get("impact_codec", "f64"))
     blocks = (enc.groupBy("shard").applyInPandas(kernel, schema=POSTINGS_SCHEMA)
               .withColumn("term_bucket",
                           F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
@@ -230,7 +233,8 @@ def merge_segments(spark: SparkSession, root: str) -> dict:
     c = manifest["config"]
     cfg = BM25Config(k1=c["k1"], b=c["b"], alpha=c["alpha"], clean=c["clean"],
                      block_size=c["block_size"],
-                     term_partitions=manifest["term_buckets"])
+                     term_partitions=manifest["term_buckets"],
+                     impact_codec=c.get("impact_codec", "f64"))
     pairs = spark.read.parquet(*committed_tokenized_paths(root, manifest))
     tmp = f"{root}.merge"
     shutil.rmtree(tmp, ignore_errors=True)

@@ -45,7 +45,7 @@ def test_postings_scan_prunes_term_bucket_and_term(spark, corpus, tmp_path_facto
     root = str(tmp_path_factory.mktemp("planidx") / "idx")
     build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=1)
     s = IndexSearcher(spark, root)
-    qcounts, buckets = s._query_terms("zyzzyva obelisk")
+    qcounts, buckets, _qidf = s._query_terms("zyzzyva obelisk")
     blocks = s.postings.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(list(qcounts)))
     pf = pushed_filters(blocks)
