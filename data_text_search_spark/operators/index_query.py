@@ -105,14 +105,36 @@ def _term_decoder(codec: str, qidf: dict[str, float] | None,
     return decode
 
 
+def _map_batches(kernel):
+    """mapInPandas adapter: one kernel invocation per PARTITION (the
+    Arrow batches of the partition concatenated). Scoring is
+    doc-partitioned, so any grouping of whole shards is a valid partial
+    top-k unit — running per partition instead of per shard makes the
+    per-invocation overhead (the batch kernel's query loop, the WAND
+    kernel's bound setup) proportional to TASKS (~4·cores), not to the
+    shard count, which at 10^5-10^6 shards is the difference between an
+    O(shards·queries) and an O(cores·queries) Python-loop bill."""
+
+    def run(batches):
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        out = kernel(pd.concat(pdfs, ignore_index=True))
+        if len(out):
+            yield out
+
+    return run
+
+
 def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
                           codec: str = "f64",
                           qidf: dict[str, float] | None = None,
                           avgdl: float = 1.0, k1: float = 1.5,
                           b: float = 0.75):
-    """Per-shard kernel for search_batch: decode each term once, score all
-    queries from the shared arrays (exhaustive within the shard — the read
-    was already pruned to the union of query terms)."""
+    """Partition-level kernel for search_batch: decode each term once,
+    score all queries from the shared arrays (exhaustive within the
+    partition — the read was already pruned to the union of query
+    terms)."""
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"query_id": pd.Series([], dtype="int32"),
@@ -336,6 +358,18 @@ class IndexSearcher:
                                                 "idf").collect()
             }
 
+    def _kernel_parts(self) -> int:
+        """Partition count for the per-shard kernel stage: the default
+        spark.sql.shuffle.partitions (≈ cores) puts many shards into few
+        tasks, and at full parallelism ONE skewed task gates the stage
+        (at low parallelism waves average the skew out — a pure
+        scaling-efficiency loss). ~4 tasks per core restores wave
+        averaging; never more than one task per shard."""
+        spark = self.spark
+        base = max(4 * spark.sparkContext.defaultParallelism,
+                   int(spark.conf.get("spark.sql.shuffle.partitions", "8")))
+        return int(min(self.manifest["shards"], base))
+
     def refresh(self) -> None:
         """Re-list index files — pick up segments appended by
         streaming.incremental.add_documents since this searcher opened
@@ -376,8 +410,9 @@ class IndexSearcher:
         )
         kernel = _batch_kernel_factory(qterms, n, self.codec, qidf,
                                        self.avgdl, self.k1, self.b)
-        local = blocks.groupBy("shard").applyInPandas(
-            kernel, schema="query_id int, doc_id long, score double")
+        local = (blocks.repartition(self._kernel_parts(), "shard")
+                 .mapInPandas(_map_batches(kernel),
+                              schema="query_id int, doc_id long, score double"))
         # global merge as ONE hash aggregate instead of a window rank:
         # per-shard results are already top-n, so each query carries at
         # most shards·n tiny rows — collect_list gets map-side partial
@@ -426,7 +461,8 @@ class IndexSearcher:
         )
         kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
                                             self.avgdl, self.k1, self.b)
-        local = blocks.groupBy("shard").applyInPandas(kernel, schema=RESULT_SCHEMA)
+        local = (blocks.repartition(self._kernel_parts(), "shard")
+                 .mapInPandas(_map_batches(kernel), schema=RESULT_SCHEMA))
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             local.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
