@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import time
 
 import numpy as np
@@ -53,6 +54,13 @@ def run(target) -> dict[int, float]:
         ps = [mp.Process(target=target, args=(q,)) for _ in range(procs)]
         t0 = time.time()
         [p.start() for p in ps]
+        # pin to CPUs 0..N-1: the same affinity bench_scaling gives the
+        # Spark process tree, so ceiling and engine see identical topology
+        try:
+            for i, p in enumerate(ps):
+                os.sched_setaffinity(p.pid, {i % os.cpu_count()})
+        except (AttributeError, OSError):
+            pass
         total = sum(q.get() for _ in ps)
         [p.join() for p in ps]
         out[procs] = total / (time.time() - t0)

@@ -20,6 +20,7 @@ import json
 import os
 import subprocess
 import sys
+from shutil import which as shutil_which
 
 WORKER = """
 import json, os, shutil, sys, time
@@ -89,7 +90,15 @@ print("RESULT " + json.dumps({{
 def run_level(repo: str, cores: int, n_docs: int, corpus_path: str) -> dict:
     code = WORKER.format(repo=repo, cores=cores, n_docs=n_docs,
                          corpus_path=corpus_path)
-    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+    # Pin the WHOLE process tree (JVM + python workers) to exactly
+    # `cores` CPUs: un-pinned local[N] lets JVM-side threads (shuffle,
+    # Arrow serialization, GC) spill onto the machine's idle cores, so
+    # the low-parallelism level silently uses more than N cores and the
+    # measured speedup understates the true N→4N scaling.
+    cmd = [sys.executable, "-c", code]
+    if shutil_which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True,
                          text=True, timeout=3600)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -155,6 +164,13 @@ local[{hi}], one fresh JVM each, best-of-2 interleaved runs — this VM
 has ~2x noisy-neighbor variance — identical input: the deterministic
 synthetic source-code corpus, {n_docs} docs, JIT warmed).
 
+Each level's whole process tree (JVM + Python workers) is pinned with
+`taskset -c 0..N-1`, and the hardware-ceiling processes get the same
+affinity: unpinned local[N] lets JVM-side threads (shuffle, Arrow
+serialization, GC) spill onto the machine's idle cores (~33% "free"
+speedup measured at BOTH levels), so pinned numbers are the honest
+N-vs-4N comparison.
+
 | metric | local[{lo}] | local[{hi}] | speedup | efficiency |
 |---|---|---|---|---|
 | index build docs/sec | {r_lo['docs_per_sec']} | {r_hi['docs_per_sec']} | {r_hi['docs_per_sec']/r_lo['docs_per_sec']:.2f}x | {build_eff:.3f} |
@@ -184,10 +200,11 @@ reaches:
 On a multi-node cluster the shared-DRAM term disappears (each of the 4N
 executors brings its own memory system), which is the regime the >=0.8
 criterion describes. The engine's plans contain no serial choke point:
-no collect() loops, no unpartitioned windows on large data, no
-term-keyed shuffle (doc-hash sharding), and per-stage isolation tests
-show the tokenizer UDF pass scaling at 0.73 ({lo}->{hi}) — at the
-streaming ceiling.
+no collect() loops, no windows at all on the batch path (the top-k
+merge is a map-side-partial hash aggregate), no term-keyed shuffle
+(doc-hash sharding), and the kernel stage runs ~4 tasks per core
+(wave-balanced, partition-level mapInPandas — per-invocation overhead
+scales with cores, not shards).
 
 ## Rank parity
 
