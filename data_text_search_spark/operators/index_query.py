@@ -153,8 +153,7 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
         # O(k log k) tail sort — the kernel's hot loop is pure streaming.
         all_docs = np.unique(np.concatenate([d for d, _ in decoded.values()]))
         tidx = {t: np.searchsorted(all_docs, d) for t, (d, _) in decoded.items()}
-        scores = np.zeros(all_docs.size, dtype=np.float64)
-        touched = np.zeros(all_docs.size, dtype=bool)
+        nd = all_docs.size
         out_q, out_d, out_s = [], [], []
         for qid in sorted(qterms):
             counts = qterms[qid]
@@ -162,10 +161,18 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
                      for t, c in sorted(counts.items()) if t in decoded]
             if not parts:
                 continue
-            for ix, imp, c in parts:
-                np.add.at(scores, ix, imp * c)
-                touched[ix] = True
-            cand = np.flatnonzero(touched)
+            # one bincount pass per query (C-speed, vs np.add.at's
+            # unbuffered scalar loop); per-doc summation order = term-
+            # concatenation order = sorted-term order, identical f64s
+            if len(parts) == 1:
+                ix_cat = parts[0][0]
+                w_cat = parts[0][1] * parts[0][2]
+            else:
+                ix_cat = np.concatenate([p[0] for p in parts])
+                w_cat = np.concatenate([p[1] * p[2] for p in parts])
+            scores = np.bincount(ix_cat, weights=w_cat, minlength=nd)
+            hits = np.bincount(ix_cat, minlength=nd)
+            cand = np.flatnonzero(hits)
             sc = scores[cand]
             m = min(k, cand.size)
             if cand.size > m:
@@ -188,8 +195,6 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
             out_q.append(np.full(m, qid, dtype=np.int32))
             out_d.append(all_docs[cand[sel]])
             out_s.append(sc[sel])
-            scores[cand] = 0.0
-            touched[cand] = False
         if not out_q:
             return empty
         return pd.DataFrame({"query_id": np.concatenate(out_q),
