@@ -73,12 +73,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _physical_searcher(spark: SparkSession, sf_dir: str):
-    """Build (once per session+sf) the real on-disk index and return a
-    warmed IndexSearcher — the production path: index_build encode +
+def _physical_searcher(spark: SparkSession, sf_dir: str,
+                       codec: str = "f64"):
+    """Build (once per session+sf+codec) the real on-disk index and return
+    a warmed IndexSearcher — the production path: index_build encode +
     block-max pruned WAND executor, under the same DuckDB oracle as the
     exhaustive scorer."""
-    key = ("pidx", _session_token(spark), sf_dir)
+    key = ("pidx", _session_token(spark), sf_dir, codec)
     if key not in _CACHE:
         import tempfile
 
@@ -87,8 +88,8 @@ def _physical_searcher(spark: SparkSession, sf_dir: str):
 
         root = tempfile.mkdtemp(prefix="dts_pidx_") + "/idx"
         build_index(spark, _documents(spark, sf_dir), root,
-                    BM25Config(alpha=APP_CFG.alpha), text_col="text",
-                    id_col="doc_id")
+                    BM25Config(alpha=APP_CFG.alpha, impact_codec=codec),
+                    text_col="text", id_col="doc_id")
         s = IndexSearcher(spark, root)
         s.warm()
         _CACHE[key] = (None, s)
@@ -101,6 +102,16 @@ def q_bm25_topk_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical DuckDB oracle — proves the production executor, not just
     the logical scorer."""
     s = _physical_searcher(spark, sf_dir)
+    res = s.search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
+def q_bm25_topk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query through the COMPACT posting codec ((delta, tf,
+    doc_len) varints, impacts recomputed exactly at decode) — same DuckDB
+    oracle, proving the 3.8-bytes/posting payload is score-identical."""
+    s = _physical_searcher(spark, sf_dir, codec="compact")
     res = s.search(FLAGSHIP_QUERY, 10)
     return res.select("doc_id", F.round("score", 4).alias("score"),
                       F.col("score_abs"))
@@ -309,6 +320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_topk_physical": q_bm25_topk_physical,
+        "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_clean": q_bm25_topk_clean,
         "bm25_full_pipeline": q_bm25_full_pipeline,
@@ -339,6 +351,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha),
         "bm25_topk_physical": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                                  alpha=APP_CFG.alpha),
+        "bm25_topk_compact": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                                alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
         "bm25_topk_clean": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
