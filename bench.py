@@ -84,6 +84,13 @@ def main() -> None:
     t0 = time.perf_counter()
     searcher.search(qtexts[2], 10).collect()
     results["query_single"] = round(time.perf_counter() - t0, 3)
+    # interactive driver fast path: cold (one pruned fetch) vs warm (LRU)
+    t0 = time.perf_counter()
+    searcher.search_local(qtexts[3], 10)
+    results["query_single_local_cold"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    searcher.search_local(qtexts[3], 10)
+    results["query_single_local_warm"] = round(time.perf_counter() - t0, 4)
 
     # throughput-regime QPS: 1000 generated queries, one Spark job
     # (comparable to BENCH/BASELINE.md's scaling workload)

@@ -346,7 +346,10 @@ class IndexSearcher:
         self.k1 = cfg.get("k1", 1.5)
         self.b = cfg.get("b", 0.75)
         self.avgdl = m.get("avgdl", 1.0)
-        self._term_map: dict[str, tuple[int, float]] | None = None
+        self._term_map: dict[str, tuple[int, float, int]] | None = None
+        # search_local's driver-side LRU of decoded-ready posting blocks
+        # (term -> pandas rows); rebuilt on refresh()
+        self._local_blocks: dict[str, pd.DataFrame] = {}
         if cache:
             # term_stats is consulted per query — keep it hot; postings
             # benefit too at repeated-query workloads (at cluster scale the
@@ -358,9 +361,9 @@ class IndexSearcher:
         n = self.term_stats.count()
         if n <= self.DRIVER_TERM_CACHE_MAX and self._term_map is None:
             self._term_map = {
-                r["term"]: (r["term_bucket"], r["idf"])
+                r["term"]: (r["term_bucket"], r["idf"], r["df"])
                 for r in self.term_stats.select("term", "term_bucket",
-                                                "idf").collect()
+                                                "idf", "df").collect()
             }
 
     def _kernel_parts(self) -> int:
@@ -474,3 +477,56 @@ class IndexSearcher:
             .withColumn("rank", F.row_number().over(w))
             .withColumn("score_abs", F.abs(F.round("score", 2)))
         )
+
+    # interactive fast path: posting volume gate + driver term-block LRU
+    LOCAL_MAX_POSTINGS = 5_000_000
+    LOCAL_TERM_CACHE_MAX = 4096
+
+    def search_local(self, query: str, n: int = 10,
+                     max_postings: int = LOCAL_MAX_POSTINGS) -> pd.DataFrame:
+        """Interactive single-query fast path — pandas DataFrame out.
+
+        The distributed `search` pays a full Spark job (~0.5-1 s of
+        scheduling) even when the query's pruned posting lists are a few
+        MB; the reference's in-process dict answers in milliseconds. This
+        path closes that gap for interactive use: the SAME exact kernel
+        runs on the driver over the query terms' blocks, which are
+        fetched once (bucket+term-pruned scan) and kept in a term-level
+        LRU, so repeated-vocabulary queries skip Spark entirely.
+        Size-gated by Σ df of the query terms (postings that would not
+        comfortably fit a driver): above the gate, or when the term
+        dictionary is too large to warm driver-side, it transparently
+        falls back to the distributed executor. Results are identical to
+        `search` (the kernel is posting-set-agnostic; tested)."""
+        cols = ["doc_id", "score", "rank", "score_abs"]
+        if self._term_map is None:
+            self.warm()
+        qcounts, buckets, qidf = self._query_terms(query)
+        if not qcounts:
+            return pd.DataFrame(columns=cols)
+        if (self._term_map is None
+                or sum(self._term_map[t][2] for t in qcounts) > max_postings):
+            return self.search(query, n).toPandas()
+        missing = sorted(t for t in qcounts if t not in self._local_blocks)
+        if missing:
+            mb = sorted({self._term_map[t][0] for t in missing})
+            pdf = (self.postings
+                   .filter(F.col("term_bucket").isin(mb)
+                           & F.col("term").isin(missing))
+                   .drop("term_bucket").toPandas())
+            for t, rows in pdf.groupby("term"):
+                self._local_blocks[str(t)] = rows.reset_index(drop=True)
+            for t in missing:  # negative-cache terms with no blocks
+                self._local_blocks.setdefault(t, pdf.iloc[0:0])
+        for t in qcounts:      # LRU recency
+            self._local_blocks[t] = self._local_blocks.pop(t)
+        while len(self._local_blocks) > self.LOCAL_TERM_CACHE_MAX:
+            self._local_blocks.pop(next(iter(self._local_blocks)))
+        blocks = pd.concat([self._local_blocks[t] for t in sorted(qcounts)],
+                           ignore_index=True)
+        kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
+                                            self.avgdl, self.k1, self.b)
+        res = kernel(blocks).reset_index(drop=True)
+        res["rank"] = np.arange(1, len(res) + 1, dtype=np.int32)
+        res["score_abs"] = np.abs(np.round(res["score"], 2))
+        return res[cols]

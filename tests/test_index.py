@@ -146,3 +146,21 @@ def test_hot_term_shard_balance(spark, tmp_path):
     bal = m["groups_state"]["0"]["shard_balance_max_over_mean"]
     assert bal is not None and bal < 1.5, bal
     assert m["groups_state"]["0"]["bytes_per_posting"] < 16
+
+
+def test_search_local_matches_distributed(spark, corpus_pdf, searcher):
+    """The driver fast path must return exactly what the distributed
+    executor returns (same kernel, posting-set-agnostic), across repeats
+    (LRU hits) and negative-IDF / absent / empty queries."""
+    for q in ["return", "zyzzyva obelisk", "quantum flux capacitor",
+              "def return import from", "notinthecorpusatall", "   ",
+              "select select select", "return"]:
+        local = searcher.search_local(q, 10)
+        dist = searcher.search(q, 10).toPandas()
+        assert list(local.columns) == ["doc_id", "score", "rank", "score_abs"]
+        assert local["doc_id"].tolist() == dist["doc_id"].tolist(), q
+        assert local["score"].tolist() == dist["score"].tolist(), q
+    # over-gate queries fall back to the distributed path transparently
+    tiny = searcher.search_local("return import", 5, max_postings=1)
+    assert tiny["doc_id"].tolist() == [
+        r["doc_id"] for r in searcher.search("return import", 5).collect()]
