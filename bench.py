@@ -105,28 +105,19 @@ def main() -> None:
     big_sec = time.perf_counter() - t0
     results["query_batch_1000"] = round(big_sec, 3)
 
-    # --- compact posting codec (payload-vs-CPU trade, measured) ---
-    root_c = f"{root}_compact"
-    shutil.rmtree(root_c, ignore_errors=True)
-    t0 = time.perf_counter()
-    m_c = build_index(spark, corpus, root_c, BM25Config(impact_codec="compact"),
-                      id_col="doc_id", shards=max(cpus, 8), groups=1)
-    results["index_build_compact"] = round(time.perf_counter() - t0, 3)
-    from data_text_search_spark.operators.index_build import load_manifest
-    bpp_f64 = load_manifest(root)["groups_state"]["0"]["bytes_per_posting"]
-    bpp_c = m_c["groups_state"]["0"]["bytes_per_posting"]
-    s_c = IndexSearcher(spark, root_c)
-    s_c.warm()
-    s_c.search_batch(big[:8], 10).collect()
-    t0 = time.perf_counter()
-    s_c.search_batch(big, 10).collect()
-    results["query_batch_1000_compact"] = round(time.perf_counter() - t0, 3)
-
     # --- driver-contract queries at sf_dir ---
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         results[name] = round(time.perf_counter() - t0, 3)
+
+    # posting-payload evidence from the indexes already built above: the
+    # bench's own f64 index and the contract's compact index
+    # (bm25_topk_compact built it) — no redundant re-builds
+    from data_text_search_spark.operators.index_build import load_manifest
+    bpp_f64 = load_manifest(root)["groups_state"]["0"]["bytes_per_posting"]
+    s_c = entrymod._physical_searcher(spark, sf_dir, codec="compact")
+    bpp_c = s_c.manifest["groups_state"]["0"]["bytes_per_posting"]
 
     total = round(sum(results.values()), 3)
     out = {
