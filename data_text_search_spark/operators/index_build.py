@@ -29,8 +29,9 @@ bm25_functions.py:203-210):
   buckets its terms hash to (directory pruning) plus a term-IN filter
   (row-group pruning on the term column min/max).
 
-- **Resumable build.** The expensive upstream (tokenize → tf/df/idf →
-  impact join) is checkpointed once to `enc/`; posting encoding then
+- **Resumable build.** The expensive upstream (tokenize → per-doc
+  (term, tf) pairs) is checkpointed once to `tokenized/`; posting
+  encoding then
   runs in `groups` independent jobs (group = shard % G), each writing
   its own directory and updating the JSON manifest afterwards. A killed
   build resumes by skipping stages/groups marked done — mirroring (and

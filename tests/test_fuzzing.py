@@ -65,6 +65,21 @@ def test_nasty_corpus_end_to_end(spark, tmp_path, ci):
         assert [d for d, _ in got] == [d for d, _ in want], (ci, q, got, want)
         for (_, gs), (_, ws) in zip(got, want):
             assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9), (ci, q)
+        # the driver fast path must agree on the same nasty inputs
+        loc = s.search_local(q, 10)
+        assert loc["doc_id"].tolist() == [d for d, _ in want], (ci, q)
+    # the batch executor (dense bincount kernel + hash-agg merge) must
+    # answer the whole nasty query set identically to the oracle
+    batch = s.search_batch(queries, 10).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, q in enumerate(queries):
+        want = oracle_search(texts, q, n=10)
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in want], (ci, q)
+        for r, (_, ws) in zip(got, want):
+            assert math.isclose(r["score"], ws, rel_tol=0, abs_tol=1e-9), (ci, q)
 
 
 def test_random_generated_corpora(spark, tmp_path):
