@@ -348,8 +348,9 @@ class IndexSearcher:
         self.avgdl = m.get("avgdl", 1.0)
         self._term_map: dict[str, tuple[int, float, int]] | None = None
         # search_local's driver-side LRU of decoded-ready posting blocks
-        # (term -> pandas rows); rebuilt on refresh()
+        # (term -> pandas rows) + its postings budget; rebuilt on refresh()
         self._local_blocks: dict[str, pd.DataFrame] = {}
+        self._local_postings = 0
         if cache:
             # term_stats is consulted per query — keep it hot; postings
             # benefit too at repeated-query workloads (at cluster scale the
@@ -480,7 +481,7 @@ class IndexSearcher:
 
     # interactive fast path: posting volume gate + driver term-block LRU
     LOCAL_MAX_POSTINGS = 5_000_000
-    LOCAL_TERM_CACHE_MAX = 4096
+    LOCAL_CACHE_MAX_POSTINGS = 50_000_000  # ~500 MB of decoded-ready blocks
 
     def search_local(self, query: str, n: int = 10,
                      max_postings: int = LOCAL_MAX_POSTINGS) -> pd.DataFrame:
@@ -516,12 +517,22 @@ class IndexSearcher:
                    .drop("term_bucket").toPandas())
             for t, rows in pdf.groupby("term"):
                 self._local_blocks[str(t)] = rows.reset_index(drop=True)
+                self._local_postings += int(rows["n_docs"].sum())
             for t in missing:  # negative-cache terms with no blocks
                 self._local_blocks.setdefault(t, pdf.iloc[0:0])
         for t in qcounts:      # LRU recency
             self._local_blocks[t] = self._local_blocks.pop(t)
-        while len(self._local_blocks) > self.LOCAL_TERM_CACHE_MAX:
-            self._local_blocks.pop(next(iter(self._local_blocks)))
+        # evict least-recent terms until the cache fits a postings budget
+        # (bounding by POSTINGS, not term count: one Zipf-head term can be
+        # orders of magnitude bigger than a tail term)
+        if self._local_postings > self.LOCAL_CACHE_MAX_POSTINGS:
+            for victim in list(self._local_blocks):
+                if self._local_postings <= self.LOCAL_CACHE_MAX_POSTINGS:
+                    break
+                if victim in qcounts:  # never evict this query's terms
+                    continue
+                self._local_postings -= int(
+                    self._local_blocks.pop(victim)["n_docs"].sum())
         blocks = pd.concat([self._local_blocks[t] for t in sorted(qcounts)],
                            ignore_index=True)
         kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
