@@ -8,6 +8,8 @@ re-expresses.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -216,6 +218,31 @@ def reference_output_sort(results: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------ S1/S2 sources
+
+
+def expand_zips(file_list: list[str]) -> list[str]:
+    """S3 (helper_functions.py:242-273): expand any .zip in the input list
+    into its member files (extracted beside the archive), recursively —
+    the reference's while-loop re-scans files appended by inner zips.
+    Invalid zips warn and pass through; .zip entries are dropped from the
+    result. Driver-side by design (interactive uploads); distributed
+    corpora are directories/globs Spark reads natively."""
+    import zipfile
+
+    files = list(file_list)
+    i = 0
+    while i < len(files):
+        path = files[i]
+        if path.endswith(".zip"):
+            try:
+                zip_dir = os.path.dirname(path) or "."
+                with zipfile.ZipFile(path, "r") as zf:
+                    zf.extractall(zip_dir)
+                    files.extend(os.path.join(zip_dir, n) for n in zf.namelist())
+            except zipfile.BadZipFile:
+                print(f"Warning: '{path}' is not a valid zip file.")
+        i += 1
+    return [f for f in files if not f.endswith(".zip")]
 
 
 def detect_file_type(path: str) -> str:

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 import pytest
@@ -131,3 +132,27 @@ def test_write_results_excel_gated_or_golden(tmp_path):
     assert isinstance(cell, CellRichText)
     red_runs = [str(b) for b in cell if isinstance(b, TextBlock)]
     assert red_runs and all("table scan" in r for r in red_runs)
+
+
+def test_expand_zips_recursive_and_invalid(tmp_path):
+    """S3: zips expand in place (recursively — an inner zip extracted from
+    an outer one is expanded too), invalid zips warn and drop, non-zip
+    paths pass through, .zip names never survive."""
+    import zipfile
+    inner = tmp_path / "inner.zip"
+    with zipfile.ZipFile(inner, "w") as z:
+        z.writestr("deep.csv", "a,b\n1,2\n")
+    outer = tmp_path / "outer.zip"
+    with zipfile.ZipFile(outer, "w") as z:
+        z.writestr("top.parquet", b"PAR1fake")
+        z.write(inner, "inner.zip")
+    inner.unlink()
+    bad = tmp_path / "bad.zip"
+    bad.write_bytes(b"not a zip at all")
+    plain = tmp_path / "plain.csv"
+    plain.write_text("x\n1\n")
+    out = rx.expand_zips([str(outer), str(bad), str(plain)])
+    names = sorted(os.path.basename(p) for p in out)
+    assert names == ["deep.csv", "plain.csv", "top.parquet"]
+    assert all(not p.endswith(".zip") for p in out)
+    assert all(os.path.exists(p) for p in out)
