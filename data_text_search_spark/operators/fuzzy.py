@@ -63,9 +63,23 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
 
 def fuzzy_search(spark: SparkSession, df: DataFrame, query: str,
                  max_mistakes: int = 1, text_col: str = "text",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 max_rows: int | None = None) -> DataFrame:
     """(doc_id, match_count, n_chars, score, score_abs) for docs with >0
-    fuzzy token matches."""
+    fuzzy token matches.
+
+    `max_rows` (Z4, spacy_search_funcs.py:36-38): the reference refuses
+    corpora over 100,000 rows because its per-row spaCy loop would take
+    >30 min. The distributed form has no such wall (JVM levenshtein,
+    ~38k rows/sec measured), so the guard defaults to OFF; pass
+    max_rows=100_000 for reference-identical refusal behavior."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"Your data has more than {max_rows:,} rows and will take "
+                "a long time to do a fuzzy search. Please try keyword or "
+                "semantic search for data of this size.")
     qtokens = sorted(set(tokenize_py(query)))
     if not qtokens:
         return spark.createDataFrame(

@@ -441,3 +441,12 @@ def test_embed_corpus_broadcast_path(spark):
     assert [r["extra"] for r in got] == ["x", "y", "z"]
     for r, w in zip(got, want):
         assert np.allclose(r["embedding"], w)
+
+
+def test_fuzzy_row_cap_guard(spark):
+    """Z4: opt-in reference refusal over max_rows; off by default."""
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(20), "text": ["some words here"] * 20}))
+    with pytest.raises(ValueError, match="more than 10 rows"):
+        fuzzy.fuzzy_search(spark, df, "words", 1, max_rows=10)
+    assert fuzzy.fuzzy_search(spark, df, "words", 1).count() == 20
