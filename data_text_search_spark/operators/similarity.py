@@ -209,7 +209,10 @@ def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     signature is persisted and the scan bucket-pruned)."""
     qsig = sig64_py(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    ham = F.bit_count(sig64_udf(F.col(vec_col)).bitwiseXOR(F.lit(qsig)))
+    # reuse a persisted signature column (with_signature at embed time)
+    # instead of re-hashing the corpus per query
+    sig = F.col("sig") if "sig" in df.columns else sig64_udf(F.col(vec_col))
+    ham = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
     return (
         df.withColumn("_ham", ham)
         .filter(F.col("_ham") <= probe_hamming)
@@ -347,9 +350,14 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
     had EVERY one of its shared bands oversubscribed."""
     n_bands = NBITS // band_bits
     mask = (1 << band_bits) - 1
-    base = with_signature(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v")
+    if "sig" in df.columns:
+        # persisted signature (with_signature at embed time): no re-hash
+        base = df.select(F.col(id_col).alias("id"),
+                         F.col(vec_col).alias("v"), "sig")
+    else:
+        base = with_signature(
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+            "v")
     banded = base.select(
         "id", "v",
         F.explode(F.array(*[

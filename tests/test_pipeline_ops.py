@@ -450,3 +450,29 @@ def test_fuzzy_row_cap_guard(spark):
     with pytest.raises(ValueError, match="more than 10 rows"):
         fuzzy.fuzzy_search(spark, df, "words", 1, max_rows=10)
     assert fuzzy.fuzzy_search(spark, df, "words", 1).count() == 20
+
+
+def test_persisted_signature_reused(embeddings):
+    """with_signature-at-embed-time reuse: identical results, and the
+    plan contains NO signature UDF (the persisted column is used)."""
+    signed = similarity.with_signature(embeddings).cache()
+    qv = [float(v) for v in
+          embeddings.filter("vec_id = 0").first()["embedding"]]
+    fresh = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             similarity.lsh_dup_pairs(embeddings, threshold=0.5).collect()}
+    reused = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+              similarity.lsh_dup_pairs(signed, threshold=0.5).collect()}
+    assert fresh == reused
+    a = [r["vec_id"] for r in
+         similarity.lsh_ann_topk(embeddings, qv, k=10).collect()]
+    b = [r["vec_id"] for r in
+         similarity.lsh_ann_topk(signed, qv, k=10).collect()]
+    assert a == b
+    # plan check on a materialized signed table (no UDF in lineage):
+    # the persisted column must be used — no signature UDF in the plan
+    spark = embeddings.sparkSession
+    mat = spark.createDataFrame(signed.toPandas())
+    plan = similarity.lsh_ann_topk(mat, qv, k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "sig64_udf" not in plan and "ArrowEvalPython" not in plan
+    signed.unpersist()
