@@ -24,10 +24,17 @@ bm25_functions.py:203-210):
   identical f64 impact from (idf, tf, doc_len) with the same operand
   order — 2.6x smaller index, bit-identical scores (pytest-pinned).
 
-- **Term-bucketed layout.** Files are parquet partitioned by
-  term_bucket = pmod(xxhash64(term), TP), so a query reads only the
-  buckets its terms hash to (directory pruning) plus a term-IN filter
-  (row-group pruning on the term column min/max).
+- **Sub-shard-major layout.** Inside each group directory, postings are
+  parquet-partitioned by spart = shard % subshards — the COLOCATION
+  unit: ALL postings of a sub-shard's documents, for every term, live
+  in one term-sorted file (bounded row groups, 16 MB). A query task
+  therefore reads its own sub-shards' files directly with a term-IN
+  filter (parquet min/max row-group pruning on the sorted term column)
+  and scores them in place: the kernel stage needs NO shuffle at all
+  (index_query reads the files per task) — the distributed-search
+  shape of a document-partitioned engine (one self-contained local
+  index per shard, merge only top-k rows). term_bucket remains a data
+  column for the v1 Spark-scan paths (search_local, fallback).
 
 - **Resumable build.** The expensive upstream (tokenize → per-doc
   (term, tf) pairs) is checkpointed once to `tokenized/`; posting
@@ -221,6 +228,7 @@ def build_index(
     groups: int = 4,
     resume: bool = True,
     tokenized_pairs: DataFrame | None = None,
+    subshards: int | None = None,
 ) -> dict:
     """Build (or resume building) a physical index under `root`.
 
@@ -242,19 +250,33 @@ def build_index(
     os.makedirs(root, exist_ok=True)
     shards = shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     tp = config.term_partitions
+    # colocation units of the shuffle-free query path: capped so the file
+    # count (subshards per group) stays sane at 10^5+ shards; subshards=0
+    # forces the v1 (term_bucket-partitioned, shuffle-executor) layout
+    subshards = int(subshards if subshards is not None else min(shards, 256))
 
     manifest = (load_manifest(root) if resume else None) or {
-        "version": 1,
+        "version": 2,
         "tokenizer": TOKEN_PATTERN,
         "config": {"k1": config.k1, "b": config.b, "alpha": config.alpha,
                    "clean": config.clean, "block_size": config.block_size,
                    "impact_codec": config.impact_codec},
         "shards": shards, "term_buckets": tp, "groups": groups,
+        "subshards": subshards,
         "stages": {}, "groups_state": {}, "metrics": {},
     }
-    if manifest["shards"] != shards or manifest["groups"] != groups:
+    if (manifest["shards"] != shards or manifest["groups"] != groups
+            or manifest.get("subshards") != subshards):
         # layout params are pinned by the first run of a build
         shards, groups = manifest["shards"], manifest["groups"]
+        subshards = manifest.get("subshards")
+    if manifest.get("tokenizer") != TOKEN_PATTERN:
+        # a resumed (or reopened) index persisted under a different token
+        # spec would silently mix incompatible postings with new ones
+        raise ValueError(
+            f"resume tokenizer mismatch: index at {root} was built with "
+            f"tokenizer {manifest.get('tokenizer')!r}, this engine uses "
+            f"{TOKEN_PATTERN!r}; pass resume=False to rebuild")
     # semantic/layout config is pinned too: resuming with different
     # k1/b/alpha/block_size/term_partitions would mix incompatible impacts
     # or bucket layouts across groups and silently corrupt query results
@@ -386,14 +408,29 @@ def build_index(
             .applyInPandas(kernel, schema=POSTINGS_SCHEMA)
             .withColumn("term_bucket",
                         F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
-            # one output file per bucket dir instead of (tasks x buckets)
-            # small files, and term-sorted rows so query-time term filters
-            # prune parquet row groups via min/max stats
-            .repartition(tp, "term_bucket")
-            .sortWithinPartitions("term", "shard", "block_id")
         )
         gdir = f"{paths.postings}/group={g}"
-        blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(gdir)
+        if subshards:
+            # layout v2: ONE file per colocation unit (spart = shard %
+            # subshards), straight out of the encode tasks — no extra
+            # repartition shuffle, no per-bucket small files. Rows are
+            # term-sorted with bounded row groups, so a query task opens
+            # its own unit's file and prunes to its terms' row groups via
+            # parquet min/max stats (term_bucket stays as a data column
+            # for the v1 Spark-scan paths). File count per group =
+            # subshards, independent of the term-dictionary size.
+            (blocks
+             .withColumn("spart", F.pmod(F.col("shard"),
+                                         F.lit(subshards)).cast("int"))
+             .sortWithinPartitions("spart", "term", "shard", "block_id")
+             .write.mode("overwrite")
+             .option("parquet.block.size", str(16 << 20))
+             .partitionBy("spart").parquet(gdir))
+        else:
+            # layout v1 (resume of a pre-subshards index)
+            (blocks.repartition(tp, "term_bucket")
+             .sortWithinPartitions("term", "shard", "block_id")
+             .write.mode("overwrite").partitionBy("term_bucket").parquet(gdir))
         written = spark.read.parquet(gdir)
         stats = written.agg(
             F.count("*").alias("n_blocks"),

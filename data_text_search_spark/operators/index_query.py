@@ -52,6 +52,7 @@ those lists; the final merge moves only S·k rows.
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 import numpy as np
@@ -68,6 +69,10 @@ from data_text_search_spark.operators.index_build import (
 )
 
 RESULT_SCHEMA = "doc_id long, score double"
+
+# column sets the colocated reader fetches per kernel (never the whole row)
+BATCH_COLS = ["term", "first_doc_id", "n_docs", "doc_deltas", "tfs", "impacts"]
+WAND_COLS = BATCH_COLS + ["last_doc_id", "block_max", "block_min"]
 
 
 def _term_decoder(codec: str, qidf: dict[str, float] | None,
@@ -325,12 +330,35 @@ class IndexSearcher:
     DRIVER_TERM_CACHE_MAX = 2_000_000
 
     def __init__(self, spark: SparkSession, root: str, cache: bool = True):
+        from data_text_search_spark.functions.text import TOKEN_PATTERN
+
         self.spark = spark
         self.paths = IndexPaths(root)
         m = load_manifest(root)
         if not m or not m.get("complete"):
             raise ValueError(f"no complete index at {root}")
+        if m.get("tokenizer") != TOKEN_PATTERN:
+            # an index persisted under a different token spec would silently
+            # tokenize queries differently from its stored postings
+            raise ValueError(
+                f"tokenizer mismatch: index at {root} was built with "
+                f"{m.get('tokenizer')!r}, this engine tokenizes with "
+                f"{TOKEN_PATTERN!r}; rebuild the index")
         self.manifest = m
+        # colocation units of the shuffle-free kernel stage (layout v2):
+        # every spart= dir under each committed postings dir — a unit is a
+        # whole set of sub-shards' postings across all term buckets, so any
+        # grouping of whole units is a valid partial top-k task. None →
+        # layout v1 index → the repartition("shard") fallback executor.
+        self._units: list[str] | None = None
+        if m.get("subshards"):
+            units = []
+            for d in committed_postings_dirs(root, m):
+                if not os.path.isdir(d):
+                    continue
+                units.extend(f"{d}/{name}" for name in sorted(os.listdir(d))
+                             if name.startswith("spart="))
+            self._units = units or None
         # enumerate committed directories from the manifest (never glob the
         # root: a crashed incremental append can leave fully-written but
         # uncommitted segment dirs that must stay invisible)
@@ -385,6 +413,50 @@ class IndexSearcher:
         (Spark snapshots the file listing at DataFrame creation)."""
         self.__init__(self.spark, self.paths.root)
 
+    def _colocated_run(self, terms: list[str], kernel,
+                       columns: list[str], schema: str) -> DataFrame:
+        """Shuffle-free kernel stage (layout v2): one task per group of
+        whole colocation units; each task reads ITS OWN units' posting
+        files directly (pyarrow dataset: term-IN row-group statistics
+        pruning on the term-sorted files, column-pruned to `columns`)
+        and runs the kernel in place. The posting payload never crosses
+        a Spark exchange — the only shuffled rows in a query are the
+        per-task top-k results. This is the document-partitioned
+        execution of a distributed search engine: every sub-shard is a
+        self-contained local index for its documents. Reads are
+        single-threaded per task (the task grid already saturates the
+        cores; per-task thread pools would oversubscribe 32x)."""
+        spark = self.spark
+        units = self._units
+        T = int(min(len(units), max(
+            4 * spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "8")))))
+        tset = sorted(terms)
+
+        def run(batches):
+            import pyarrow.dataset as pds
+            flt = pds.field("term").isin(tset)
+            for idx in batches:
+                for tid in idx["id"].tolist():
+                    parts = []
+                    for u in units[tid::T]:
+                        try:
+                            dset = pds.dataset(u, format="parquet")
+                        except FileNotFoundError:
+                            continue
+                        tbl = dset.to_table(columns=columns, filter=flt,
+                                            use_threads=False)
+                        if tbl.num_rows:
+                            parts.append(tbl.to_pandas())
+                    if not parts:
+                        continue
+                    out = kernel(pd.concat(parts, ignore_index=True)
+                                 if len(parts) > 1 else parts[0])
+                    if len(out):
+                        yield out
+
+        return spark.range(0, T, 1, T).mapInPandas(run, schema=schema)
+
     def search_batch(self, queries: list[str], n: int = 10) -> DataFrame:
         """Top-n per query for a batch, one Spark job.
 
@@ -414,14 +486,18 @@ class IndexSearcher:
             return spark.createDataFrame([], out_schema)
         qterms = {i: {t: c for t, c in qc.items() if t in term_set}
                   for i, qc in per_q.items()}
-        blocks = self.postings.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(sorted(term_set))
-        )
         kernel = _batch_kernel_factory(qterms, n, self.codec, qidf,
                                        self.avgdl, self.k1, self.b)
-        local = (blocks.repartition(self._kernel_parts(), "shard")
-                 .mapInPandas(_map_batches(kernel),
-                              schema="query_id int, doc_id long, score double"))
+        kschema = "query_id int, doc_id long, score double"
+        if self._units is not None:
+            local = self._colocated_run(sorted(term_set), kernel,
+                                        BATCH_COLS, kschema)
+        else:
+            blocks = self.postings.filter(
+                F.col("term_bucket").isin(buckets)
+                & F.col("term").isin(sorted(term_set)))
+            local = (blocks.repartition(self._kernel_parts(), "shard")
+                     .mapInPandas(_map_batches(kernel), schema=kschema))
         # global merge as ONE hash aggregate instead of a window rank:
         # per-shard results are already top-n, so each query carries at
         # most shards·n tiny rows — collect_list gets map-side partial
@@ -465,13 +541,17 @@ class IndexSearcher:
         spark = self.spark
         if not qcounts:
             return spark.createDataFrame([], RESULT_SCHEMA + ", rank int, score_abs double")
-        blocks = self.postings.filter(
-            F.col("term_bucket").isin(buckets) & F.col("term").isin(list(qcounts))
-        )
         kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
                                             self.avgdl, self.k1, self.b)
-        local = (blocks.repartition(self._kernel_parts(), "shard")
-                 .mapInPandas(_map_batches(kernel), schema=RESULT_SCHEMA))
+        if self._units is not None:
+            local = self._colocated_run(sorted(qcounts), kernel,
+                                        WAND_COLS, RESULT_SCHEMA)
+        else:
+            blocks = self.postings.filter(
+                F.col("term_bucket").isin(buckets)
+                & F.col("term").isin(list(qcounts)))
+            local = (blocks.repartition(self._kernel_parts(), "shard")
+                     .mapInPandas(_map_batches(kernel), schema=RESULT_SCHEMA))
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             local.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)

@@ -75,10 +75,19 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     Note: an IndexSearcher snapshots the postings file listing at
     construction; re-open it after appends to see new segments.
     """
+    from data_text_search_spark.functions.text import TOKEN_PATTERN
+
     paths = IndexPaths(root)
     manifest = load_manifest(root)
     if not manifest or not manifest.get("complete"):
         raise ValueError(f"no complete index at {root}")
+    if manifest.get("tokenizer") != TOKEN_PATTERN:
+        # delta docs tokenized under a different spec than the stored
+        # postings would silently return wrong results
+        raise ValueError(
+            f"tokenizer mismatch: index at {root} was built with "
+            f"{manifest.get('tokenizer')!r}, this engine uses "
+            f"{TOKEN_PATTERN!r}; rebuild the index")
     if manifest.get("pending") is not None:
         # a previous append crashed between intent and commit: its segment
         # dirs may exist but are uncommitted — wipe and forget the intent
@@ -174,11 +183,25 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
                                    cfg.get("impact_codec", "f64"))
     blocks = (enc.groupBy("shard").applyInPandas(kernel, schema=POSTINGS_SCHEMA)
               .withColumn("term_bucket",
-                          F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
-              .repartition(tp, "term_bucket")
-              .sortWithinPartitions("term", "shard", "block_id"))
-    blocks.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        paths.postings_seg(seg_id))
+                          F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int")))
+    subshards = manifest.get("subshards")
+    if subshards:
+        # layout v2 — segments mirror the base's spart colocation dirs
+        # (one term-sorted file per unit) so the shuffle-free query path
+        # covers them too
+        (blocks
+         .withColumn("spart",
+                     F.pmod(F.col("shard"), F.lit(subshards)).cast("int"))
+         .sortWithinPartitions("spart", "term", "shard", "block_id")
+         .write.mode("overwrite")
+         .option("parquet.block.size", str(16 << 20))
+         .partitionBy("spart")
+         .parquet(paths.postings_seg(seg_id)))
+    else:
+        (blocks.repartition(tp, "term_bucket")
+         .sortWithinPartitions("term", "shard", "block_id")
+         .write.mode("overwrite").partitionBy("term_bucket")
+         .parquet(paths.postings_seg(seg_id)))
     pairs_df.select("doc_id", "doc_len", "shard").write.mode(
         "overwrite").parquet(paths.doc_stats_seg(seg_id))
     # tokenized checkpoint per segment (same role as the base build's

@@ -74,7 +74,7 @@ def test_tokenize_expr_stays_in_codegen(spark, docs_path):
     assert codegen_stage_count(df) >= 1
 
 
-def test_batch_query_plan_has_partition_and_rowgroup_pruning(
+def test_batch_query_plan_is_shuffle_free_until_topk_merge(
         spark, corpus, tmp_path_factory):
     from data_text_search_spark.operators.index_build import build_index
     from data_text_search_spark.operators.index_query import IndexSearcher
@@ -82,9 +82,30 @@ def test_batch_query_plan_has_partition_and_rowgroup_pruning(
     root = str(tmp_path_factory.mktemp("planidx2") / "idx")
     build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=1)
     s = IndexSearcher(spark, root)
+    assert s._units, "layout v2 index must expose colocation units"
     plan = formatted_plan(s.search_batch(["zyzzyva obelisk", "return"], 10))
-    assert "PartitionFilters: [term_bucket" in plan       # directory pruning
-    assert "In(term" in plan                              # row-group pruning
+    # colocated kernel stage: posting payloads are read per task (pyarrow,
+    # bucket-dir + term row-group pruned) and never cross an exchange —
+    # the only shuffled rows are the per-task top-k results
+    assert "hashpartitioning(shard" not in plan
+    assert "Scan parquet" not in plan  # no driver-planned postings scan
     # per-query top-k merge is a hash aggregate (map-side partial), not a
     # window shuffle-sort over every shard-local row
     assert "collect_list" in plan and "Window" not in plan
+
+
+def test_colocated_and_shuffle_executors_agree(spark, corpus, tmp_path_factory):
+    """The layout-v2 colocated kernel stage and the repartition("shard")
+    fallback must return identical rows (same kernels, different data
+    movement)."""
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+    root = str(tmp_path_factory.mktemp("planidx3") / "idx")
+    build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=2)
+    s = IndexSearcher(spark, root)
+    queries = ["zyzzyva obelisk", "return import", "def"]
+    got_co = [tuple(r) for r in s.search_batch(queries, 5).collect()]
+    got_single_co = [tuple(r) for r in s.search(queries[0], 5).collect()]
+    s._units = None  # force the shuffle fallback executor
+    assert [tuple(r) for r in s.search_batch(queries, 5).collect()] == got_co
+    assert [tuple(r) for r in s.search(queries[0], 5).collect()] == got_single_co
