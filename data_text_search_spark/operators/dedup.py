@@ -170,14 +170,25 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       threshold: float = 0.5, bands: int = 16,
-                      bucket_cap: int | None = 100_000) -> DataFrame:
+                      bucket_cap: int | None = 100_000,
+                      sig_prefilter_margin: float | None = 0.2) -> DataFrame:
     """(doc_a, doc_b, jaccard) — LSH candidates (same band bucket) verified
     with EXACT Jaccard on the shingle-hash sets. Approximate in recall
     (a pair missed by every band is lost), exact in precision.
 
     `bucket_cap`: (band, bucket) groups larger than the cap are skipped
     before the self-join, bounding candidates against degenerate buckets
-    (e.g. the empty-signature class, boilerplate-only docs)."""
+    (e.g. the empty-signature class, boilerplate-only docs).
+
+    `sig_prefilter_margin`: before the exact-verify join attaches both
+    docs' FULL shingle-hash sets (the dominant shuffle at corpus scale —
+    a hot doc in k candidate pairs replicates its whole set k times),
+    candidates are pre-filtered by the signature-estimated Jaccard
+    (matching minhash slots / N_PERM, 512 B of sigs per pair instead of
+    the sets) ≥ threshold − margin. The estimate is Binomial(64, J)/64:
+    at margin 0.2 a true pair at J = threshold is mis-pruned with
+    probability ~Φ(−0.2/0.0625) < 1e-3 — and only if it also collided in
+    some band. None disables the pre-filter (exact verify semantics)."""
     rows = N_PERM // bands
     sigs = minhash_signatures(df, text_col, id_col, n).persist()
     band_cols = F.explode(F.array(*[
@@ -203,6 +214,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+    if sig_prefilter_margin is not None:
+        ga = sigs.select(F.col("doc_id").alias("doc_a"),
+                         F.col("sig").alias("sig_a"))
+        gb = sigs.select(F.col("doc_id").alias("doc_b"),
+                         F.col("sig").alias("sig_b"))
+        est = (F.size(F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m)) / F.lit(float(N_PERM)))
+        cand = (cand.join(ga, "doc_a").join(gb, "doc_b")
+                .filter(est >= threshold - sig_prefilter_margin)
+                .select("doc_a", "doc_b"))
     sa = sigs.select(F.col("doc_id").alias("doc_a"),
                      F.col("shingle_set").alias("set_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"),
@@ -274,10 +296,19 @@ def simhash_expr(text_col: str):
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  bucket_cap: int | None = 100_000) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
     Candidates via 4x16-bit band collisions (any pair with hamming <= 3
-    shares at least one of 4 bands — pigeonhole, exact recall)."""
+    shares at least one of 4 bands — pigeonhole, exact recall).
+
+    `bucket_cap`: (band, bucket) groups above the cap are skipped before
+    the self-join, same guard as minhash_lsh_pairs/lsh_dup_pairs — a
+    degenerate bucket (thousands of empty or boilerplate docs all
+    fingerprinting to the same band value) would emit M²/2 join rows.
+    With a cap the pigeonhole recall guarantee narrows to pairs with at
+    least one NON-oversubscribed shared band; None restores the exact
+    guarantee."""
     sh = df.select(F.col(id_col).alias("doc_id"),
                    simhash_expr(text_col).alias("sh")).persist()
     bands = F.explode(F.array(*[
@@ -290,6 +321,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     banded = sh.select("doc_id", "sh", bands.alias("bb")).select(
         "doc_id", "sh", F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"))
+    if bucket_cap is not None:
+        ok = (banded.groupBy("band", "bucket")
+              .agg(F.count("*").alias("_bsz"))
+              .filter(F.col("_bsz") <= bucket_cap).select("band", "bucket"))
+        banded = banded.join(ok, ["band", "bucket"])
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (

@@ -220,25 +220,47 @@ def reference_output_sort(results: DataFrame) -> DataFrame:
 # ------------------------------------------------------------ S1/S2 sources
 
 
-def expand_zips(file_list: list[str]) -> list[str]:
+def expand_zips(file_list: list[str],
+                max_archives: int = 1000,
+                max_total_bytes: int = 10 << 30) -> list[str]:
     """S3 (helper_functions.py:242-273): expand any .zip in the input list
-    into its member files (extracted beside the archive), recursively —
-    the reference's while-loop re-scans files appended by inner zips.
-    Invalid zips warn and pass through; .zip entries are dropped from the
-    result. Driver-side by design (interactive uploads); distributed
-    corpora are directories/globs Spark reads natively."""
+    into its member files, recursively — the reference's while-loop
+    re-scans files appended by inner zips. Invalid zips warn and pass
+    through; .zip entries are dropped from the result. Driver-side by
+    design (interactive uploads); distributed corpora are directories/
+    globs Spark reads natively.
+
+    Guards (the reference has none): each archive extracts into its own
+    fresh subdirectory (never beside the archive, where member names
+    could overwrite sibling inputs), and expansion stops with an error
+    past `max_archives` nested archives or `max_total_bytes` declared
+    uncompressed output (zip bombs, self-containing zips)."""
     import zipfile
 
     files = list(file_list)
     i = 0
+    n_archives = 0
+    total = 0
     while i < len(files):
         path = files[i]
         if path.endswith(".zip"):
+            n_archives += 1
+            if n_archives > max_archives:
+                raise ValueError(
+                    f"zip expansion exceeded {max_archives} nested archives "
+                    f"(possible zip bomb / self-containing zip): {path}")
             try:
-                zip_dir = os.path.dirname(path) or "."
+                out_dir = f"{path}.d"
                 with zipfile.ZipFile(path, "r") as zf:
-                    zf.extractall(zip_dir)
-                    files.extend(os.path.join(zip_dir, n) for n in zf.namelist())
+                    total += sum(zi.file_size for zi in zf.infolist())
+                    if total > max_total_bytes:
+                        raise ValueError(
+                            f"zip expansion exceeded {max_total_bytes} "
+                            f"declared uncompressed bytes at {path}")
+                    os.makedirs(out_dir, exist_ok=True)
+                    zf.extractall(out_dir)
+                    files.extend(os.path.join(out_dir, n)
+                                 for n in zf.namelist())
             except zipfile.BadZipFile:
                 print(f"Warning: '{path}' is not a valid zip file.")
         i += 1
@@ -279,7 +301,18 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     if "doc_id" not in df.columns:
         # positional id like the reference's .reset_index(); file-read order
         # is stable, and these are small interactive files (the reference
-        # caps them at 500 MB) — large corpora carry their own stable ids
+        # caps them at 500 MB) — large corpora carry their own stable ids.
+        # The unpartitioned row_number window serializes through ONE task,
+        # so refuse clearly beyond interactive scale instead of degrading.
+        POSITIONAL_ID_MAX_ROWS = 5_000_000
+        n = df.count()
+        if n > POSITIONAL_ID_MAX_ROWS:
+            raise ValueError(
+                f"{path} has {n} rows and no doc_id column: positional ids "
+                "are assigned through a single-task window and are only "
+                "supported for interactive-scale files "
+                f"(≤{POSITIONAL_ID_MAX_ROWS} rows). Add an explicit stable "
+                "doc_id column to the source instead.")
         from pyspark.sql import Window
         mid = F.monotonically_increasing_id()
         df = (df.withColumn("_mid", mid)

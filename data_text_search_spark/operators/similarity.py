@@ -242,11 +242,18 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
       blocks; each of the B(B+1)/2 block pairs is one task doing a
       sub-matrix BLAS matmul. Replication factor B+1; per-task memory
       2·(N/B) vectors.
-    - 'auto': count once, pick broadcast below `broadcast_max_rows`.
+    - 'auto': broadcast only when BOTH the row count and the estimated
+      matrix bytes (rows × dim × 8) fit — 200k rows of 4k-dim fp64 is a
+      6.4 GB broadcast, which must go through the block path.
     """
+    BROADCAST_MAX_BYTES = 512 << 20
     if strategy == "auto":
         n = df.count()
-        strategy = "broadcast" if n <= broadcast_max_rows else "block"
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first and first["d"] is not None else 0
+        strategy = ("broadcast"
+                    if n <= broadcast_max_rows
+                    and n * dim * 8 <= BROADCAST_MAX_BYTES else "block")
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if strategy == "broadcast":
         return _dup_pairs_broadcast(base, threshold)
@@ -344,6 +351,14 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
     cosine. Approximate recall, exact precision (tested vs
     cosine_dup_pairs).
 
+    Shuffle shape: the band fan-out, self-join and candidate dedup all
+    carry ONLY (id, sig) — 16 bytes/row — never the embedding vector;
+    vectors are re-attached by two joins ONCE per surviving candidate
+    pair, right before the exact-cosine verify (plan-pinned in
+    tests/test_plans.py: no array column crosses the banding exchange).
+    At corpus scale the 8-way explode of full vectors was the dominant
+    shuffle cost of this operator.
+
     `bucket_cap`: (band, bucket) groups larger than the cap are skipped
     before the self-join — a degenerate bucket of M docs would emit
     M²/2 candidate rows. Standard LSH practice: a pair lost this way
@@ -359,14 +374,14 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
             df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
             "v")
     banded = base.select(
-        "id", "v",
+        "id",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.shiftrightunsigned("sig", i * band_bits)
                      .bitwiseAND(F.lit(mask)).alias("bucket"))
             for i in range(n_bands)
         ])).alias("bb"),
-    ).select("id", "v", F.col("bb.band").alias("band"),
+    ).select("id", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
     if bucket_cap is not None:
         sizes = (banded.groupBy("band", "bucket")
@@ -377,10 +392,12 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand.withColumn(
-        "cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+            .withColumn(
+                "cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))

@@ -99,6 +99,14 @@ def read_xlsx(path: str) -> pd.DataFrame:
         return pd.DataFrame()
     header = [rows[0].get(i) if rows[0].get(i) is not None else f"col{i}"
               for i in range(ncols)]
+    # de-duplicate header names like pandas ('name', 'name.1', 'name.2'):
+    # a dict-keyed column store silently collapses duplicates otherwise
+    seen: dict[object, int] = {}
+    for i, h in enumerate(header):
+        k = seen.get(h, 0)
+        seen[h] = k + 1
+        if k:
+            header[i] = f"{h}.{k}"
     data = {h: [] for h in header}
     for ri in range(1, (max(rows) + 1) if len(rows) > 1 else 1):
         r = rows.get(ri, {})

@@ -99,9 +99,10 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
         return manifest
     cfg = manifest["config"]
     shards = manifest["shards"]
-    tp = manifest["term_buckets"]
-    n_old, avgdl = manifest["n_docs"], manifest["avgdl"]
-    seg_id = len(manifest.get("segments", []))
+    n_old = manifest["n_docs"]
+    # monotonic segment ids: a tiered merge collapses the segments list,
+    # so len(segments) would recycle ids of stale (deleted) directories
+    seg_id = manifest.get("next_seg_id", len(manifest.get("segments", [])))
     # intent record — must hit disk before any data write
     manifest["pending"] = {"segment": seg_id, "batch_key": batch_key}
     _write_manifest_atomic(paths.manifest, manifest)
@@ -137,6 +138,39 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
             "would double their postings; dedup upstream or rebuild")
     n_total = n_old + n_new
 
+    new_terms = _encode_segment(
+        spark, paths, manifest, pairs_df, seg_id, n_total,
+        committed_term_stats_paths(root, manifest))
+    pairs_df.unpersist()
+
+    # COMMIT POINT: one atomic manifest write makes the segment visible,
+    # records the batch key, and clears the pending intent together
+    drift = manifest.get("drift", 0.0) + (n_new / n_total if n_total else 0.0)
+    manifest.setdefault("segments", []).append({
+        "segment": seg_id, "n_docs": n_new, "new_terms": int(new_terms),
+        "seconds": round(time.perf_counter() - t0, 3)})
+    manifest["next_seg_id"] = seg_id + 1
+    manifest["n_docs"] = n_total
+    manifest["drift"] = round(drift, 6)
+    manifest["needs_rebuild"] = drift > rebuild_threshold
+    if batch_key is not None:
+        manifest.setdefault("applied_batches", []).append(batch_key)
+    manifest.pop("pending", None)
+    _write_manifest_atomic(paths.manifest, manifest)
+    return manifest
+
+
+def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
+                    pairs_df: DataFrame, seg_id: int, n_total: int,
+                    stats_paths: list[str]) -> int:
+    """Shared segment writer: compute new-term stats against
+    `stats_paths`, encode posting blocks under the current global stats
+    (avgdl, idf), and write the segment's four directories — all
+    invisible to readers until the caller's manifest commit. Returns the
+    new-term count."""
+    cfg = manifest["config"]
+    tp = manifest["term_buckets"]
+    avgdl = manifest["avgdl"]
     td = (pairs_df.select("doc_id", "doc_len", "shard",
                           F.explode("pairs").alias("p"))
           .select("doc_id", "doc_len", "shard",
@@ -145,8 +179,7 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     # anti-join against ALL terms (incl. alpha-pruned ones, which are
     # flagged, not deleted) — a pruned hot term in the delta must stay
     # pruned, not resurrect with a delta-only df and inflated IDF
-    ts_paths = committed_term_stats_paths(root, manifest)
-    full_stats = spark.read.parquet(*ts_paths)
+    full_stats = spark.read.parquet(*stats_paths)
     delta_terms = (td.groupBy("term").agg(F.count("*").alias("df"))
                    .join(full_stats.select("term"), "term", "left_anti")
                    .withColumn("idf",
@@ -205,24 +238,70 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     pairs_df.select("doc_id", "doc_len", "shard").write.mode(
         "overwrite").parquet(paths.doc_stats_seg(seg_id))
     # tokenized checkpoint per segment (same role as the base build's
-    # `tokenized/` stage): merge_segments re-scores from these without
+    # `tokenized/` stage): merges re-score from these without
     # re-tokenizing any document
     pairs_df.write.mode("overwrite").parquet(paths.tokenized_seg(seg_id))
-    pairs_df.unpersist()
+    return int(new_terms)
 
-    # COMMIT POINT: one atomic manifest write makes the segment visible,
-    # records the batch key, and clears the pending intent together
-    drift = manifest.get("drift", 0.0) + (n_new / n_total if n_total else 0.0)
-    manifest.setdefault("segments", []).append({
-        "segment": seg_id, "n_docs": n_new, "new_terms": int(new_terms),
-        "seconds": round(time.perf_counter() - t0, 3)})
-    manifest["n_docs"] = n_total
-    manifest["drift"] = round(drift, 6)
-    manifest["needs_rebuild"] = drift > rebuild_threshold
-    if batch_key is not None:
-        manifest.setdefault("applied_batches", []).append(batch_key)
+
+def merge_tier(spark: SparkSession, root: str) -> dict:
+    """Segment-tier compaction (Lucene's tiered merge shape): collapse
+    ALL delta segments into ONE segment, leaving the base postings
+    untouched — cost ∝ total segment size, never the whole corpus.
+
+    Semantics: the merged segment is re-encoded from the segments'
+    persisted tokenized checkpoints exactly as if the documents had
+    arrived in a SINGLE add_documents call — same base stats (N_total,
+    base avgdl, base idf), new-term idf computed at the final N_total.
+    For a one-segment history the result is bit-identical to the
+    pre-merge index; across multi-segment histories, new-term idfs
+    converge to the single-shot values (each segment had used the
+    N_total of its own append time) — a bounded, documented divergence.
+    For exact global-stat parity use merge_segments (full re-score).
+
+    Crash safety: same pending-intent protocol as add_documents — the
+    merged segment is written invisibly, ONE atomic manifest write swaps
+    the segments list, and the old segment dirs are deleted only after
+    the commit (a crash mid-cleanup leaves orphaned, unreferenced dirs
+    that the next merge_tier/add_documents never sees)."""
+    paths = IndexPaths(root)
+    manifest = load_manifest(root)
+    if not manifest or not manifest.get("complete"):
+        raise ValueError(f"no complete index at {root}")
+    old_segments = manifest.get("segments", [])
+    if len(old_segments) < 2:
+        return manifest
+    if manifest.get("pending") is not None:
+        _wipe_segment_dirs(paths, manifest["pending"]["segment"])
+        manifest.pop("pending")
+        _write_manifest_atomic(paths.manifest, manifest)
+
+    seg_id = manifest.get("next_seg_id", len(old_segments))
+    manifest["pending"] = {"segment": seg_id, "batch_key": None}
+    _write_manifest_atomic(paths.manifest, manifest)
+
+    t0 = time.perf_counter()
+    pairs_df = spark.read.parquet(
+        *[paths.tokenized_seg(s["segment"]) for s in old_segments])
+    # new-term stats anti-join against the BASE dictionary only: the old
+    # segments' term_stats are being replaced by the merged segment's
+    new_terms = _encode_segment(spark, paths, manifest, pairs_df, seg_id,
+                                manifest["n_docs"], [paths.term_stats])
+
+    # COMMIT POINT: swap the segments list atomically
+    merged_entry = {
+        "segment": seg_id,
+        "n_docs": int(sum(s["n_docs"] for s in old_segments)),
+        "new_terms": int(new_terms),
+        "merged_from": [s["segment"] for s in old_segments],
+        "seconds": round(time.perf_counter() - t0, 3)}
+    manifest["segments"] = [merged_entry]
+    manifest["next_seg_id"] = seg_id + 1
     manifest.pop("pending", None)
     _write_manifest_atomic(paths.manifest, manifest)
+    # post-commit cleanup (idempotent; failures leave invisible orphans)
+    for s in old_segments:
+        _wipe_segment_dirs(paths, s["segment"])
     return manifest
 
 
@@ -235,18 +314,33 @@ def merge_segments(spark: SparkSession, root: str) -> dict:
     the persisted tokenized checkpoints (base `tokenized/` + per-segment
     `tokenized_segs/`), so the cost is the stats + encode stages only —
     this removes the rebuild cliff the drift threshold used to force.
+    (Cost is still ∝ the WHOLE corpus; for compaction proportional to
+    the delta size alone use merge_tier.)
 
-    The merged index is built beside the live one and swapped in with
-    two directory renames; the live index keeps answering queries until
-    the swap (open IndexSearchers hold the old file listing — re-open
-    after a merge)."""
+    LOCAL-FILESYSTEM ONLY: the merged index is built beside the live one
+    and swapped in with two os.rename calls — object stores (s3a://)
+    have no atomic directory rename; run full merges against a posix
+    index root and sync afterwards. The live index keeps answering
+    queries until the swap (open IndexSearchers hold the old file
+    listing — re-open after a merge). A crash BETWEEN the two renames
+    leaves no directory at `root` but a complete index at
+    `root.premerge` plus a `root.MERGE_SWAP` marker file naming both
+    paths for recovery (rename root.premerge back, or root.merge
+    forward; both are complete)."""
     import shutil
+    from urllib.parse import urlparse
 
     from data_text_search_spark.operators.index_build import (
         build_index,
         committed_tokenized_paths,
     )
 
+    if urlparse(root).scheme not in ("", "file"):
+        raise ValueError(
+            f"merge_segments swaps directories with os.rename and supports "
+            f"local filesystem roots only, got {root!r}; copy the index "
+            "local, merge, and sync back (or use merge_tier, which only "
+            "writes new directories)")
     paths = IndexPaths(root)
     manifest = load_manifest(root)
     if not manifest or not manifest.get("complete"):
@@ -263,11 +357,18 @@ def merge_segments(spark: SparkSession, root: str) -> dict:
     shutil.rmtree(tmp, ignore_errors=True)
     build_index(spark, corpus=None, root=tmp, config=cfg,
                 shards=manifest["shards"], groups=manifest["groups"],
-                resume=False, tokenized_pairs=pairs)
+                resume=False, tokenized_pairs=pairs,
+                subshards=manifest.get("subshards", 0))
     old = f"{root}.premerge"
     shutil.rmtree(old, ignore_errors=True)
+    marker = f"{root}.MERGE_SWAP"
+    with open(marker, "w") as f:
+        f.write(f"swapping {tmp} over {root}; previous index at {old}\n"
+                "if root is missing: rename either back into place — "
+                "both are complete indexes\n")
     os.rename(root, old)
     os.rename(tmp, root)
+    os.remove(marker)
     shutil.rmtree(old)
     return load_manifest(root)
 

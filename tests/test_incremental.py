@@ -201,3 +201,75 @@ def test_searcher_refresh_sees_new_segments(spark, tmp_path):
         {"doc_id": [830000], "content": ["refreshneedle zz"]})), id_col="doc_id")
     s.refresh()
     assert [r["doc_id"] for r in s.search("refreshneedle", 3).collect()] == [830000]
+
+
+def test_merge_tier_equals_single_shot_append(spark, tmp_path):
+    """Tiered-compaction contract: merging k segments produces exactly the
+    index a SINGLE add_documents of the concatenated delta would have —
+    bit-identical queries — without touching one byte of base postings."""
+    import os
+
+    from data_text_search_spark.streaming.incremental import merge_tier
+    base_n = 120
+    pdf = corpus_pandas(base_n).reset_index().rename(columns={"index": "doc_id"})
+    d1 = pd.DataFrame({"doc_id": [800001, 800002],
+                       "content": ["tierterm fresh content return import",
+                                   "another delta with table scan words"]})
+    d2 = pd.DataFrame({"doc_id": [800003],
+                       "content": ["second segment tierterm again newword"]})
+
+    root = str(tmp_path / "tier")
+    build_index(spark, spark.createDataFrame(pdf), root, BM25Config(),
+                id_col="doc_id", shards=4, groups=2)
+    add_documents(spark, root, spark.createDataFrame(d1), id_col="doc_id")
+    add_documents(spark, root, spark.createDataFrame(d2), id_col="doc_id")
+    base_mtimes = {p: os.stat(f"{root}/postings/{p}").st_mtime
+                   for p in os.listdir(f"{root}/postings")
+                   if not p.startswith("group=seg")}
+
+    m = merge_tier(spark, root)
+    assert len(m["segments"]) == 1
+    seg = m["segments"][0]
+    assert seg["n_docs"] == 3 and seg["merged_from"] == [0, 1]
+    assert m["n_docs"] == base_n + 3
+    # base postings untouched (cost ∝ segments, not corpus)
+    for p, t in base_mtimes.items():
+        assert os.stat(f"{root}/postings/{p}").st_mtime == t
+    # old segment dirs cleaned up post-commit
+    assert not os.path.exists(f"{root}/postings/group=seg0")
+    assert not os.path.exists(f"{root}/postings/group=seg1")
+
+    # ground truth: one-shot append of the concatenated delta
+    oroot = str(tmp_path / "oneshot")
+    build_index(spark, spark.createDataFrame(pdf), oroot, BM25Config(),
+                id_col="doc_id", shards=4, groups=2)
+    add_documents(spark, oroot,
+                  spark.createDataFrame(pd.concat([d1, d2],
+                                                  ignore_index=True)),
+                  id_col="doc_id")
+    s_t, s_o = IndexSearcher(spark, root), IndexSearcher(spark, oroot)
+    for q in ["tierterm", "newword", "return import", "table scan",
+              "zyzzyva"]:
+        a = [(r["doc_id"], r["score"]) for r in s_t.search(q, 10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in s_o.search(q, 10).collect()]
+        assert a == b, (q, a, b)
+
+    # merged index keeps accepting appends with a FRESH (monotonic) seg id
+    add_documents(spark, root, spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [800010], "content": ["posttier needle"]})), id_col="doc_id")
+    m2 = load_manifest(root)
+    assert [s["segment"] for s in m2["segments"]] == [2, 3]
+    s2 = IndexSearcher(spark, root)
+    assert [r["doc_id"] for r in s2.search("posttier", 3).collect()] == [800010]
+    assert [r["doc_id"] for r in s2.search("tierterm", 5).collect()] == [800001, 800003]
+
+
+def test_merge_tier_fewer_than_two_segments_noop(spark, tmp_path):
+    from data_text_search_spark.streaming.incremental import merge_tier
+    root = _base(spark, tmp_path)
+    m0 = merge_tier(spark, root)
+    assert not m0.get("segments")
+    add_documents(spark, root, spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [900001], "content": ["solo segment"]})), id_col="doc_id")
+    m1 = merge_tier(spark, root)
+    assert [s["segment"] for s in m1["segments"]] == [0]  # untouched

@@ -476,3 +476,51 @@ def test_persisted_signature_reused(embeddings):
         ._jdf.queryExecution().executedPlan().toString()
     assert "sig64_udf" not in plan and "ArrowEvalPython" not in plan
     signed.unpersist()
+
+
+# ------------------------------------------- round-3 shuffle-shape guards
+
+def test_minhash_sig_prefilter_preserves_pairs(documents):
+    """The signature-estimate pre-filter must not change the output on a
+    real corpus (it only prunes candidates far below the threshold)."""
+    base = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+            dedup.minhash_lsh_pairs(documents, threshold=0.5,
+                                    sig_prefilter_margin=None).collect()}
+    pre = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+           dedup.minhash_lsh_pairs(documents, threshold=0.5,
+                                   sig_prefilter_margin=0.2).collect()}
+    assert pre == base
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """A boilerplate class (identical fingerprints) must not emit M²/2
+    join rows when capped; distinct near-dup pairs still surface."""
+    boiler = ["copyright header license boilerplate text"] * 100
+    texts = boiler + ["unique quantum flux capacitor engaged"] * 2
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts}))
+    uncapped = dedup.simhash_pairs(df, max_hamming=3, bucket_cap=None)
+    capped = dedup.simhash_pairs(df, max_hamming=3, bucket_cap=50)
+    got_un = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    got_cap = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    boiler_pairs = {p for p in got_un if p[0] < 100 and p[1] < 100}
+    assert len(boiler_pairs) == 100 * 99 // 2  # degenerate class all-pairs
+    # cap drops EXACTLY the pairs whose every shared band is
+    # oversubscribed — the boilerplate class — and nothing else
+    assert got_cap == got_un - boiler_pairs
+    assert (100, 101) in got_cap  # the planted near-dup survives
+
+
+def test_lsh_dup_band_exchange_carries_no_vectors(embeddings):
+    """The 8-way band fan-out/self-join must shuffle only (id, sig) —
+    vectors are re-attached per surviving candidate pair."""
+    import re
+
+    from data_text_search_spark.plans.explain_tools import formatted_plan
+    plan = formatted_plan(similarity.lsh_dup_pairs(embeddings, threshold=0.5))
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    band_ex = [b for b in blocks
+               if b.startswith("Exchange") and "hashpartitioning(band" in b]
+    assert band_ex, "expected band/bucket exchanges in the plan"
+    for b in band_ex:
+        assert not re.search(r"[\[, ](v|va|vb|embedding)#", b), b

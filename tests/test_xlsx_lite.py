@@ -90,3 +90,55 @@ def test_read_table_xlsx_dispatch(spark, tmp_path):
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["text"] == "first doc body" and rows[1]["score"] == 3.5
     assert "doc_id" in df.columns
+
+
+def test_read_xlsx_duplicate_headers_deduped(tmp_path):
+    """Two columns named 'name' must come back as name / name.1 (pandas
+    convention), not collapse into one ragged column."""
+    p = str(tmp_path / "dup.xlsx")
+    _make_xlsx(p)
+    import zipfile as _zf
+
+    with _zf.ZipFile(p) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"].decode()
+    # rename headers: id -> name, score -> name (two duplicates of 'name')
+    sheet = sheet.replace("<is><t>id</t></is>", "<is><t>name</t></is>")
+    sheet = sheet.replace("<is><t>score</t></is>", "<is><t>name</t></is>")
+    parts["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with _zf.ZipFile(p, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, data)
+    pdf = read_xlsx(p)
+    assert list(pdf.columns) == ["name", "text", "name.1", "flag"]
+    assert pdf["name"].tolist() == [1, 2]
+    assert pdf["name.1"][0] == 3.5
+
+
+def test_expand_zips_guards(tmp_path):
+    """Nested zips extract into fresh subdirs; runaway nesting trips the
+    archive cap instead of looping forever."""
+    import os
+    import zipfile as _zf
+
+    inner_txt = tmp_path / "a.txt"
+    inner_txt.write_text("hello")
+    outer = str(tmp_path / "outer.zip")
+    with _zf.ZipFile(outer, "w") as z:
+        z.write(inner_txt, "member.txt")
+    out = rx.expand_zips([outer])
+    assert out == [os.path.join(f"{outer}.d", "member.txt")]
+    assert os.path.exists(out[0])
+
+    # deep nesting chain: bounded by max_archives, clear error
+    level = str(tmp_path / "z0.zip")
+    with _zf.ZipFile(level, "w") as z:
+        z.write(inner_txt, "x.txt")
+    for i in range(1, 6):
+        nxt = str(tmp_path / f"z{i}.zip")
+        with _zf.ZipFile(nxt, "w") as z:
+            z.writestr("inner.zip", open(level, "rb").read())
+        level = nxt
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="nested archives"):
+        rx.expand_zips([level], max_archives=3)
