@@ -117,6 +117,53 @@ def q_bm25_topk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+def _incremental_searcher(spark: SparkSession, sf_dir: str):
+    """Exercise the WHOLE incremental surface under the oracle gate:
+    base build over ~80% of the corpus → two add_documents delta
+    segments → merge_tier (segment-tier compaction) → merge_segments
+    (full-stat refresh, bit-identical to a from-scratch build — which is
+    what makes the DuckDB full-corpus oracle exact for this row).
+    streaming/incremental.py:56,206."""
+    key = ("incidx", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.index_build import build_index
+        from data_text_search_spark.operators.index_query import IndexSearcher
+        from data_text_search_spark.streaming.incremental import (
+            add_documents,
+            merge_segments,
+            merge_tier,
+        )
+
+        root = tempfile.mkdtemp(prefix="dts_incidx_") + "/idx"
+        docs = _documents(spark, sf_dir)
+        part = F.pmod(F.col("doc_id"), F.lit(10))
+        cfg = BM25Config(alpha=APP_CFG.alpha)
+        build_index(spark, docs.filter(part < 8), root, cfg,
+                    text_col="text", id_col="doc_id")
+        add_documents(spark, root, docs.filter(part == 8),
+                      text_col="text", id_col="doc_id")
+        add_documents(spark, root, docs.filter(part == 9),
+                      text_col="text", id_col="doc_id")
+        merge_tier(spark, root)
+        merge_segments(spark, root)
+        s = IndexSearcher(spark, root)
+        s.warm()
+        _CACHE[key] = (None, s)
+    return _CACHE[key][1]
+
+
+def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query through an index grown INCREMENTALLY (streaming
+    segment appends + tiered merge + full compaction) — hash-checked
+    against the identical full-corpus DuckDB oracle."""
+    s = _incremental_searcher(spark, sf_dir)
+    res = s.search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 BATCH_QUERIES = [FLAGSHIP_QUERY, "sort merge window", "stream batch filter"]
 
 
@@ -322,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_physical": q_bm25_topk_physical,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
+        "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_clean": q_bm25_topk_clean,
         "bm25_full_pipeline": q_bm25_full_pipeline,
         "doc_stats": q_doc_stats,
@@ -355,6 +403,8 @@ def oracle_sql() -> dict[str, str]:
                                                 alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
+        "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                                    alpha=APP_CFG.alpha),
         "bm25_topk_clean": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                               alpha=APP_CFG.alpha, clean=True),
         "bm25_full_pipeline": osql.bm25_full_pipeline_sql(

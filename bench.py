@@ -106,10 +106,51 @@ def main() -> None:
     results["query_batch_1000"] = round(big_sec, 3)
 
     # --- driver-contract queries at sf_dir ---
+    # pre-build the heavyweight one-time artifacts OUTSIDE the per-query
+    # timings (and time them under their own keys), so the contract rows
+    # below measure QUERY cost, not a bundled index build
+    t0 = time.perf_counter()
+    entrymod._physical_searcher(spark, sf_dir)
+    results["physical_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._physical_searcher(spark, sf_dir, codec="compact")
+    results["physical_index_build_compact"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._incremental_searcher(spark, sf_dir)
+    results["incremental_pipeline_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._ann_index_root(spark, sf_dir)
+    results["ann_index_build"] = round(time.perf_counter() - t0, 3)
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         results[name] = round(time.perf_counter() - t0, 3)
+
+    # --- ANN recall evidence (multi-probe persisted index vs exact) ---
+    # recall@k of ann_index_search against cosine_topk ground truth over
+    # a handful of held-out query vectors, plus the probed fraction —
+    # recorded per round so recall regressions surface like perf ones
+    from data_text_search_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    ann_root = entrymod._ann_index_root(spark, sf_dir)
+    k = 20
+    recalls, probed = [], []
+    for vid in (0, 7, 13, 29, 41):
+        row = emb.filter(emb.vec_id == vid).select("embedding").first()
+        if row is None:
+            continue
+        qv = list(row["embedding"])
+        exact = {r["vec_id"] for r in
+                 similarity.cosine_topk(emb, qv, k=k).collect()}
+        approx = {r["vec_id"] for r in
+                  similarity.ann_index_search(spark, ann_root, qv,
+                                              k=k).collect()}
+        recalls.append(len(exact & approx) / max(len(exact), 1))
+        probed.append(len(similarity.probe_buckets(qv))
+                      / 2 ** similarity.BUCKET_BITS)
+    ann_recall = round(sum(recalls) / max(len(recalls), 1), 4)
+    ann_probed_fraction = round(sum(probed) / max(len(probed), 1), 4)
+    emb.unpersist()
 
     # posting-payload evidence from the indexes already built above: the
     # bench's own f64 index and the contract's compact index
@@ -132,6 +173,8 @@ def main() -> None:
         "query_qps_batch1000": round(1000 / big_sec, 1),
         "bytes_per_posting_f64": bpp_f64,
         "bytes_per_posting_compact": bpp_c,
+        "ann_recall": ann_recall,
+        "ann_probed_fraction": ann_probed_fraction,
         "cpus": cpus,
     }
     print(json.dumps(out))

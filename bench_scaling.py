@@ -62,11 +62,16 @@ build_index(spark, corpus, root, BM25Config(), id_col="doc_id",
 build_sec = time.perf_counter() - t0
 
 # query workload: the bundled set + deterministic 1-3 term queries over
-# the vocabulary (enough work that the batch actually parallelizes)
+# the vocabulary. 5000 queries (was 1000 in round 2): the engine's
+# absolute batch latency dropped ~3x this round, so a 1000-query batch
+# finishes in ~1-2 s and Spark's fixed per-job cost (~0.2-0.35 s of
+# scheduling + python-worker protocol, core-count-independent) would
+# dominate the N-vs-4N ratio; a throughput criterion is measured at
+# saturation.
 import numpy as np
 rs = np.random.RandomState(123)
 qtexts = [q["query_text"] for q in QUERIES]
-for i in range(988):
+for i in range(4988):
     k = 1 + (i % 3)
     qtexts.append(" ".join(rs.choice(VOCAB[:200], size=k)))
 s = IndexSearcher(spark, root)

@@ -110,6 +110,35 @@ def _term_decoder(codec: str, qidf: dict[str, float] | None,
     return decode
 
 
+def _merge_topn_driver(pdf: pd.DataFrame, n: int) -> pd.DataFrame:
+    """Driver-side scatter-gather merge: global top-n (per query when a
+    query_id column is present) of the per-task partial top-n rows, with
+    the deterministic (score desc, doc_id asc) tie-break, plus rank and
+    score_abs — identical rows to the distributed hash-agg merge."""
+    has_q = "query_id" in pdf.columns
+    cols = (["query_id"] if has_q else []) + ["doc_id", "score", "rank",
+                                              "score_abs"]
+    if pdf.empty:
+        out = pd.DataFrame({"query_id": pd.Series([], dtype="int32"),
+                            "doc_id": pd.Series([], dtype="int64"),
+                            "score": pd.Series([], dtype="float64"),
+                            "rank": pd.Series([], dtype="int32"),
+                            "score_abs": pd.Series([], dtype="float64")})
+        return out[cols]
+    qcol = (pdf["query_id"].to_numpy() if has_q
+            else np.zeros(len(pdf), dtype=np.int32))
+    order = np.lexsort((pdf["doc_id"].to_numpy(), -pdf["score"].to_numpy(),
+                        qcol))
+    top = (pdf.iloc[order].assign(_q=qcol[order])
+           .groupby("_q", sort=True).head(n).reset_index(drop=True))
+    top["rank"] = (top.groupby("_q").cumcount() + 1).astype("int32")
+    top["score_abs"] = np.abs(np.round(top["score"].to_numpy(), 2))
+    if has_q:
+        top["query_id"] = top["query_id"].astype("int32")
+    top["doc_id"] = top["doc_id"].astype("int64")
+    return top[cols]
+
+
 def _map_batches(kernel):
     """mapInPandas adapter: one kernel invocation per PARTITION (the
     Arrow batches of the partition concatenated). Scoring is
@@ -328,6 +357,10 @@ class IndexSearcher:
     # vocab at or below this collects to a driver dict, removing one Spark
     # job per query; larger dictionaries stay distributed
     DRIVER_TERM_CACHE_MAX = 2_000_000
+    # per-task top-k rows at or below this merge on the driver (one Arrow
+    # transfer, scatter-gather coordinator); above it — enormous batches on
+    # enormous task grids — the distributed hash-agg merge takes over
+    DRIVER_MERGE_MAX_ROWS = 2_000_000
 
     def __init__(self, spark: SparkSession, root: str, cache: bool = True):
         from data_text_search_spark.functions.text import TOKEN_PATTERN
@@ -414,7 +447,8 @@ class IndexSearcher:
         self.__init__(self.spark, self.paths.root)
 
     def _colocated_run(self, terms: list[str], kernel,
-                       columns: list[str], schema: str) -> DataFrame:
+                       columns: list[str], schema: str,
+                       tasks_per_core: int = 1) -> DataFrame:
         """Shuffle-free kernel stage (layout v2): one task per group of
         whole colocation units; each task reads ITS OWN units' posting
         files directly (pyarrow dataset: term-IN row-group statistics
@@ -425,12 +459,22 @@ class IndexSearcher:
         execution of a distributed search engine: every sub-shard is a
         self-contained local index for its documents. Reads are
         single-threaded per task (the task grid already saturates the
-        cores; per-task thread pools would oversubscribe 32x)."""
+        cores; per-task thread pools would oversubscribe 32x).
+
+        `tasks_per_core`: 1 (one wave). Python task launch costs ~20 ms
+        of non-parallelizing protocol overhead per task (measured: a
+        noop mapInPandas job is 0.21 s at 1 task, 0.96 s at 32), and for
+        search_batch the per-TASK output is ~queries x k rows whatever
+        the task holds — so extra waves multiply both the fixed bill and
+        the merge input. Doc-hash sharding keeps units balanced (max/
+        mean recorded in the build manifest), which is what wave
+        averaging would otherwise buy; raise it on clusters with genuine
+        straggler variance."""
         spark = self.spark
         units = self._units
-        T = int(min(len(units), max(
-            4 * spark.sparkContext.defaultParallelism,
-            int(spark.conf.get("spark.sql.shuffle.partitions", "8")))))
+        T = int(min(len(units),
+                    max(tasks_per_core * spark.sparkContext.defaultParallelism,
+                        1)))
         tset = sorted(terms)
 
         def run(batches):
@@ -490,19 +534,33 @@ class IndexSearcher:
                                        self.avgdl, self.k1, self.b)
         kschema = "query_id int, doc_id long, score double"
         if self._units is not None:
+            # ONE wave: per-task output is ~queries x n rows whatever the
+            # task holds, so extra waves only multiply the merge input
+            tasks = min(len(self._units),
+                        spark.sparkContext.defaultParallelism)
             local = self._colocated_run(sorted(term_set), kernel,
-                                        BATCH_COLS, kschema)
+                                        BATCH_COLS, kschema,
+                                        tasks_per_core=1)
         else:
+            tasks = self._kernel_parts()
             blocks = self.postings.filter(
                 F.col("term_bucket").isin(buckets)
                 & F.col("term").isin(sorted(term_set)))
-            local = (blocks.repartition(self._kernel_parts(), "shard")
+            local = (blocks.repartition(tasks, "shard")
                      .mapInPandas(_map_batches(kernel), schema=kschema))
-        # global merge as ONE hash aggregate instead of a window rank:
-        # per-shard results are already top-n, so each query carries at
-        # most shards·n tiny rows — collect_list gets map-side partial
-        # aggregation (a window would shuffle-sort every row). Sort key
-        # struct(-score, doc_id) = score desc, doc_id asc.
+        if tasks * len(qterms) * n <= self.DRIVER_MERGE_MAX_ROWS:
+            # the per-task tops are small (≤ tasks·queries·n rows): fetch
+            # them as ONE Arrow transfer and finish the top-n merge on the
+            # driver — the scatter-gather coordinator of a distributed
+            # search engine. Removes an exchange + stage whose fixed
+            # latency otherwise dominates at high parallelism.
+            out = _merge_topn_driver(local.toPandas(), n)
+            return spark.createDataFrame(out, schema=out_schema)
+        # cluster-scale merge (huge batch x task grids): ONE hash aggregate
+        # instead of a window rank — per-shard results are already top-n,
+        # so each query carries at most tasks·n tiny rows and collect_list
+        # gets map-side partial aggregation (a window would shuffle-sort
+        # every row). Sort key struct(-score, doc_id) = score desc, doc asc.
         item = F.struct((-F.col("score")).alias("ns"),
                         F.col("doc_id").alias("doc_id"),
                         F.col("score").alias("score"))
@@ -544,14 +602,21 @@ class IndexSearcher:
         kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
                                             self.avgdl, self.k1, self.b)
         if self._units is not None:
+            tasks = min(len(self._units),
+                        spark.sparkContext.defaultParallelism)
             local = self._colocated_run(sorted(qcounts), kernel,
                                         WAND_COLS, RESULT_SCHEMA)
         else:
+            tasks = self._kernel_parts()
             blocks = self.postings.filter(
                 F.col("term_bucket").isin(buckets)
                 & F.col("term").isin(list(qcounts)))
-            local = (blocks.repartition(self._kernel_parts(), "shard")
+            local = (blocks.repartition(tasks, "shard")
                      .mapInPandas(_map_batches(kernel), schema=RESULT_SCHEMA))
+        if tasks * n <= self.DRIVER_MERGE_MAX_ROWS:
+            out = _merge_topn_driver(local.toPandas(), n)
+            return spark.createDataFrame(
+                out, schema=RESULT_SCHEMA + ", rank int, score_abs double")
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (
             local.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)

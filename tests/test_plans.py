@@ -83,14 +83,21 @@ def test_batch_query_plan_is_shuffle_free_until_topk_merge(
     build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=1)
     s = IndexSearcher(spark, root)
     assert s._units, "layout v2 index must expose colocation units"
+    # default: per-task tops merge on the DRIVER (scatter-gather) — the
+    # returned frame is a local relation, zero exchanges anywhere
     plan = formatted_plan(s.search_batch(["zyzzyva obelisk", "return"], 10))
-    # colocated kernel stage: posting payloads are read per task (pyarrow,
-    # bucket-dir + term row-group pruned) and never cross an exchange —
-    # the only shuffled rows are the per-task top-k results
+    assert "Exchange" not in plan and "Scan parquet" not in plan, plan
+    # cluster-scale fallback (huge batch x task grids): the merge is a
+    # hash aggregate over the per-task top-k rows — still no posting
+    # payload exchange, no window shuffle-sort
+    old = IndexSearcher.DRIVER_MERGE_MAX_ROWS
+    IndexSearcher.DRIVER_MERGE_MAX_ROWS = 0
+    try:
+        plan = formatted_plan(s.search_batch(["zyzzyva obelisk", "return"], 10))
+    finally:
+        IndexSearcher.DRIVER_MERGE_MAX_ROWS = old
     assert "hashpartitioning(shard" not in plan
     assert "Scan parquet" not in plan  # no driver-planned postings scan
-    # per-query top-k merge is a hash aggregate (map-side partial), not a
-    # window shuffle-sort over every shard-local row
     assert "collect_list" in plan and "Window" not in plan
 
 
@@ -109,3 +116,25 @@ def test_colocated_and_shuffle_executors_agree(spark, corpus, tmp_path_factory):
     s._units = None  # force the shuffle fallback executor
     assert [tuple(r) for r in s.search_batch(queries, 5).collect()] == got_co
     assert [tuple(r) for r in s.search(queries[0], 5).collect()] == got_single_co
+
+
+def test_driver_and_distributed_merge_agree(spark, corpus, tmp_path_factory):
+    """The driver scatter-gather merge and the distributed hash-agg merge
+    must produce identical rows (same kernels, same tie-breaks)."""
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+    root = str(tmp_path_factory.mktemp("planidx4") / "idx")
+    build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    queries = ["zyzzyva obelisk", "return import", "def", "zzznone"]
+    drv_b = sorted(tuple(r) for r in s.search_batch(queries, 5).collect())
+    drv_s = [tuple(r) for r in s.search(queries[1], 5).collect()]
+    old = IndexSearcher.DRIVER_MERGE_MAX_ROWS
+    IndexSearcher.DRIVER_MERGE_MAX_ROWS = 0
+    try:
+        dist_b = sorted(tuple(r) for r in s.search_batch(queries, 5).collect())
+        dist_s = [tuple(r) for r in s.search(queries[1], 5).collect()]
+    finally:
+        IndexSearcher.DRIVER_MERGE_MAX_ROWS = old
+    assert drv_b == dist_b
+    assert drv_s == dist_s
