@@ -1,8 +1,12 @@
 """Query executor over the physical index: block-max dynamic pruning.
 
-Per-shard execution (applyInPandas over the pruned posting blocks of the
-query terms) followed by a global top-k merge — the distributed analog
-of the reference's single dict walk + heap (bm25_functions.py:148-175).
+Document-partitioned, shuffle-free execution (layout v2): each task
+reads its OWN colocation units' posting files (pyarrow, term-IN
+row-group pruning) and scores them in place; only per-task top-k rows
+leave the task, merged by a driver scatter-gather (or a hash aggregate
+for enormous grids) — the distributed analog of the reference's single
+dict walk + heap (bm25_functions.py:148-175), and of a Lucene cluster's
+per-shard local indexes.
 
 The in-shard kernel is a block-max MaxScore: a WAND-family dynamic
 pruning algorithm restated term-at-a-time so every step is vectorized
@@ -44,10 +48,11 @@ scorer, including adversarial negative-IDF corpora and a 30k-case
 posting-level fuzz of this kernel vs brute force): pruning only
 discards docs whose score provably cannot reach the shard's kth score.
 
-Scale shape: a query touches TP-pruned parquet directories + term-IN
-row-group pruning, so I/O ∝ posting lists of the query terms only —
-never a corpus scan. Per-shard work is bounded by the shard's share of
-those lists; the final merge moves only S·k rows.
+Scale shape: a query touches only the row groups its terms' sorted runs
+live in (parquet min/max pruning inside each unit file), so I/O ∝
+posting lists of the query terms only — never a corpus scan. Per-unit
+work is bounded by the unit's share of those lists; the final merge
+moves only tasks·k rows per query.
 """
 
 from __future__ import annotations
