@@ -104,6 +104,12 @@ def main() -> None:
     searcher.search_batch(big, 10).collect()
     big_sec = time.perf_counter() - t0
     results["query_batch_1000"] = round(big_sec, 3)
+    # same workload through the pandas bulk surface (no pandas->Spark->
+    # Row round trip) — the honest engine-throughput number
+    searcher.search_batch_pandas(big[:8], 10)
+    t0 = time.perf_counter()
+    searcher.search_batch_pandas(big, 10)
+    results["query_batch_1000_pandas"] = round(time.perf_counter() - t0, 3)
 
     # --- driver-contract queries at sf_dir ---
     # pre-build the heavyweight one-time artifacts OUTSIDE the per-query

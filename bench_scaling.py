@@ -76,11 +76,11 @@ for i in range(4988):
     qtexts.append(" ".join(rs.choice(VOCAB[:200], size=k)))
 s = IndexSearcher(spark, root)
 s.warm()
-s.search_batch(qtexts[:8], 10).collect()  # warm the scan path
+s.search_batch_pandas(qtexts[:8], 10)  # warm the scan path
 query_sec = None
 for _ in range(3):  # best-of-3: single-box runs are noisy
     t0 = time.perf_counter()
-    s.search_batch(qtexts, 10).collect()
+    s.search_batch_pandas(qtexts, 10)
     dt = time.perf_counter() - t0
     query_sec = dt if query_sec is None else min(query_sec, dt)
 print("RESULT " + json.dumps({{

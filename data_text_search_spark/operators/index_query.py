@@ -506,21 +506,43 @@ class IndexSearcher:
 
         return spark.range(0, T, 1, T).mapInPandas(run, schema=schema)
 
+    OUT_SCHEMA_BATCH = ("query_id int, doc_id long, score double, rank int, "
+                        "score_abs double")
+
     def search_batch(self, queries: list[str], n: int = 10) -> DataFrame:
         """Top-n per query for a batch, one Spark job.
 
         Returns (query_id int, doc_id long, score double, rank int,
         score_abs double); query_id is the position in `queries`.
         """
+        res = self._search_batch_impl(queries, n)
+        if isinstance(res, DataFrame):
+            return res
+        return self.spark.createDataFrame(res, schema=self.OUT_SCHEMA_BATCH)
+
+    def search_batch_pandas(self, queries: list[str],
+                            n: int = 10) -> pd.DataFrame:
+        """Bulk-throughput surface: exactly search_batch's rows, returned
+        as a pandas DataFrame. When the driver scatter-gather merge
+        applies (it almost always does), this skips the
+        pandas→Spark→Row round trip that `search_batch(...).collect()`
+        pays just to satisfy the DataFrame signature — the reference
+        returns pandas frames too (bm25_functions.py:619-640)."""
+        res = self._search_batch_impl(queries, n)
+        if isinstance(res, DataFrame):
+            return res.toPandas()
+        return res
+
+    def _search_batch_impl(self, queries: list[str],
+                           n: int) -> "pd.DataFrame | DataFrame":
         spark = self.spark
         per_q: dict[int, dict[str, int]] = {
             i: dict(Counter(tokenize_py(q))) for i, q in enumerate(queries)
         }
         all_terms = sorted({t for c in per_q.values() for t in c})
-        out_schema = ("query_id int, doc_id long, score double, rank int, "
-                      "score_abs double")
         if not all_terms:
-            return spark.createDataFrame([], out_schema)
+            return _merge_topn_driver(pd.DataFrame(columns=[
+                "query_id", "doc_id", "score"]), n)
         if self._term_map is not None:
             term_set = {t for t in all_terms if t in self._term_map}
             buckets = sorted({self._term_map[t][0] for t in term_set})
@@ -532,7 +554,8 @@ class IndexSearcher:
             buckets = sorted({r["term_bucket"] for r in present})
             qidf = {r["term"]: r["idf"] for r in present}
         if not term_set:
-            return spark.createDataFrame([], out_schema)
+            return _merge_topn_driver(pd.DataFrame(columns=[
+                "query_id", "doc_id", "score"]), n)
         qterms = {i: {t: c for t, c in qc.items() if t in term_set}
                   for i, qc in per_q.items()}
         kernel = _batch_kernel_factory(qterms, n, self.codec, qidf,
@@ -559,8 +582,7 @@ class IndexSearcher:
             # driver — the scatter-gather coordinator of a distributed
             # search engine. Removes an exchange + stage whose fixed
             # latency otherwise dominates at high parallelism.
-            out = _merge_topn_driver(local.toPandas(), n)
-            return spark.createDataFrame(out, schema=out_schema)
+            return _merge_topn_driver(local.toPandas(), n)
         # cluster-scale merge (huge batch x task grids): ONE hash aggregate
         # instead of a window rank — per-shard results are already top-n,
         # so each query carries at most tasks·n tiny rows and collect_list

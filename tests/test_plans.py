@@ -138,3 +138,18 @@ def test_driver_and_distributed_merge_agree(spark, corpus, tmp_path_factory):
         IndexSearcher.DRIVER_MERGE_MAX_ROWS = old
     assert drv_b == dist_b
     assert drv_s == dist_s
+
+
+def test_search_batch_pandas_matches_dataframe_surface(
+        spark, corpus, tmp_path_factory):
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+    root = str(tmp_path_factory.mktemp("planidx5") / "idx")
+    build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    queries = ["zyzzyva obelisk", "return import", "", "zzznone"]
+    df_rows = sorted(tuple(r) for r in s.search_batch(queries, 5).collect())
+    pd_rows = sorted(tuple(r) for r in
+                     s.search_batch_pandas(queries, 5).itertuples(index=False))
+    assert df_rows == pd_rows
+    assert s.search_batch_pandas(["zzznone"], 5).empty
