@@ -59,6 +59,13 @@ def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_end = (b & _CONT) == 0
+    if is_end.all():
+        # every value fits 7 bits (the common case for doc gaps and tfs):
+        # the buffer IS the value array — skips the scatter-add entirely
+        vals = b.astype(np.uint64)
+        if count is not None and vals.size != count:
+            raise ValueError(f"decoded {vals.size} values, expected {count}")
+        return vals
     # group id per byte: number of ends strictly before this byte
     gid = np.zeros(b.size, dtype=np.int64)
     np.cumsum(is_end[:-1], out=gid[1:])
@@ -125,6 +132,37 @@ def encode_doc_block(doc_ids: np.ndarray) -> tuple[int, int, bytes]:
         raise ValueError("empty block")
     deltas = np.diff(d).astype(np.uint64)  # sorted → non-negative
     return int(d[0]), int(d[-1]), varint_encode(deltas)
+
+
+def decode_doc_blocks_batch(first_doc_ids: np.ndarray, n_docs: np.ndarray,
+                            bufs: list[bytes]) -> np.ndarray:
+    """Decode MANY doc-id blocks in one pass: concatenate the delta
+    buffers, one varint decode, then a vectorized segmented
+    reconstruction (global cumsum + per-block base rebasing). Replaces
+    a per-block Python loop whose numpy-call overhead dominated decode
+    (blocks hold ~128 postings; a query touches 10^4-10^5 blocks).
+    Bit-identical to per-block decode_doc_block (each buffer holds
+    complete varints, so concatenated decode == concatenated decodes).
+    """
+    n = np.asarray(n_docs, dtype=np.int64)
+    first = np.asarray(first_doc_ids, dtype=np.int64)
+    dl = n - 1                      # deltas per block (first id is in-column)
+    deltas = varint_decode(b"".join(bufs), int(dl.sum()))
+    total = int(n.sum())
+    out = np.empty(total, dtype=np.int64)
+    starts = np.cumsum(n) - n       # block starts in `out`
+    dstarts = np.cumsum(dl) - dl    # block starts in `deltas`
+    cs = np.cumsum(deltas.astype(np.int64))
+    cs0 = np.concatenate(([0], cs))
+    # value of delta g in block b = first[b] + (cs[g] - cs_before_block[b])
+    base = first - cs0[dstarts]
+    owner = np.repeat(np.arange(n.size, dtype=np.int64), dl)
+    out[starts] = first
+    if deltas.size:
+        pos = starts[owner] + 1 + (np.arange(deltas.size, dtype=np.int64)
+                                   - dstarts[owner])
+        out[pos] = base[owner] + cs
+    return out
 
 
 def decode_doc_block(first_doc_id: int, n_docs: int, buf: bytes) -> np.ndarray:
