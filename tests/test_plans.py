@@ -153,3 +153,23 @@ def test_search_batch_pandas_matches_dataframe_surface(
                      s.search_batch_pandas(queries, 5).itertuples(index=False))
     assert df_rows == pd_rows
     assert s.search_batch_pandas(["zzznone"], 5).empty
+
+
+def test_batch_grid_shapes_all_agree(spark, corpus, tmp_path_factory):
+    """Every (query-replicas x doc-slices) grid shape must return
+    identical rows — the cost model only picks speed, never results."""
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+    root = str(tmp_path_factory.mktemp("planidx6") / "idx")
+    build_index(spark, corpus, root, id_col="doc_id", shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    queries = ["zyzzyva obelisk", "return import", "def class", "obelisk",
+               "import return def", ""]
+    want = None
+    for shape in [(1, 1), (1, 4), (4, 1), (2, 2), (3, 2)]:
+        s._batch_grid = lambda qterms, n_units, _s=shape: _s
+        got = sorted(tuple(r) for r in
+                     s.search_batch_pandas(queries, 5).itertuples(index=False))
+        if want is None:
+            want = got
+        assert got == want, shape
