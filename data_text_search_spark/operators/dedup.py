@@ -297,7 +297,7 @@ def simhash_expr(text_col: str):
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  bucket_cap: int | None = 100_000) -> DataFrame:
+                  bucket_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
     Candidates via 4x16-bit band collisions (any pair with hamming <= 3
     shares at least one of 4 bands — pigeonhole, exact recall).
@@ -307,8 +307,10 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     degenerate bucket (thousands of empty or boilerplate docs all
     fingerprinting to the same band value) would emit M²/2 join rows.
     With a cap the pigeonhole recall guarantee narrows to pairs with at
-    least one NON-oversubscribed shared band; None restores the exact
-    guarantee."""
+    least one NON-oversubscribed shared band. The default is None — the
+    documented contract of this operator is EXACT pigeonhole recall, so
+    the cap is strictly opt-in (pass e.g. 100_000 at corpus scale, as
+    minhash_lsh_pairs callers do)."""
     sh = df.select(F.col(id_col).alias("doc_id"),
                    simhash_expr(text_col).alias("sh")).persist()
     bands = F.explode(F.array(*[

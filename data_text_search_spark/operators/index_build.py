@@ -412,16 +412,27 @@ def build_index(
         gdir = f"{paths.postings}/group={g}"
         if subshards:
             # layout v2: ONE file per colocation unit (spart = shard %
-            # subshards), straight out of the encode tasks — no extra
-            # repartition shuffle, no per-bucket small files. Rows are
-            # term-sorted with bounded row groups, so a query task opens
-            # its own unit's file and prunes to its terms' row groups via
-            # parquet min/max stats (term_bucket stays as a data column
-            # for the v1 Spark-scan paths). File count per group =
-            # subshards, independent of the term-dictionary size.
-            (blocks
-             .withColumn("spart", F.pmod(F.col("shard"),
-                                         F.lit(subshards)).cast("int"))
+            # subshards). When shards == subshards the encode stage's
+            # groupBy("shard") already puts each spart's rows in exactly
+            # one task, so the partitionBy write emits one file per unit
+            # with no extra shuffle. When shards > subshards, shards
+            # mapping to the same spart land in different encode tasks
+            # and partitionBy would emit up to shards/subshards files per
+            # unit (shards total per group — a small-files blowup at the
+            # 10^5-shard scale this layout targets), so ONE repartition
+            # of the already-encoded blocks (the cheapest payload in the
+            # build, ~3-10 B/posting) restores the one-file-per-unit
+            # invariant. Rows are term-sorted with bounded row groups,
+            # so a query task opens its own unit's file and prunes to
+            # its terms' row groups via parquet min/max stats
+            # (term_bucket stays as a data column for the v1 Spark-scan
+            # paths). File count per group = subshards, independent of
+            # the term-dictionary size.
+            sparted = blocks.withColumn(
+                "spart", F.pmod(F.col("shard"), F.lit(subshards)).cast("int"))
+            if shards > subshards:
+                sparted = sparted.repartition(subshards, "spart")
+            (sparted
              .sortWithinPartitions("spart", "term", "shard", "block_id")
              .write.mode("overwrite")
              .option("parquet.block.size", str(16 << 20))

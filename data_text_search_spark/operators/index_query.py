@@ -122,11 +122,25 @@ def _term_decoder(codec: str, qidf: dict[str, float] | None,
     return decode
 
 
+def _score_abs_half_up(s: np.ndarray) -> np.ndarray:
+    """abs(round(score, 2)) with SQL HALF_UP (half away from zero)
+    semantics — the same convention as the distributed merge's
+    F.abs(F.round(...)) and the DuckDB oracle. np.round is half-to-even,
+    which differs on exactly-representable halves (0.125 → 0.12 vs 0.13)
+    and can flake the driver-vs-distributed parity pin."""
+    return np.floor(np.abs(s) * 100.0 + 0.5) / 100.0
+
+
 def _merge_topn_driver(pdf: pd.DataFrame, n: int) -> pd.DataFrame:
     """Driver-side scatter-gather merge: global top-n (per query when a
     query_id column is present) of the per-task partial top-n rows, with
     the deterministic (score desc, doc_id asc) tie-break, plus rank and
-    score_abs — identical rows to the distributed hash-agg merge."""
+    score_abs — identical rows to the distributed hash-agg merge.
+
+    Pure numpy (one lexsort + a boundary sweep): the pandas
+    groupby.head/cumcount form cost 3-5x more on the 10^5-row merges of
+    large batch × task grids, and the merge is serial driver time that
+    the N→4N scaling criterion pays at full price."""
     has_q = "query_id" in pdf.columns
     cols = (["query_id"] if has_q else []) + ["doc_id", "score", "rank",
                                               "score_abs"]
@@ -137,18 +151,45 @@ def _merge_topn_driver(pdf: pd.DataFrame, n: int) -> pd.DataFrame:
                             "rank": pd.Series([], dtype="int32"),
                             "score_abs": pd.Series([], dtype="float64")})
         return out[cols]
-    qcol = (pdf["query_id"].to_numpy() if has_q
-            else np.zeros(len(pdf), dtype=np.int32))
-    order = np.lexsort((pdf["doc_id"].to_numpy(), -pdf["score"].to_numpy(),
-                        qcol))
-    top = (pdf.iloc[order].assign(_q=qcol[order])
-           .groupby("_q", sort=True).head(n).reset_index(drop=True))
-    top["rank"] = (top.groupby("_q").cumcount() + 1).astype("int32")
-    top["score_abs"] = np.abs(np.round(top["score"].to_numpy(), 2))
-    if has_q:
-        top["query_id"] = top["query_id"].astype("int32")
-    top["doc_id"] = top["doc_id"].astype("int64")
-    return top[cols]
+    q = (pdf["query_id"].to_numpy(dtype=np.int32) if has_q
+         else np.zeros(len(pdf), dtype=np.int32))
+    d = pdf["doc_id"].to_numpy(dtype=np.int64)
+    s = pdf["score"].to_numpy(dtype=np.float64)
+    order = np.lexsort((d, -s, q))
+    qs, ds, ss = q[order], d[order], s[order]
+    # rank within query = position − its group's start position
+    newgrp = np.concatenate(([True], qs[1:] != qs[:-1]))
+    starts = np.flatnonzero(newgrp)
+    gid = np.cumsum(newgrp) - 1
+    rank0 = np.arange(qs.size) - starts[gid]
+    keep = rank0 < n
+    out = pd.DataFrame({
+        "query_id": qs[keep],
+        "doc_id": ds[keep],
+        "score": ss[keep],
+        "rank": (rank0[keep] + 1).astype(np.int32),
+        "score_abs": _score_abs_half_up(ss[keep]),
+    })
+    return out[cols]
+
+
+def _read_unit(pds, unit: str, columns: list[str], flt):
+    """Column-pruned, term-filtered pyarrow read of ONE colocation unit.
+
+    A unit enumerated by the searcher's manifest snapshot MUST exist: a
+    missing directory means a concurrent merge_tier/merge_segments (or a
+    manual wipe) replaced the index under this open searcher. Silently
+    skipping it would return results missing that unit's entire corpus
+    slice — fail loudly instead, like the v1 executor's Spark scan does
+    in the same race."""
+    try:
+        dset = pds.dataset(unit, format="parquet")
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"index colocation unit vanished: {unit!r} — the index was "
+            "merged/compacted (or deleted) after this searcher opened; "
+            "call refresh() on the IndexSearcher and retry") from e
+    return dset.to_table(columns=columns, filter=flt, use_threads=False)
 
 
 def _map_batches(kernel):
@@ -280,12 +321,19 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int,
         sgain = np.concatenate((np.cumsum(gain[::-1])[::-1][1:], [0.0]))
         sloss = np.concatenate((np.cumsum(loss[::-1])[::-1][1:], [0.0]))
 
+        # accumulator: doc-sorted parallel arrays + an aligned dead mask.
+        # Per term the merge is O(A + B) (searchsorted + fancy add for
+        # docs already present, one sorted np.insert for new docs) — the
+        # old form re-sorted the WHOLE accumulator with np.unique over
+        # the concatenation every term, O(T·A·log A) for many-term
+        # queries; this is the batch kernel's dense-accumulation shape
+        # restated for an accumulator that grows term by term.
         acc_docs = np.empty(0, dtype=np.int64)
         acc_scores = np.empty(0, dtype=np.float64)
         # docs that ever failed an alive check: provably below the final kth
         # score, so they can't be in the top-k — but their accumulated score
         # is stale (missed later contributions) and must not be emitted
-        dead = np.empty(0, dtype=np.int64)
+        dead_mask = np.empty(0, dtype=bool)
         # once ANY term is processed in pruned (non-essential) mode, the
         # candidate universe is permanently frozen: every doc unseen at that
         # point has final score < θ_lb(then) ≤ final kth (the proof is a
@@ -295,13 +343,23 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int,
         frozen = False
 
         def accumulate(docs, contribs):
-            nonlocal acc_docs, acc_scores
-            all_docs = np.concatenate((acc_docs, docs))
-            all_sc = np.concatenate((acc_scores, contribs))
-            uniq, inv = np.unique(all_docs, return_inverse=True)
-            sums = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(sums, inv, all_sc)
-            acc_docs, acc_scores = uniq, sums
+            nonlocal acc_docs, acc_scores, dead_mask
+            o = np.argsort(docs, kind="stable")
+            ds, cs = docs[o], contribs[o]
+            pos = np.searchsorted(acc_docs, ds)
+            hit = np.zeros(ds.size, dtype=bool)
+            if acc_docs.size:
+                inb = pos < acc_docs.size
+                hit[inb] = acc_docs[pos[inb]] == ds[inb]
+            # one posting per (term, doc): hit positions are unique, so a
+            # fancy add is exact (same acc+contrib order as before)
+            acc_scores[pos[hit]] += cs[hit]
+            if hit.all():
+                return
+            miss = ~hit
+            acc_docs = np.insert(acc_docs, pos[miss], ds[miss])
+            acc_scores = np.insert(acc_scores, pos[miss], cs[miss])
+            dead_mask = np.insert(dead_mask, pos[miss], False)
 
         for i, term in enumerate(term_list):
             q = qcounts[term]
@@ -312,9 +370,7 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int,
             # score is stale-HIGH (it skipped later contributions, which
             # can be negative under unsmoothed IDF), so including it could
             # inflate θ_lb and over-prune a true top-k doc.
-            live_mask = (~np.isin(acc_docs, dead) if dead.size
-                         else np.ones(acc_docs.size, dtype=bool))
-            live_scores = acc_scores[live_mask]
+            live_scores = acc_scores[~dead_mask]
             if live_scores.size >= k:
                 kth = np.partition(live_scores, live_scores.size - k)[live_scores.size - k]
                 theta_lb = kth + loss[i] + sloss[i]
@@ -327,27 +383,29 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int,
                 frozen = True
                 # only never-dead candidates that can still reach θ_lb
                 # matter; a dead doc's stale score must never resurrect it
-                alive = (acc_scores + gain[i] + sgain[i] >= theta_lb) & live_mask
+                alive = (acc_scores + gain[i] + sgain[i] >= theta_lb) & ~dead_mask
+                dead_mask = ~alive
                 cand = acc_docs[alive]
-                dead = np.union1d(dead, acc_docs[~alive])
                 if cand.size == 0:
                     continue
-                lo, hi = cand.min(), cand.max()
+                lo, hi = cand[0], cand[-1]  # acc_docs is sorted
                 rows = rows[(rows["last_doc_id"] >= lo) & (rows["first_doc_id"] <= hi)]
                 if rows.empty:
                     continue
             docs, imps = decode(term, rows)
             imps = imps * q
             if pruned_mode:
-                m = np.isin(docs, cand)
+                # membership via the sorted accumulator + the alive mask
+                pos = np.searchsorted(acc_docs, docs)
+                pos_c = np.minimum(pos, acc_docs.size - 1)
+                m = (pos < acc_docs.size) & (acc_docs[pos_c] == docs) & alive[pos_c]
                 docs, imps = docs[m], imps[m]
                 if docs.size == 0:
                     continue
             accumulate(docs, imps)
 
-        if dead.size:
-            live = ~np.isin(acc_docs, dead)
-            acc_docs, acc_scores = acc_docs[live], acc_scores[live]
+        if dead_mask.any():
+            acc_docs, acc_scores = acc_docs[~dead_mask], acc_scores[~dead_mask]
         if acc_docs.size == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
@@ -499,12 +557,7 @@ class IndexSearcher:
                 for tid in idx["id"].tolist():
                     parts = []
                     for u in units[tid::T]:
-                        try:
-                            dset = pds.dataset(u, format="parquet")
-                        except FileNotFoundError:
-                            continue
-                        tbl = dset.to_table(columns=columns, filter=flt,
-                                            use_threads=False)
+                        tbl = _read_unit(pds, u, columns, flt)
                         if tbl.num_rows:
                             parts.append(tbl.to_pandas())
                     if not parts:
@@ -541,12 +594,14 @@ class IndexSearcher:
         F_Q, D_P, M_R = 1.1e-4, 5e-7, 1e-6
         C = max(self.spark.sparkContext.defaultParallelism, 1)
         Q = max(len(qterms), 1)
-        if self._term_map is not None:
-            union = {t for qc in qterms.values() for t in qc}
-            df_total = sum(self._term_map[t][2] for t in union
-                           if t in self._term_map)
-        else:
-            df_total = 0
+        if self._term_map is None:
+            # posting volume unknown (warm() not called): dd=0 would
+            # collapse Td to 1 and serialize the whole pruned posting
+            # read into one task — default to the doc-parallel grid
+            return 1, max(1, min(C, n_units))
+        union = {t for qc in qterms.values() for t in qc}
+        df_total = sum(self._term_map[t][2] for t in union
+                       if t in self._term_map)
         qf, dd = Q * F_Q, df_total * D_P
         best = None
         for tq in range(1, C + 1):
@@ -584,12 +639,7 @@ class IndexSearcher:
                     flt = pds.field("term").isin(gterms[qi])
                     parts = []
                     for u in units[di::Td]:
-                        try:
-                            dset = pds.dataset(u, format="parquet")
-                        except FileNotFoundError:
-                            continue
-                        tbl = dset.to_table(columns=BATCH_COLS, filter=flt,
-                                            use_threads=False)
+                        tbl = _read_unit(pds, u, BATCH_COLS, flt)
                         if tbl.num_rows:
                             parts.append(tbl.to_pandas())
                     if not parts:
@@ -799,5 +849,5 @@ class IndexSearcher:
                                             self.avgdl, self.k1, self.b)
         res = kernel(blocks).reset_index(drop=True)
         res["rank"] = np.arange(1, len(res) + 1, dtype=np.int32)
-        res["score_abs"] = np.abs(np.round(res["score"], 2))
+        res["score_abs"] = _score_abs_half_up(res["score"].to_numpy())
         return res[cols]

@@ -221,10 +221,13 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
     if subshards:
         # layout v2 — segments mirror the base's spart colocation dirs
         # (one term-sorted file per unit) so the shuffle-free query path
-        # covers them too
-        (blocks
-         .withColumn("spart",
-                     F.pmod(F.col("shard"), F.lit(subshards)).cast("int"))
+        # covers them too; same shards>subshards realignment as the base
+        # build (index_build.py postings stage)
+        sparted = blocks.withColumn(
+            "spart", F.pmod(F.col("shard"), F.lit(subshards)).cast("int"))
+        if manifest["shards"] > subshards:
+            sparted = sparted.repartition(subshards, "spart")
+        (sparted
          .sortWithinPartitions("spart", "term", "shard", "block_id")
          .write.mode("overwrite")
          .option("parquet.block.size", str(16 << 20))
