@@ -229,16 +229,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
 
 
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate recall → no SQL oracle (driver rows-only check);
-    # tests assert lsh pairs ⊆ exact pairs with high recall
+def q_minhash_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/value CERTIFICATE for MinHash-LSH (oracle: typed empty
+    set). Every (doc_a, doc_b, jaccard) the LSH path emits must appear
+    verbatim in the exact shingle-Jaccard pairs (which hash-match DuckDB
+    in the ngram_jaccard row): LSH verifies candidates with EXACT
+    Jaccard, so the anti-join is empty unless banding/verify/rounding is
+    wrong. Recall (hash-family dependent, not SQL-expressible) stays
+    asserted in pytest (recall >= 0.9, precision == 1 vs exact)."""
     from data_text_search_spark.operators import dedup
-    return dedup.minhash_lsh_pairs(_documents(spark, sf_dir), threshold=0.5)
+    docs = _documents(spark, sf_dir)
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return lsh.join(exact, ["doc_a", "doc_b", "jaccard"], "left_anti")
 
 
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-recall CERTIFICATE for SimHash (oracle: typed empty set).
+    4x16-bit and 8x8-bit bandings are INDEPENDENT pigeonhole
+    decompositions, each with exact recall for hamming<=3 — their pair
+    sets (with hamming values) must be identical, so the symmetric
+    difference is empty unless banding/bucketing/hamming-verify is
+    wrong. The fingerprint function itself is pinned against per-doc
+    brute force in pytest (it has no DuckDB form: JVM xxhash64)."""
     from data_text_search_spark.operators import dedup
-    return dedup.simhash_pairs(_documents(spark, sf_dir), max_hamming=3)
+    docs = _documents(spark, sf_dir)
+    p16 = dedup.simhash_pairs(docs, max_hamming=3, band_bits=16)
+    p8 = dedup.simhash_pairs(docs, max_hamming=3, band_bits=8)
+    return p16.exceptAll(p8).unionByName(p8.exceptAll(p16))
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,14 +287,24 @@ def _ann_index_root(spark: SparkSession, sf_dir: str) -> str:
     return _CACHE[key][1]
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate recall → rows-only check; tested vs brute force in tests/.
-    # Exercises the PERSISTED signature index: bucket-partitioned parquet,
-    # multi-probe partition-pruned scan (the 100 TB path).
+def q_ann_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-exactness CERTIFICATE for the persisted ANN index (oracle:
+    typed empty set). Runs the real multi-probe partition-pruned search
+    (the 100 TB path), then anti-joins its hits against an exact
+    full-scan cosine on (vec_id, score): ANN is approximate in RECALL
+    only — every returned score must be the exact cosine of that id, so
+    any stale/corrupt index row or scoring drift makes this non-empty.
+    Recall (1.0 at 12.5% probed on planted near-dups) is measured per
+    round in bench.py and asserted vs brute force in pytest."""
     from data_text_search_spark.operators import similarity
     qv = _query_vec(spark, sf_dir, 0)
     root = _ann_index_root(spark, sf_dir)
-    return similarity.ann_index_search(spark, root, qv, k=20)
+    hits = similarity.ann_index_search(spark, root, qv, k=20)
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    exact = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.round(similarity.cosine_expr(F.col("embedding"), q), 6).alias("score"))
+    return hits.join(exact, ["vec_id", "score"], "left_anti")
 
 
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,11 +313,30 @@ def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        threshold=0.4)
 
 
-def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate recall → rows-only; precision/recall tested vs exact
+def q_lsh_dup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/value CERTIFICATE for hyperplane-LSH dup pairs (oracle:
+    typed empty set): every (id_a, id_b, cosine) the banded path emits
+    must appear verbatim in the exact all-pairs result (itself
+    hash-matched against DuckDB in the cosine_dup_pairs row) — LSH
+    verifies candidates with exact cosine, so the anti-join is empty
+    unless banding/verify/rounding is wrong. Recall asserted in pytest."""
     from data_text_search_spark.operators import similarity
-    return similarity.lsh_dup_pairs(_embeddings(spark, sf_dir),
-                                    threshold=0.4)
+    emb = _embeddings(spark, sf_dir)
+    lsh = similarity.lsh_dup_pairs(emb, threshold=0.4)
+    exact = similarity.cosine_dup_pairs(emb, threshold=0.4)
+    return lsh.join(exact, ["id_a", "id_b", "cosine"], "left_anti")
+
+
+def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 int8 embedding storage under the oracle gate: quantize →
+    dequantize → exact cosine top-k, hash-matched against a DuckDB
+    oracle doing the identical quantize→dequantize→cosine arithmetic —
+    the storage cast is query-correct, not just schema-correct."""
+    from data_text_search_spark.operators import semantic, similarity
+    qv = _query_vec(spark, sf_dir, 0)
+    stored = semantic.quantize_int8(_embeddings(spark, sf_dir)).drop("embedding")
+    deq = semantic.dequantize_int8(stored)
+    return similarity.cosine_topk(deq, qv, k=20)
 
 
 def q_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,12 +429,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_pairs": q_simhash_pairs,
+        "minhash_lsh_cert": q_minhash_lsh_cert,
+        "simhash_cert": q_simhash_cert,
         "cosine_topk": q_cosine_topk,
+        "cosine_topk_int8": q_cosine_topk_int8,
         "cosine_dup_pairs": q_cosine_dup_pairs,
-        "lsh_dup_pairs": q_lsh_dup_pairs,
-        "ann_lsh": q_ann_lsh,
+        "lsh_dup_cert": q_lsh_dup_cert,
+        "ann_lsh_cert": q_ann_lsh_cert,
         "semantic_search": q_semantic_search,
         "fuzzy_search": q_fuzzy_search,
         "fuzzy_phrase": q_fuzzy_phrase,
@@ -419,10 +467,20 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": osql.fingerprint_sql(),
         "exact_dedup": osql.exact_dedup_sql(),
         "ngram_jaccard": osql.ngram_jaccard_sql(n=3, threshold=0.5),
-        # minhash_lsh / simhash_pairs / ann_lsh: approximate (hash-family
-        # dependent) → intentionally no SQL oracle; driver rows-only check,
-        # engine-side tests verify them against their exact counterparts
+        # approximate operators are oracle-checked via CERTIFICATES: the
+        # engine computes a set difference against its exact counterpart
+        # (itself hash-matched above/below) that must be the typed empty
+        # set; recall distributions stay asserted in pytest
+        "minhash_lsh_cert": osql.empty_sql(
+            {"doc_a": "BIGINT", "doc_b": "BIGINT", "jaccard": "DOUBLE"}),
+        "simhash_cert": osql.empty_sql(
+            {"doc_a": "BIGINT", "doc_b": "BIGINT", "hamming": "INTEGER"}),
+        "lsh_dup_cert": osql.empty_sql(
+            {"id_a": "BIGINT", "id_b": "BIGINT", "cosine": "DOUBLE"}),
+        "ann_lsh_cert": osql.empty_sql(
+            {"vec_id": "BIGINT", "score": "DOUBLE"}),
         "cosine_topk": osql.cosine_topk_sql(query_vec_id=0, k=20),
+        "cosine_topk_int8": osql.cosine_topk_int8_sql(query_vec_id=0, k=20),
         "cosine_dup_pairs": osql.cosine_dup_pairs_sql(threshold=0.4),
         "semantic_search": osql.semantic_search_sql(0, 0.2, 9999),
         "fuzzy_search": osql.fuzzy_search_sql(FUZZY_QUERY, max_mistakes=1),

@@ -297,10 +297,15 @@ def simhash_expr(text_col: str):
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  bucket_cap: int | None = None) -> DataFrame:
+                  bucket_cap: int | None = None,
+                  band_bits: int = 16) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
-    Candidates via 4x16-bit band collisions (any pair with hamming <= 3
-    shares at least one of 4 bands — pigeonhole, exact recall).
+    Candidates via band collisions over 64/band_bits bands (any pair
+    with hamming < n_bands shares at least one band — pigeonhole, exact
+    recall whenever max_hamming < 64/band_bits; 4x16-bit default).
+    Two different band_bits choices are independent decompositions that
+    must produce identical pair sets — the driver-contract certificate
+    exploits exactly that.
 
     `bucket_cap`: (band, bucket) groups above the cap are skipped before
     the self-join, same guard as minhash_lsh_pairs/lsh_dup_pairs — a
@@ -311,14 +316,20 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     documented contract of this operator is EXACT pigeonhole recall, so
     the cap is strictly opt-in (pass e.g. 100_000 at corpus scale, as
     minhash_lsh_pairs callers do)."""
+    n_bands = 64 // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"exact pigeonhole recall needs max_hamming < {n_bands} bands "
+            f"(band_bits={band_bits}); got max_hamming={max_hamming}")
+    mask = (1 << band_bits) - 1
     sh = df.select(F.col(id_col).alias("doc_id"),
                    simhash_expr(text_col).alias("sh")).persist()
     bands = F.explode(F.array(*[
         F.struct(
             F.lit(bi).alias("band"),
-            F.shiftrightunsigned("sh", bi * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned("sh", bi * band_bits).bitwiseAND(F.lit(mask))
             .alias("bucket"))
-        for bi in range(4)
+        for bi in range(n_bands)
     ]))
     banded = sh.select("doc_id", "sh", bands.alias("bb")).select(
         "doc_id", "sh", F.col("bb.band").alias("band"),

@@ -31,10 +31,14 @@ def _tokens(text_col: str) -> Column:
 
 
 # BPE-ish pre-tokenization (GPT-2 flavored, dialect-portable subset):
-# letter runs, <=3-digit number chunks (GPT-style number splitting),
-# symbol runs — no capture groups or quotes so the same literal works in
-# Java regex, RE2 (DuckDB) and Python
-BPE_PATTERN = r"[a-z]+|[0-9]{1,3}|[^\sa-z0-9]+"
+# UNICODE letter runs (\pL — the engine tokenizer is unicode, and an
+# ASCII-only [a-z] proxy counted every CJK character as a symbol run,
+# drastically inflating the LLM-training cost estimate on non-Latin
+# corpora), <=3-digit number chunks (GPT-style number splitting), symbol
+# runs — no capture groups or quotes so the same literal works in Java
+# regex and RE2 (DuckDB); NOT python re (no \pL there — tests go through
+# the engines)
+BPE_PATTERN = r"[\pL]+|[0-9]{1,3}|[^\s\pL0-9]+"
 
 
 def token_count(df: DataFrame, text_col: str = "text",

@@ -203,6 +203,39 @@ WHERE round(i / (sa.sz + sb.sz - i), 6) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def empty_sql(cols: dict[str, str]) -> str:
+    """Typed empty result — the oracle for CERTIFICATE queries: the
+    engine computes a set difference that must be empty (approximate
+    pairs minus their exact counterpart, ANN hits whose score disagrees
+    with the exact cosine, two independent band decompositions
+    disagreeing). A non-empty engine result fails rows/hash-match, so
+    the driver's gate now covers the approximate operators too (recall
+    distributions stay asserted in pytest — recall is hash-family
+    dependent and has no SQL form)."""
+    sel = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in cols.items())
+    return f"SELECT {sel} WHERE 1 = 0"
+
+
+def cosine_topk_int8_sql(query_vec_id: int = 0, k: int = 20,
+                         scale: float = 127.0) -> str:
+    """int8-storage scoring oracle: quantize→dequantize→cosine in DuckDB
+    with the exact same arithmetic as semantic.quantize_int8/
+    dequantize_int8 (round-half-away-from-zero to tinyint, /scale, cast
+    to REAL i.e. fp32, widen to double for the cosine). Proves the
+    storage cast is QUERY-correct, not just schema-correct."""
+    deq = (f"list_transform(embedding, x -> cast(cast("
+           f"cast(round(cast(x as double) * {scale}) as tinyint)"
+           f" / {scale} as real) as double))")
+    return f"""WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id}),
+s AS (SELECT vec_id, {deq} AS emb FROM embeddings)
+SELECT s.vec_id,
+  round(list_cosine_similarity(s.emb, q.qv), 6) AS score
+FROM s, q
+ORDER BY list_cosine_similarity(s.emb, q.qv) DESC, s.vec_id
+LIMIT {k}"""
+
+
 def cosine_topk_sql(query_vec_id: int = 0, k: int = 20) -> str:
     return f"""WITH q AS (
   SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = {query_vec_id})

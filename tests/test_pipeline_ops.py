@@ -282,6 +282,30 @@ def test_fuzzy_empty_query(spark, documents):
     assert fuzzy.fuzzy_search(spark, documents, "???", 1).count() >= 0
 
 
+def test_fuzzy_vocab_strategy_matches_scan_and_plan(spark, documents):
+    """The vocab candidate-index path (edit distance over distinct tokens,
+    matches equi-joined back) returns IDENTICAL rows to the direct
+    theta-join, and its per-occurrence join is a broadcast hash
+    equi-join (codegen), not a nested-loop levenshtein over every
+    occurrence."""
+    from data_text_search_spark.plans.explain_tools import executed_plan
+
+    q = "tabel scann"
+    vocab_df = fuzzy.fuzzy_search(spark, documents, q, 1, strategy="vocab")
+    scan_df = fuzzy.fuzzy_search(spark, documents, q, 1, strategy="scan")
+    key = ["doc_id", "match_count", "n_chars", "score", "score_abs"]
+    a = sorted(map(tuple, vocab_df.select(key).collect()))
+    b = sorted(map(tuple, scan_df.select(key).collect()))
+    assert a == b and len(a) > 0
+    plan = executed_plan(vocab_df)
+    # occurrences attach through an equi-join; exactly one nested-loop
+    # (the vocab-sized theta-join) remains
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # the scan form has no hash join at all — the pin is meaningful
+    assert "BroadcastHashJoin" not in executed_plan(scan_df)
+
+
 # ------------------------------------------------------------------ joins
 
 def test_join_user_table_key_norm_and_dedup(spark):
