@@ -127,10 +127,38 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._ann_index_root(spark, sf_dir)
     results["ann_index_build"] = round(time.perf_counter() - t0, 3)
-    for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        results[name] = round(time.perf_counter() - t0, 3)
+
+    # Contract rows: N_PASSES INTERLEAVED passes over the whole query
+    # list, report the MEDIAN per row. One-draw timings on this VM are
+    # noise-dominated (2-5x neighbor swings — round 3 recorded a 13x
+    # swing on a byte-identical code path); interleaving means drift
+    # within a pass hits every row alike, and the median drops the
+    # outlier draw. Pass 1 additionally pays one-time plan/cache
+    # materialization (persisted prepared corpus, logical index), which
+    # the median also absorbs. min/max per row are reported alongside so
+    # a regression can be told from a noise spike.
+    N_PASSES = 3
+    contract = dict(entrymod.queries())
+    # the capped candidate-generation form recommended for real corpora,
+    # timed next to the uncapped exact oracle (queries()['ngram_jaccard'])
+    from data_text_search_spark.operators import dedup
+
+    def _ngram_capped(spark_, sf_dir_):
+        return dedup.ngram_jaccard_pairs(
+            entrymod._documents(spark_, sf_dir_), threshold=0.5,
+            max_shingle_df=50)
+
+    contract["ngram_jaccard_capped"] = _ngram_capped
+    samples: dict[str, list[float]] = {name: [] for name in contract}
+    for _ in range(N_PASSES):
+        for name, fn in contract.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+    queries_minmax: dict[str, list[float]] = {}
+    for name, ts in samples.items():
+        results[name] = round(sorted(ts)[len(ts) // 2], 3)
+        queries_minmax[name] = [round(min(ts), 3), round(max(ts), 3)]
 
     # --- ANN recall evidence (multi-probe persisted index vs exact) ---
     # recall of ann_index_search against the exact HIGH-SIMILARITY
@@ -185,6 +213,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": results,
+        "queries_minmax": queries_minmax,
+        "contract_passes": N_PASSES,
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
         "corpus_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 1),

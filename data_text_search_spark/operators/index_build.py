@@ -55,7 +55,6 @@ term.
 from __future__ import annotations
 
 import json
-import os
 import time
 
 import numpy as np
@@ -78,18 +77,17 @@ POSTINGS_SCHEMA = (
 
 
 def _write_manifest_atomic(path: str, manifest: dict) -> None:
-    tmp = f"{path}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, path)
+    # scheme-agnostic (posix, hdfs, s3a, ...) write-then-rename commit
+    from data_text_search_spark.sources import fsio
+    fsio.write_text_atomic(path, json.dumps(manifest, indent=1, sort_keys=True))
 
 
 def load_manifest(root: str) -> dict | None:
+    from data_text_search_spark.sources import fsio
     p = IndexPaths(root).manifest
-    if not os.path.exists(p):
+    if not fsio.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(fsio.read_text(p))
 
 
 # --- committed-view path listings -----------------------------------------
@@ -241,13 +239,13 @@ def build_index(
     Returns the final manifest. Stage timings land in manifest["metrics"].
     """
     paths = IndexPaths(root)
-    if not resume and os.path.exists(root):
+    from data_text_search_spark.sources import fsio
+    if not resume and fsio.exists(root, spark):
         # full rebuild: wipe everything, including incremental segment dirs
         # (postings/group=seg*) that a stage-wise overwrite would leave
         # behind — stale segments would double-count their documents
-        import shutil
-        shutil.rmtree(root)
-    os.makedirs(root, exist_ok=True)
+        fsio.delete(root, spark)
+    fsio.mkdirs(root, spark)
     shards = shards or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     tp = config.term_partitions
     # colocation units of the shuffle-free query path: capped so the file

@@ -57,7 +57,6 @@ moves only tasks·k rows per query.
 
 from __future__ import annotations
 
-import os
 from collections import Counter
 
 import numpy as np
@@ -458,11 +457,10 @@ class IndexSearcher:
         # layout v1 index → the repartition("shard") fallback executor.
         self._units: list[str] | None = None
         if m.get("subshards"):
+            from data_text_search_spark.sources import fsio
             units = []
             for d in committed_postings_dirs(root, m):
-                if not os.path.isdir(d):
-                    continue
-                units.extend(f"{d}/{name}" for name in sorted(os.listdir(d))
+                units.extend(f"{d}/{name}" for name in fsio.listdir(d, spark)
                              if name.startswith("spart="))
             self._units = units or None
         # enumerate committed directories from the manifest (never glob the

@@ -27,7 +27,6 @@ once batch tracking.
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,10 +46,10 @@ from data_text_search_spark.functions.text import tokenize_tf_pandas_udf
 
 
 def _wipe_segment_dirs(paths: IndexPaths, seg_id: int) -> None:
-    import shutil
+    from data_text_search_spark.sources import fsio
     for d in (paths.postings_seg(seg_id), paths.doc_stats_seg(seg_id),
               paths.term_stats_seg(seg_id), paths.tokenized_seg(seg_id)):
-        shutil.rmtree(d, ignore_errors=True)
+        fsio.delete(d)
 
 
 def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
@@ -320,30 +319,23 @@ def merge_segments(spark: SparkSession, root: str) -> dict:
     (Cost is still ∝ the WHOLE corpus; for compaction proportional to
     the delta size alone use merge_tier.)
 
-    LOCAL-FILESYSTEM ONLY: the merged index is built beside the live one
-    and swapped in with two os.rename calls — object stores (s3a://)
-    have no atomic directory rename; run full merges against a posix
-    index root and sync afterwards. The live index keeps answering
-    queries until the swap (open IndexSearchers hold the old file
-    listing — re-open after a merge). A crash BETWEEN the two renames
-    leaves no directory at `root` but a complete index at
-    `root.premerge` plus a `root.MERGE_SWAP` marker file naming both
-    paths for recovery (rename root.premerge back, or root.merge
-    forward; both are complete)."""
-    import shutil
-    from urllib.parse import urlparse
-
+    Filesystem story: the merged index is built beside the live one and
+    swapped in with two directory renames through the Hadoop FileSystem
+    API (sources/fsio.py) — atomic on posix and HDFS; on s3a a rename is
+    copy+delete, so the swap window is O(index bytes) there (prefer
+    merge_tier on hot object-store indexes, or swap a pointer above the
+    root). The live index keeps answering queries until the swap (open
+    IndexSearchers hold the old file listing — re-open after a merge).
+    A crash BETWEEN the two renames leaves no directory at `root` but a
+    complete index at `root.premerge` plus a `root.MERGE_SWAP` marker
+    naming both paths; `recover_merge(spark, root)` rolls forward (or
+    back) from exactly that state."""
     from data_text_search_spark.operators.index_build import (
         build_index,
         committed_tokenized_paths,
     )
+    from data_text_search_spark.sources import fsio
 
-    if urlparse(root).scheme not in ("", "file"):
-        raise ValueError(
-            f"merge_segments swaps directories with os.rename and supports "
-            f"local filesystem roots only, got {root!r}; copy the index "
-            "local, merge, and sync back (or use merge_tier, which only "
-            "writes new directories)")
     paths = IndexPaths(root)
     manifest = load_manifest(root)
     if not manifest or not manifest.get("complete"):
@@ -357,22 +349,59 @@ def merge_segments(spark: SparkSession, root: str) -> dict:
                      impact_codec=c.get("impact_codec", "f64"))
     pairs = spark.read.parquet(*committed_tokenized_paths(root, manifest))
     tmp = f"{root}.merge"
-    shutil.rmtree(tmp, ignore_errors=True)
+    fsio.delete(tmp, spark)
     build_index(spark, corpus=None, root=tmp, config=cfg,
                 shards=manifest["shards"], groups=manifest["groups"],
                 resume=False, tokenized_pairs=pairs,
                 subshards=manifest.get("subshards", 0))
     old = f"{root}.premerge"
-    shutil.rmtree(old, ignore_errors=True)
+    fsio.delete(old, spark)
     marker = f"{root}.MERGE_SWAP"
-    with open(marker, "w") as f:
-        f.write(f"swapping {tmp} over {root}; previous index at {old}\n"
-                "if root is missing: rename either back into place — "
-                "both are complete indexes\n")
-    os.rename(root, old)
-    os.rename(tmp, root)
-    os.remove(marker)
-    shutil.rmtree(old)
+    fsio.write_text(
+        marker,
+        f"swapping {tmp} over {root}; previous index at {old}\n"
+        "if root is missing: recover_merge() rolls the new index forward "
+        "(or the old one back) — both are complete indexes\n", spark)
+    fsio.rename(root, old, spark)
+    fsio.rename(tmp, root, spark)
+    fsio.delete(marker, spark)
+    fsio.delete(old, spark)
+    return load_manifest(root)
+
+
+def recover_merge(spark: SparkSession, root: str) -> dict:
+    """Recover from a crash inside merge_segments' swap window.
+
+    States (marker = `root.MERGE_SWAP` exists):
+    - root present: the swap completed (or never started destructively) —
+      finish cleanup (drop marker, premerge, any stale .merge build).
+    - root missing, `root.merge` present: the crash hit between the two
+      renames — roll FORWARD (the merged index is complete by
+      construction; the old index stays at root.premerge until cleanup).
+    - root missing, only `root.premerge` present: the merged build was
+      already renamed away or lost — roll BACK the previous index.
+    Idempotent; a no-op without the marker."""
+    from data_text_search_spark.sources import fsio
+
+    marker = f"{root}.MERGE_SWAP"
+    tmp, old = f"{root}.merge", f"{root}.premerge"
+    if not fsio.exists(marker, spark):
+        m = load_manifest(root)
+        if not m:
+            raise ValueError(f"no index and no merge marker at {root}")
+        return m
+    if not fsio.exists(root, spark):
+        if fsio.exists(tmp, spark):
+            fsio.rename(tmp, root, spark)       # roll forward
+        elif fsio.exists(old, spark):
+            fsio.rename(old, root, spark)       # roll back
+        else:
+            raise ValueError(
+                f"merge marker at {marker} but neither {tmp} nor {old} "
+                "exists — nothing to recover")
+    fsio.delete(marker, spark)
+    fsio.delete(old, spark)
+    fsio.delete(tmp, spark)
     return load_manifest(root)
 
 

@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""spark-submit entry point: the LLM-training-data corpus pipeline.
+
+Chains the training-data operators over a parquet corpus, parquet in /
+parquet out — the first touch of a pipeline user (the search jobs cover
+indexing; this one covers corpus curation):
+
+1. exact dedup      — sha256-fingerprint hash-groupBy; keeps the
+                      canonical (min-id) doc of each duplicate group
+2. near-dup dedup   — MinHash-LSH pairs (banded, candidate-capped);
+                      the higher id of every verified pair is dropped
+                      (greedy, deterministic — at threshold ~0.5+ the
+                      pair graph is dominated by tight clusters)
+3. text analytics   — language-ID, quality signals, token counts,
+                      content fingerprint, joined into one row per doc
+4. quality filter   — optional min/max token bounds + stopword-ratio
+                      floor (the standard cheap corpus gate)
+
+Cluster usage:
+
+    zip -r engine.zip data_text_search_spark
+    spark-submit --py-files engine.zip jobs/corpus_pipeline.py \
+        --input s3a://bucket/corpus/ --output s3a://bucket/clean/ \
+        --text-col content --near-dup-threshold 0.5
+
+Local smoke:
+
+    python jobs/corpus_pipeline.py --input /tmp/docs --output /tmp/clean
+
+Scale shape: every stage is a hash aggregate, a banded candidate join
+or a JVM-expression projection — no all-pairs work, no per-row Python
+(MinHash signatures are one vectorized pandas UDF over shingle-hash
+arrays). The near-dup stage is the only shuffle-heavy one and is
+bounded by the LSH bucket cap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def run_pipeline(spark, corpus, text_col: str = "text",
+                 id_col: str = "doc_id", near_dup_threshold: float | None = 0.5,
+                 min_tokens: int | None = None, max_tokens: int | None = None,
+                 min_stop_ratio: float | None = None,
+                 lsh_bucket_cap: int = 100_000):
+    """Returns (cleaned DataFrame with analytics columns, stats dict)."""
+    from pyspark.sql import functions as F
+
+    from data_text_search_spark.operators import dedup, textstats
+
+    stats: dict[str, int] = {"input_docs": corpus.count()}
+    df = corpus
+
+    # 1. exact dedup — keep the canonical representative per group
+    groups = dedup.exact_dup_groups(df, text_col=text_col, id_col=id_col)
+    keep = groups.filter(F.col("doc_id") == F.col("canonical_doc_id")) \
+                 .select(F.col("doc_id").alias(id_col))
+    df = df.join(keep, id_col)
+    stats["after_exact_dedup"] = df.count()
+
+    # 2. near-dup dedup — drop the higher id of each verified LSH pair
+    if near_dup_threshold is not None:
+        pairs = dedup.minhash_lsh_pairs(
+            df, text_col=text_col, id_col=id_col,
+            threshold=near_dup_threshold, bucket_cap=lsh_bucket_cap)
+        drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        df = df.join(drop, id_col, "left_anti")
+        stats["after_near_dedup"] = df.count()
+
+    # 3. analytics — one broadcast-free join chain on the id
+    lang = textstats.lang_id(df, text_col=text_col, id_col=id_col)
+    qual = textstats.quality(df, text_col=text_col, id_col=id_col)
+    cnt = textstats.token_count(df, text_col=text_col, id_col=id_col) \
+                   .select(id_col, "n_bpe_tokens", "n_chars")
+    fp = textstats.fingerprint(df, text_col=text_col, id_col=id_col)
+    out = (df.join(lang, id_col).join(qual, id_col)
+             .join(cnt, id_col).join(fp, id_col))
+
+    # 4. quality gate
+    if min_tokens is not None:
+        out = out.filter(F.col("n_tokens") >= min_tokens)
+    if max_tokens is not None:
+        out = out.filter(F.col("n_tokens") <= max_tokens)
+    if min_stop_ratio is not None:
+        out = out.filter(F.col("stop_ratio") >= min_stop_ratio)
+    return out, stats
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet corpus path/glob")
+    ap.add_argument("--output", required=True, help="output parquet path")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.5,
+                    help="MinHash-LSH Jaccard threshold; negative disables "
+                         "the near-dup stage")
+    ap.add_argument("--min-tokens", type=int, default=None)
+    ap.add_argument("--max-tokens", type=int, default=None)
+    ap.add_argument("--min-stop-ratio", type=float, default=None)
+    ap.add_argument("--lsh-bucket-cap", type=int, default=100_000)
+    ap.add_argument("--cores", type=int, default=None,
+                    help="local mode cores (ignored under spark-submit)")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from data_text_search_spark.session import get_spark
+        spark = get_spark(app_name="corpus_pipeline", cores=args.cores)
+
+    corpus = spark.read.parquet(args.input)
+    thr = args.near_dup_threshold if args.near_dup_threshold >= 0 else None
+    out, stats = run_pipeline(
+        spark, corpus, text_col=args.text_col, id_col=args.id_col,
+        near_dup_threshold=thr, min_tokens=args.min_tokens,
+        max_tokens=args.max_tokens, min_stop_ratio=args.min_stop_ratio,
+        lsh_bucket_cap=args.lsh_bucket_cap)
+    out.write.mode("overwrite").parquet(args.output)
+    stats["output_docs"] = spark.read.parquet(args.output).count()
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -273,3 +273,72 @@ def test_merge_tier_fewer_than_two_segments_noop(spark, tmp_path):
         {"doc_id": [900001], "content": ["solo segment"]})), id_col="doc_id")
     m1 = merge_tier(spark, root)
     assert [s["segment"] for s in m1["segments"]] == [0]  # untouched
+
+
+# ---------------------------------------------- Hadoop-FS maintenance path
+
+def test_full_maintenance_cycle_on_file_uri(spark, tmp_path):
+    """merge_segments (full compaction) through the Hadoop FileSystem
+    swap path: the whole build → append → merge → query cycle runs on a
+    file:// URI root, i.e. through the same FS-API code an hdfs:// or
+    s3a:// root takes (file:// is Hadoop's local filesystem)."""
+    pdf = corpus_pandas(120).reset_index().rename(columns={"index": "doc_id"})
+    root = f"file://{tmp_path}/hidx"
+    build_index(spark, spark.createDataFrame(pdf), root, BM25Config(),
+                id_col="doc_id", shards=4, groups=1)
+    delta = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [900000], "content": ["flibbertigibbet gizmo search"]}))
+    add_documents(spark, root, delta, id_col="doc_id")
+    m = merge_segments(spark, root)
+    assert m["n_docs"] == 121 and not m.get("segments")
+    s = IndexSearcher(spark, root)
+    res = s.search("flibbertigibbet", 3).collect()
+    assert [r["doc_id"] for r in res] == [900000]
+
+
+def test_recover_merge_rolls_forward_after_swap_crash(spark, tmp_path,
+                                                      monkeypatch):
+    """A crash BETWEEN merge_segments' two renames leaves no directory at
+    root; recover_merge rolls the (complete) merged index forward and
+    cleans up the marker + premerge copy."""
+    import os
+
+    from data_text_search_spark.sources import fsio
+    from data_text_search_spark.streaming.incremental import recover_merge
+
+    root = _base(spark, tmp_path, n=100)
+    delta = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [800000], "content": ["zanzibar quintessence lookup"]}))
+    add_documents(spark, root, delta, id_col="doc_id")
+
+    real_rename = fsio.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst, spark_=None):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash between renames")
+        real_rename(src, dst, spark_)
+
+    monkeypatch.setattr(fsio, "rename", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        merge_segments(spark, root)
+    monkeypatch.setattr(fsio, "rename", real_rename)
+    # crash window state: no root, marker + both complete copies around
+    assert not os.path.exists(root)
+    assert os.path.exists(f"{root}.MERGE_SWAP")
+    assert os.path.exists(f"{root}.merge")
+
+    m = recover_merge(spark, root)
+    assert m["n_docs"] == 101 and not m.get("segments")
+    assert not os.path.exists(f"{root}.MERGE_SWAP")
+    assert not os.path.exists(f"{root}.premerge")
+    s = IndexSearcher(spark, root)
+    assert [r["doc_id"] for r in s.search("zanzibar", 3).collect()] == [800000]
+
+
+def test_recover_merge_noop_without_marker(spark, tmp_path):
+    from data_text_search_spark.streaming.incremental import recover_merge
+    root = _base(spark, tmp_path, n=60)
+    m = recover_merge(spark, root)
+    assert m["n_docs"] == 60

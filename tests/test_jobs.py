@@ -1,0 +1,53 @@
+"""CLI smoke tests for the spark-submit jobs (invoked in-process with
+argv — the same code path spark-submit drives)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pandas as pd
+
+
+def test_corpus_pipeline_cli(spark, tmp_path):
+    sys.path.insert(0, "jobs")
+    import corpus_pipeline
+
+    texts = (["the quick brown fox jumps over the lazy dog again and again"]
+             * 3  # exact dup group -> 1 kept
+             + ["the quick brown fox jumps over the lazy dog again and anew",
+                # near-dup of the group above (high shingle overlap)
+                "completely different content about spark query engines",
+                "short"])
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src = str(tmp_path / "docs")
+    dst = str(tmp_path / "clean")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stats = corpus_pipeline.main([
+        "--input", src, "--output", dst,
+        "--near-dup-threshold", "0.5", "--min-tokens", "2"])
+    assert stats["input_docs"] == 6
+    assert stats["after_exact_dedup"] == 4          # 3 exact dups -> 1
+    assert stats["after_near_dedup"] == 3           # near-dup dropped
+    assert stats["output_docs"] == 2                # 'short' fails min-tokens
+    out = spark.read.parquet(dst)
+    for col in ("lang_pred", "stop_ratio", "n_bpe_tokens", "fp", "n_tokens"):
+        assert col in out.columns
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == {0, 4}
+
+
+def test_corpus_pipeline_near_dup_disabled(spark, tmp_path):
+    sys.path.insert(0, "jobs")
+    import corpus_pipeline
+
+    pdf = pd.DataFrame({"doc_id": [0, 1],
+                        "text": ["alpha beta gamma delta epsilon zeta"] * 2})
+    src, dst = str(tmp_path / "d2"), str(tmp_path / "c2")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stats = corpus_pipeline.main(
+        ["--input", src, "--output", dst, "--near-dup-threshold", "-1"])
+    assert stats["after_exact_dedup"] == 1
+    assert "after_near_dedup" not in stats
+    assert json.dumps(stats)  # serializable (the CLI prints it)
