@@ -135,6 +135,25 @@ bm25_topk_compact + tests/test_compact_codec.py).
 Distributed single query ~0.4-0.9 s (Spark job floor); driver fast path
 (`search_local`, same exact kernel over an LRU of pruned posting
 blocks) ~0.1-0.4 s cold, **8-40 ms warm**, sub-ms for absent terms.
+
+## Round-3 ngram_jaccard 13x swing — root cause (measured, round 4)
+
+BENCH_r03 recorded ngram_jaccard at 46.5 s vs 3.5 s in round 2 with a
+byte-identical code path. Reproduced and isolated this round with
+fresh-JVM vs after-artifacts subprocess runs, 3 reps each: fresh-JVM
+FIRST draws hit 12-53 s (one noisy window: 140 s on the capped form)
+and converge to **2.3-2.8 s warm**; running the bench's pre-built
+artifacts first makes the row FASTER, not slower (5.3/2.5/2.3 s) — the
+swing was cold-JIT/whole-stage-codegen first-execution cost amplified
+by neighbor CPU contention, not a regression and not artifact memory
+pressure. Mitigation shipped: every per-round contract row is now the
+MEDIAN of 3 interleaved passes with per-row min/max recorded
+(`queries_minmax` in the bench JSON) — BENCH_r04's ngram_jaccard median
+is ~3.3 s with max ~4.3. The capped (`max_shingle_df=50`) form is
+timed alongside as `ngram_jaccard_capped`: ~9 s median at SF=0.1,
+SLOWER than the uncapped oracle here — the cap's extra df-filter and
+set-attach verify joins only pay off on boilerplate-heavy corpora with
+hot shingles, which this uniform synthetic corpus does not have.
 """)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(out))
