@@ -278,10 +278,10 @@ def test_merge_tier_fewer_than_two_segments_noop(spark, tmp_path):
 # ---------------------------------------------- Hadoop-FS maintenance path
 
 def test_full_maintenance_cycle_on_file_uri(spark, tmp_path):
-    """merge_segments (full compaction) through the Hadoop FileSystem
-    swap path: the whole build → append → merge → query cycle runs on a
-    file:// URI root, i.e. through the same FS-API code an hdfs:// or
-    s3a:// root takes (file:// is Hadoop's local filesystem)."""
+    """The whole build → append → merge_segments → query cycle on a
+    file:// URI root (fsio's LOCAL fast path handles the scheme; the
+    JVM FileSystem branch an hdfs://s3a:// root takes is exercised by
+    test_merge_segments_through_jvm_filesystem below)."""
     pdf = corpus_pandas(120).reset_index().rename(columns={"index": "doc_id"})
     root = f"file://{tmp_path}/hidx"
     build_index(spark, spark.createDataFrame(pdf), root, BM25Config(),
@@ -342,3 +342,58 @@ def test_recover_merge_noop_without_marker(spark, tmp_path):
     root = _base(spark, tmp_path, n=60)
     m = recover_merge(spark, root)
     assert m["n_docs"] == 60
+
+
+def test_fsio_hadoop_branch_roundtrip(spark, tmp_path, monkeypatch):
+    """Exercise the real JVM FileSystem branch of fsio (the code an
+    hdfs:// or s3a:// root takes) by forcing file: URIs off the local
+    fast path: write-atomic / read / exists / listdir / rename / delete
+    through org.apache.hadoop.fs.FileSystem."""
+    from data_text_search_spark.sources import fsio
+
+    monkeypatch.setattr(fsio, "is_local", lambda p: False)
+    base = f"file://{tmp_path}/h"
+    fsio.mkdirs(f"{base}/sub", spark)
+    fsio.write_text_atomic(f"{base}/m.json", '{"a": 1}', spark)
+    assert fsio.exists(f"{base}/m.json", spark)
+    assert fsio.read_text(f"{base}/m.json", spark) == '{"a": 1}'
+    fsio.write_text_atomic(f"{base}/m.json", '{"a": 2}', spark)  # overwrite
+    assert fsio.read_text(f"{base}/m.json", spark) == '{"a": 2}'
+    assert fsio.listdir(base, spark) == ["m.json", "sub"]
+    fsio.rename(f"{base}/sub", f"{base}/sub2", spark)
+    assert fsio.listdir(base, spark) == ["m.json", "sub2"]
+    assert fsio.listdir(f"{base}/nope", spark) == []
+    fsio.delete(f"{base}/sub2", spark)
+    assert not fsio.exists(f"{base}/sub2", spark)
+
+
+def test_merge_segments_through_jvm_filesystem(spark, tmp_path, monkeypatch):
+    """Full compaction with every fsio control-plane call routed through
+    the JVM Hadoop FileSystem (local fast path disabled) — the actual
+    object-store/hdfs code path end to end."""
+    from data_text_search_spark.sources import fsio
+
+    root = _base(spark, tmp_path, n=80)
+    delta = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [700000], "content": ["peregrine falcon searchable"]}))
+    add_documents(spark, root, delta, id_col="doc_id")
+    monkeypatch.setattr(fsio, "is_local", lambda p: False)
+    m = merge_segments(spark, f"file://{root}")
+    assert m["n_docs"] == 81 and not m.get("segments")
+    monkeypatch.undo()
+    s = IndexSearcher(spark, root)
+    assert [r["doc_id"] for r in s.search("peregrine", 3).collect()] == [700000]
+
+
+def test_missing_colocation_unit_fails_loudly(spark, tmp_path):
+    """A committed colocation unit deleted under an open searcher
+    (concurrent-merge race) must raise a clear refresh() error, not
+    silently return results missing that corpus slice."""
+    import shutil
+
+    root = _base(spark, tmp_path, n=80)
+    s = IndexSearcher(spark, root)
+    s.warm()
+    shutil.rmtree(s._units[0])
+    with pytest.raises(Exception, match="refresh"):
+        s.search_batch_pandas(["return import"], 5)
