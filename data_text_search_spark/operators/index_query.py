@@ -122,12 +122,33 @@ def _term_decoder(codec: str, qidf: dict[str, float] | None,
 
 
 def _score_abs_half_up(s: np.ndarray) -> np.ndarray:
-    """abs(round(score, 2)) with SQL HALF_UP (half away from zero)
-    semantics — the same convention as the distributed merge's
-    F.abs(F.round(...)) and the DuckDB oracle. np.round is half-to-even,
-    which differs on exactly-representable halves (0.125 → 0.12 vs 0.13)
-    and can flake the driver-vs-distributed parity pin."""
-    return np.floor(np.abs(s) * 100.0 + 0.5) / 100.0
+    """abs(round(score, 2)) with Spark's exact F.round semantics: Spark
+    rounds the double's SHORTEST DECIMAL REPRESENTATION HALF_UP
+    (BigDecimal.valueOf(d) = Decimal(repr(d))). Neither numpy form gets
+    every case: np.round is half-to-even (0.125 → 0.12, Spark gives
+    0.13), and floor(|s|·100+0.5) mis-rounds decimal-repr halves whose
+    float product lands just below the half (the double printed '1.005'
+    is 1.00499999999999989…, so |s|·100+0.5 floors to 1.00 while Spark's
+    BigDecimal path gives 1.01).
+
+    The exact fix is Decimal(repr(x)) — but per-element Decimal over a
+    0.2M-row merge costs ~0.5 s of serial driver time the N→4N scaling
+    criterion pays at full price. So: vectorized floor form for every
+    element, then the (almost always empty) set of elements whose |s|·100
+    sits within 1e-6 of a half-integer — the only place the two
+    conventions can disagree — is patched through Decimal. Parity with
+    pyspark F.round is pinned in tests/test_plans.py."""
+    y = np.abs(s) * 100.0
+    out = np.floor(y + 0.5) / 100.0
+    suspicious = np.flatnonzero(np.abs(y - np.floor(y) - 0.5) < 1e-6)
+    if suspicious.size:
+        from decimal import ROUND_HALF_UP, Decimal
+        q = Decimal("0.01")
+        out = out.copy() if not out.flags.writeable else out
+        for i in suspicious:
+            out[i] = float(abs(Decimal(repr(float(s[i])))
+                               .quantize(q, rounding=ROUND_HALF_UP)))
+    return out
 
 
 def _merge_topn_driver(pdf: pd.DataFrame, n: int) -> pd.DataFrame:
@@ -170,6 +191,39 @@ def _merge_topn_driver(pdf: pd.DataFrame, n: int) -> pd.DataFrame:
         "score_abs": _score_abs_half_up(ss[keep]),
     })
     return out[cols]
+
+
+def _expand_to_positions(merged: pd.DataFrame,
+                         orig_eff: np.ndarray) -> pd.DataFrame:
+    """Fan the per-EFFECTIVE-query merged top-n back out to the original
+    batch positions (search_batch dedups identical queries driver-side;
+    duplicate queries have identical rows by construction, so this is a
+    pure vectorized repeat: one searchsorted for the group table + fancy
+    indexing per column — O(output rows), no python loop)."""
+    cols = ["query_id", "doc_id", "score", "rank", "score_abs"]
+    valid = orig_eff >= 0
+    if len(merged) == 0 or not valid.any():
+        return merged.iloc[0:0][cols].copy()
+    eff = merged["query_id"].to_numpy()
+    n_eff = int(orig_eff.max()) + 1
+    starts = np.searchsorted(eff, np.arange(n_eff + 1))  # merged is eff-sorted
+    counts = np.diff(starts)
+    pos_ids = np.flatnonzero(valid)
+    e = orig_eff[valid]
+    c = counts[e]
+    tot = int(c.sum())
+    if tot == 0:
+        return merged.iloc[0:0][cols].copy()
+    base = np.repeat(starts[e], c)
+    within = np.arange(tot) - np.repeat(np.cumsum(c) - c, c)
+    take = base + within
+    return pd.DataFrame({
+        "query_id": np.repeat(pos_ids, c).astype(np.int32),
+        "doc_id": merged["doc_id"].to_numpy()[take],
+        "score": merged["score"].to_numpy()[take],
+        "rank": merged["rank"].to_numpy()[take],
+        "score_abs": merged["score_abs"].to_numpy()[take],
+    })[cols]
 
 
 def _read_unit(pds, unit: str, columns: list[str], flt):
@@ -597,54 +651,93 @@ class IndexSearcher:
                         "score_abs double")
 
     def _batch_grid(self, qterms: dict[int, dict[str, int]],
-                    n_units: int) -> tuple[int, int]:
-        """Choose the (query-replicas Tq x doc-slices Td) task grid for a
-        batch — the replication/partitioning trade every search cluster
-        makes (replicas scale QPS, shards scale the corpus):
+                    n_units: int, k: int = 10
+                    ) -> tuple[int, int, list[list[int]]]:
+        """Choose the (query-replicas Tq x doc-slices Td) task grid AND
+        the query grouping for a batch — the replication/partitioning
+        trade every search cluster makes (replicas scale QPS, shards
+        scale the corpus):
 
-        - the kernel's per-QUERY fixed cost (~100 µs of numpy-call
-          overhead) is replicated in every doc-slice → splits only
-          along Tq;
+        - the kernel's per-QUERY fixed cost (~300 µs of numpy-call
+          overhead per distinct termset) is replicated in every
+          doc-slice → splits only along Tq;
         - per-task posting DECODE of a query group's term-set union is
-          replicated in every query-replica → splits only along Td;
+          replicated in every query-replica → splits only along Td —
+          UNLESS the groups' term unions are (near-)disjoint, in which
+          case it splits along both. Queries are therefore grouped by
+          TERM AFFINITY: sorted by termset signature and chunked
+          contiguously, so queries sharing leading terms land in the
+          same replica group and a shared head term is decoded by ~one
+          group per grid instead of by every group (round-4 verdict:
+          "decode each term once per grid, not once per replica row");
         - the O(nnz) scoring work splits along both.
 
-        Minimizes qf/Tq + dd/Td + merge(Q·Td·k) over divisor pairs
-        Tq·Td = cores (the O(nnz)+O(Q·nd) scoring work is grid-
-        invariant), with constants refit to the round-4 kernel (termset
-        dedup + single-term fast path + weight cache) on measured 2-core
-        and 8-core shape sweeps at 5k and 20k query batches:
-        ~180 µs/query effective fixed cost (the per-TERMSET python loop
-        ≈300 µs over ~0.6 distinct termsets/query on short-query
-        workloads), ~1.4e-6 s/posting for the per-replica read+decode+
-        dense-sweep 1/Td term, ~0.4 µs per merge-input row (per-task
-        Arrow serialization + driver collect+lexsort). They shape the
-        grid, never correctness: any grid returns identical rows —
-        pytest-pinned."""
-        F_Q, D_P, M_R = 1.8e-4, 1.4e-6, 4e-7
+        Minimizes qf/Tq + max_g(dd_g)/Td + merge(Q·Td·k) over divisor
+        pairs Tq·Td = cores, where dd_g is the df-sum of group g's ACTUAL
+        term union under the affinity grouping (computed exactly per
+        candidate Tq from the driver term map — Q·|terms| set ops, ~ms).
+        Constants fit on measured 2-core and 8-core shape sweeps:
+        ~3e-4 s per distinct termset (callers pre-dedup, so every qterm
+        entry is distinct), ~1.4e-6 s/posting for the per-replica
+        read+decode+dense-sweep term, ~0.4 µs per merge-input row
+        (per-task Arrow serialization + driver collect+lexsort). They
+        shape the grid, never correctness: any grid returns identical
+        rows — pytest-pinned.
+
+        Returns (Tq, Td, groups): `groups` is the affinity-ordered query
+        partition of length Tq."""
+        F_Q, D_P, M_R = 3e-4, 1.4e-6, 4e-7
         C = max(self.spark.sparkContext.defaultParallelism, 1)
         Q = max(len(qterms), 1)
+        # affinity order: signature-sorted, so contiguous chunks share terms
+        qid_list = sorted(qterms,
+                          key=lambda q: (tuple(sorted(qterms[q])), q))
         if self._term_map is None:
             # posting volume unknown (warm() not called): dd=0 would
             # collapse Td to 1 and serialize the whole pruned posting
             # read into one task — default to the doc-parallel grid
-            return 1, max(1, min(C, n_units))
-        union = {t for qc in qterms.values() for t in qc}
-        df_total = sum(self._term_map[t][2] for t in union
-                       if t in self._term_map)
-        qf, dd = Q * F_Q, df_total * D_P
+            return 1, max(1, min(C, n_units)), [qid_list]
+        tdfs = [[self._term_map[t][2] for t in qterms[q]
+                 if t in self._term_map] for q in qid_list]
+        tkeys = [[t for t in qterms[q] if t in self._term_map]
+                 for q in qid_list]
+
+        def chunks(lst: list, parts: int) -> list[list]:
+            step = (len(lst) + parts - 1) // parts
+            return [lst[i:i + step] for i in range(0, len(lst), step)] or [lst]
+
+        def dd_max(tq: int) -> float:
+            worst = 0.0
+            for idxs in chunks(list(range(Q)), tq):
+                seen: set[str] = set()
+                s = 0.0
+                for i in idxs:
+                    for t, d in zip(tkeys[i], tdfs[i]):
+                        if t not in seen:
+                            seen.add(t)
+                            s += d
+                worst = max(worst, s)
+            return worst
+
         best = None
         for tq in range(1, C + 1):
             if C % tq:
                 continue
+            tq_eff = min(tq, Q)
             td = max(min(C // tq, n_units), 1)
-            cost = qf / min(tq, Q) + dd / td + M_R * Q * td * 10
+            cost = (F_Q * -(-Q // tq_eff) + D_P * dd_max(tq_eff) / td
+                    + M_R * Q * td * k)
             if best is None or cost < best[0]:
-                best = (cost, min(tq, Q), td)
-        return best[1], best[2]
+                best = (cost, tq_eff, td)
+        _, Tq, Td = best
+        groups = chunks(qid_list, Tq)
+        # ceil-chunking can yield fewer chunks than requested — Tq must
+        # equal the actual group count (task ids are divmod(tid, Td))
+        return len(groups), Td, groups
 
     def _colocated_batch_grid(self, qterms: dict[int, dict[str, int]],
-                              kernel, schema: str) -> tuple[DataFrame, int]:
+                              kernel, schema: str,
+                              k: int = 10) -> tuple[DataFrame, int]:
         """Grid executor for search_batch over layout v2: task (qi, di)
         reads ONLY its query group's terms over ONLY its unit slice
         (pyarrow, term-IN row-group pruned) and scores that group in
@@ -653,9 +746,7 @@ class IndexSearcher:
         Q·Td·k rows (≤ the 1-D executor's Q·cores·k)."""
         spark = self.spark
         units = self._units
-        qid_list = sorted(qterms)
-        Tq, Td = self._batch_grid(qterms, len(units))
-        groups = [qid_list[i::Tq] for i in range(Tq)]
+        Tq, Td, groups = self._batch_grid(qterms, len(units), k)
         gterms = [sorted({t for qid in g for t in qterms[qid]})
                   for g in groups]
 
@@ -709,14 +800,25 @@ class IndexSearcher:
 
     def _search_batch_impl(self, queries: list[str],
                            n: int) -> "pd.DataFrame | DataFrame":
+        """Batches are deduplicated DRIVER-SIDE before anything else runs:
+        real query streams are Zipfian (hot queries repeat), and every
+        serial per-query cost — tokenization, the kernel's per-termset
+        numpy loop, merge-input rows — is paid once per DISTINCT
+        effective termset, then fanned back out to the original
+        positions with one vectorized numpy expansion. Two levels:
+        (1) distinct raw strings (skip re-tokenizing repeats);
+        (2) distinct effective (term, count) multisets over PRESENT
+            terms — "b a" == "a b" == "a b zzz-unknown" (identical
+            results by construction: absent terms contribute nothing).
+        Results are identical to the undeduplicated run (pytest-pinned)."""
         spark = self.spark
-        per_q: dict[int, dict[str, int]] = {
-            i: dict(Counter(tokenize_py(q))) for i, q in enumerate(queries)
-        }
-        all_terms = sorted({t for c in per_q.values() for t in c})
+        uniq_strs, inv_str = np.unique(np.asarray(queries, dtype=object),
+                                       return_inverse=True)
+        tokenized = [dict(Counter(tokenize_py(q))) for q in uniq_strs]
+        all_terms = sorted({t for c in tokenized for t in c})
+        empty = pd.DataFrame(columns=["query_id", "doc_id", "score"])
         if not all_terms:
-            return _merge_topn_driver(pd.DataFrame(columns=[
-                "query_id", "doc_id", "score"]), n)
+            return _merge_topn_driver(empty, n)
         if self._term_map is not None:
             term_set = {t for t in all_terms if t in self._term_map}
             buckets = sorted({self._term_map[t][0] for t in term_set})
@@ -728,15 +830,31 @@ class IndexSearcher:
             buckets = sorted({r["term_bucket"] for r in present})
             qidf = {r["term"]: r["idf"] for r in present}
         if not term_set:
-            return _merge_topn_driver(pd.DataFrame(columns=[
-                "query_id", "doc_id", "score"]), n)
-        qterms = {i: {t: c for t, c in qc.items() if t in term_set}
-                  for i, qc in per_q.items()}
+            return _merge_topn_driver(empty, n)
+        # distinct effective termsets → effective query ids
+        sig_eff: dict[tuple, int] = {}
+        str_eff = np.empty(len(uniq_strs), dtype=np.int64)
+        qterms: dict[int, dict[str, int]] = {}
+        for si, counts in enumerate(tokenized):
+            sig = tuple(sorted((t, c) for t, c in counts.items()
+                               if t in term_set))
+            if not sig:
+                str_eff[si] = -1
+                continue
+            e = sig_eff.get(sig)
+            if e is None:
+                e = len(sig_eff)
+                sig_eff[sig] = e
+                qterms[e] = dict(sig)
+            str_eff[si] = e
+        # per original position: its effective query id (-1 = no results)
+        orig_eff = str_eff[inv_str]
         kernel = _batch_kernel_factory(qterms, n, self.codec, qidf,
                                        self.avgdl, self.k1, self.b)
         kschema = "query_id int, doc_id long, score double"
         if self._units is not None:
-            local, tasks = self._colocated_batch_grid(qterms, kernel, kschema)
+            local, tasks = self._colocated_batch_grid(qterms, kernel,
+                                                      kschema, n)
         else:
             tasks = self._kernel_parts()
             blocks = self.postings.filter(
@@ -745,12 +863,13 @@ class IndexSearcher:
             local = (blocks.repartition(tasks, "shard")
                      .mapInPandas(_map_batches(kernel), schema=kschema))
         if tasks * len(qterms) * n <= self.DRIVER_MERGE_MAX_ROWS:
-            # the per-task tops are small (≤ tasks·queries·n rows): fetch
+            # the per-task tops are small (≤ tasks·distinct·n rows): fetch
             # them as ONE Arrow transfer and finish the top-n merge on the
             # driver — the scatter-gather coordinator of a distributed
             # search engine. Removes an exchange + stage whose fixed
             # latency otherwise dominates at high parallelism.
-            return _merge_topn_driver(local.toPandas(), n)
+            merged = _merge_topn_driver(local.toPandas(), n)
+            return _expand_to_positions(merged, orig_eff)
         # cluster-scale merge (huge batch x task grids): ONE hash aggregate
         # instead of a window rank — per-shard results are already top-n,
         # so each query carries at most tasks·n tiny rows and collect_list
@@ -761,7 +880,7 @@ class IndexSearcher:
                         F.col("score").alias("score"))
         merged = local.groupBy("query_id").agg(
             F.slice(F.array_sort(F.collect_list(item)), 1, n).alias("top"))
-        return (
+        per_eff = (
             merged.select("query_id", F.posexplode("top").alias("pos", "it"))
             .select("query_id",
                     F.col("it.doc_id").alias("doc_id"),
@@ -769,6 +888,17 @@ class IndexSearcher:
                     (F.col("pos") + 1).cast("int").alias("rank"),
                     F.abs(F.round("it.score", 2)).alias("score_abs"))
         )
+        # fan back out to original positions: broadcast the tiny
+        # (position, effective-id) map and re-key (rank/scores are
+        # identical for duplicate queries by construction)
+        pos_map = spark.createDataFrame(
+            [(int(i), int(e)) for i, e in enumerate(orig_eff) if e >= 0],
+            "pos int, eff int")
+        return (per_eff.join(F.broadcast(pos_map),
+                             per_eff["query_id"] == pos_map["eff"])
+                .select(F.col("pos").alias("query_id"), "doc_id", "score",
+                        "rank", "score_abs")
+                .orderBy("query_id", "rank"))
 
     def _query_terms(self, query: str) -> tuple[
             dict[str, int], list[int], dict[str, float]]:

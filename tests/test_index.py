@@ -134,6 +134,33 @@ def test_search_batch_parity(spark, corpus_pdf, searcher, nq):
         assert [r["doc_id"] for r in got] == [r["doc_id"] for r in single]
 
 
+def test_search_batch_dedup_expansion(spark, searcher):
+    """search_batch dedups identical EFFECTIVE termsets driver-side and
+    fans results back out; every original position must get exactly the
+    single-query rows — duplicates, token reorderings, unknown-term
+    padding, absent-only and empty queries included."""
+    qtexts = [
+        "return import",          # 0
+        "return import",          # 1 dup of 0
+        "import return",          # 2 same termset, reordered
+        "return import zzzabsent",  # 3 same effective termset
+        "zzzabsent onlyabsent",   # 4 no present terms -> no rows
+        "",                       # 5 empty -> no rows
+        "select",                 # 6 distinct
+        "return import",          # 7 dup again
+    ]
+    res = searcher.search_batch(qtexts, 10).toPandas()
+    for qid, q in enumerate(qtexts):
+        got = res[res["query_id"] == qid].sort_values("rank")
+        single = searcher.search(q, 10).toPandas()
+        assert got["doc_id"].tolist() == single["doc_id"].tolist(), q
+        assert got["score"].tolist() == single["score"].tolist(), q
+        assert got["rank"].tolist() == single["rank"].tolist(), q
+    assert (res[res["query_id"].isin([4, 5])]).empty
+    # output is position-ordered like the pre-dedup executor
+    assert res["query_id"].is_monotonic_increasing
+
+
 def test_hot_term_shard_balance(spark, tmp_path):
     """Salting claim, measured: a term in EVERY doc must spread its
     postings ~evenly over shards (max/mean per-shard postings < 1.5)."""

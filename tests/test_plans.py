@@ -165,11 +165,45 @@ def test_batch_grid_shapes_all_agree(spark, corpus, tmp_path_factory):
     s = IndexSearcher(spark, root)
     queries = ["zyzzyva obelisk", "return import", "def class", "obelisk",
                "import return def", ""]
+    def pin_shape(tq, td):
+        def _stub(qterms, n_units, k=10):
+            qids = sorted(qterms, key=lambda q: (tuple(sorted(qterms[q])), q))
+            step = max(-(-len(qids) // tq), 1)
+            groups = ([qids[i:i + step] for i in range(0, len(qids), step)]
+                      or [qids])
+            return len(groups), td, groups
+        return _stub
+
     want = None
     for shape in [(1, 1), (1, 4), (4, 1), (2, 2), (3, 2)]:
-        s._batch_grid = lambda qterms, n_units, _s=shape: _s
+        s._batch_grid = pin_shape(*shape)
         got = sorted(tuple(r) for r in
                      s.search_batch_pandas(queries, 5).itertuples(index=False))
         if want is None:
             want = got
         assert got == want, shape
+
+
+def test_score_abs_half_up_matches_spark_round(spark):
+    """_score_abs_half_up (the driver merge's vectorized rounding) must
+    equal Spark's F.abs(F.round(x, 2)) — Spark rounds the double's
+    shortest decimal repr HALF_UP via BigDecimal.valueOf, which differs
+    from both np.round (half-to-even) and a naive floor(|x|*100+0.5)
+    (decimal-repr halves whose float product lands below the half, e.g.
+    the double printed '1.005')."""
+    import numpy as np
+
+    from data_text_search_spark.operators.index_query import (
+        _score_abs_half_up,
+    )
+
+    adversarial = [1.005, -1.005, 2.675, 0.125, -0.125, 2.665, 1.015,
+                   8.845, 0.005, -0.005, 0.0, 12.345, -12.345, 3.141592,
+                   100.115, -100.115, 0.029999999999999999, 55.555]
+    rs = np.random.RandomState(42)
+    vals = adversarial + [float(v) for v in rs.standard_normal(500) * 20]
+    got = _score_abs_half_up(np.asarray(vals, dtype=np.float64))
+    sdf = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    want = [r["y"] for r in
+            sdf.select(F.abs(F.round("x", 2)).alias("y")).collect()]
+    assert got.tolist() == want
