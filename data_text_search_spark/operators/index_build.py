@@ -76,18 +76,70 @@ POSTINGS_SCHEMA = (
 )
 
 
-def _write_manifest_atomic(path: str, manifest: dict) -> None:
-    # scheme-agnostic (posix, hdfs, s3a, ...) write-then-rename commit
+# --- manifest commit protocol ----------------------------------------------
+# The manifest is the index's commit point, so its write must be atomic on
+# EVERY filesystem. A delete-then-rename overwrite is not (on HDFS/s3a a
+# crash between delete and rename loses the manifest — the index would read
+# as incomplete). Instead the manifest is VERSIONED: each commit writes a
+# fresh `manifest.json.v<seq>` object (temp + rename onto a name that does
+# not exist — no instant where no complete manifest is visible), readers
+# take the highest sequence, and older versions are garbage-collected only
+# AFTER the new one is committed. A crash at any point leaves at least one
+# complete manifest: either the old max (commit not yet visible) or both
+# (GC not yet run — harmless, next commit sweeps them). Legacy single-file
+# `manifest.json` indexes (pre-versioning) are still readable; their first
+# new commit supersedes the legacy file.
+
+_MANIFEST_V_RE = None  # compiled lazily (module import stays cheap)
+
+
+def _manifest_versions(path: str, spark=None) -> list[tuple[int, str]]:
+    """(seq, full_path) of every committed manifest version, ascending."""
+    import re
+
     from data_text_search_spark.sources import fsio
-    fsio.write_text_atomic(path, json.dumps(manifest, indent=1, sort_keys=True))
+    global _MANIFEST_V_RE
+    d, base = path.rsplit("/", 1)
+    if _MANIFEST_V_RE is None:
+        _MANIFEST_V_RE = re.compile(r"\.v(\d+)$")
+    out = []
+    for name in fsio.listdir(d, spark):
+        if not name.startswith(base):
+            continue
+        m = _MANIFEST_V_RE.search(name)
+        if m and name == f"{base}.v{m.group(1)}":
+            out.append((int(m.group(1)), f"{d}/{name}"))
+    return sorted(out)
+
+
+def _write_manifest_atomic(path: str, manifest: dict) -> None:
+    from data_text_search_spark.sources import fsio
+    versions = _manifest_versions(path)
+    seq = (versions[-1][0] + 1) if versions else 1
+    fsio.write_text_new(f"{path}.v{seq:016d}",
+                        json.dumps(manifest, indent=1, sort_keys=True))
+    # post-commit GC (best-effort; leftovers are swept by the next commit)
+    for _, old in versions:
+        try:
+            fsio.delete(old)
+        except Exception:
+            pass
+    if not versions and fsio.exists(path):
+        try:
+            fsio.delete(path)  # legacy pre-versioning manifest, superseded
+        except Exception:
+            pass
 
 
 def load_manifest(root: str) -> dict | None:
     from data_text_search_spark.sources import fsio
     p = IndexPaths(root).manifest
+    versions = _manifest_versions(p)
+    if versions:
+        return json.loads(fsio.read_text(versions[-1][1]))
     if not fsio.exists(p):
         return None
-    return json.loads(fsio.read_text(p))
+    return json.loads(fsio.read_text(p))  # legacy single-file manifest
 
 
 # --- committed-view path listings -----------------------------------------

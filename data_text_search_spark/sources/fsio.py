@@ -93,9 +93,15 @@ def write_text(path: str, data: str, spark: SparkSession | None = None) -> None:
 
 def write_text_atomic(path: str, data: str,
                       spark: SparkSession | None = None) -> None:
-    """Write-then-rename commit. Atomic on posix and HDFS; on object
-    stores the rename is copy+delete of ONE small file — readers see
-    either the old or the new object, never a torn write."""
+    """Write-then-rename overwrite. Atomic ONLY on the local branch
+    (os.replace). The non-local branch must delete the destination
+    before Hadoop's rename (which refuses to overwrite), so there is a
+    crash window between delete and rename where the destination does
+    not exist — and on s3a the rename itself is copy+delete. Do NOT use
+    this for a commit point on non-local filesystems: use
+    `write_text_new` with a fresh (versioned) name, whose destination
+    only ever appears complete (index_build's manifest commit does
+    exactly that)."""
     if is_local(path):
         lp = local_path(path)
         tmp = f"{lp}.tmp"
@@ -108,6 +114,32 @@ def write_text_atomic(path: str, data: str,
     write_text(tmp, data, spark)
     _, tp, _ = _jfs(tmp, spark)
     fs.delete(p, False)
+    if not fs.rename(tp, p):
+        raise OSError(f"rename {tmp} -> {path} failed")
+
+
+def write_text_new(path: str, data: str,
+                   spark: SparkSession | None = None) -> None:
+    """Commit a NEW object: write a temp sibling, rename onto the fresh
+    destination name. Nothing is deleted first, so at every instant the
+    destination either does not exist yet or is complete — the building
+    block for versioned last-writer-wins commits (the manifest protocol).
+    Atomic on posix/HDFS; on s3a the rename is a server-side copy of one
+    small temp object and the destination appears atomically (S3 PUT/
+    copy visibility is per-object atomic). Raises if `path` exists."""
+    if exists(path, spark):
+        raise FileExistsError(f"write_text_new: {path} already exists")
+    if is_local(path):
+        lp = local_path(path)
+        tmp = f"{lp}.tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+        os.replace(tmp, lp)
+        return
+    tmp = f"{path}.tmp"
+    write_text(tmp, data, spark)
+    fs, p, _ = _jfs(path, spark)
+    _, tp, _ = _jfs(tmp, spark)
     if not fs.rename(tp, p):
         raise OSError(f"rename {tmp} -> {path} failed")
 

@@ -342,6 +342,18 @@ def merge_segments(spark: SparkSession, root: str) -> dict:
         raise ValueError(f"no complete index at {root}")
     if not manifest.get("segments"):
         return manifest
+    from urllib.parse import urlparse
+    scheme = urlparse(root).scheme
+    if scheme in ("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "oss"):
+        import warnings
+        warnings.warn(
+            f"merge_segments on an object-store root ({scheme}://): the "
+            "directory-swap renames are copy+delete there, so the "
+            "no-index-at-root window is O(index bytes), not near-instant; "
+            "queries against the root fail during the swap until "
+            "recover_merge/completion. Prefer merge_tier (pure-append) on "
+            "hot object-store indexes, or swap a pointer above the root.",
+            stacklevel=2)
     c = manifest["config"]
     cfg = BM25Config(k1=c["k1"], b=c["b"], alpha=c["alpha"], clean=c["clean"],
                      block_size=c["block_size"],

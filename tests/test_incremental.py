@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import json
+
 import pandas as pd
 import pytest
 
@@ -365,6 +367,75 @@ def test_fsio_hadoop_branch_roundtrip(spark, tmp_path, monkeypatch):
     assert fsio.listdir(f"{base}/nope", spark) == []
     fsio.delete(f"{base}/sub2", spark)
     assert not fsio.exists(f"{base}/sub2", spark)
+
+
+def test_manifest_versioned_commit_crash_windows(spark, tmp_path):
+    """The manifest commit is versioned (write a fresh manifest.json.v<seq>,
+    GC older AFTER): at every instant at least one complete manifest is
+    readable — unlike a delete-then-rename overwrite, whose crash window
+    on HDFS/s3a loses the commit point entirely (round-4 advice)."""
+    import os
+
+    from data_text_search_spark.config import IndexPaths
+    from data_text_search_spark.operators.index_build import (
+        _manifest_versions,
+        _write_manifest_atomic,
+    )
+
+    root = _base(spark, tmp_path, n=40)
+    paths = IndexPaths(root)
+    versions = _manifest_versions(paths.manifest)
+    assert len(versions) == 1  # all build-stage commits GC'd their elders
+    assert not os.path.exists(paths.manifest)  # no legacy file written
+    m = load_manifest(root)
+    assert m["complete"]
+
+    # another commit supersedes and GCs the old version
+    m["probe"] = 1
+    _write_manifest_atomic(paths.manifest, m)
+    v2 = _manifest_versions(paths.manifest)
+    assert len(v2) == 1 and v2[0][0] == versions[0][0] + 1
+    assert load_manifest(root)["probe"] == 1
+
+    # crash window A: temp of the NEXT version written but never renamed —
+    # readers must keep seeing the committed version (tmp is not a version)
+    with open(f"{paths.manifest}.v{v2[0][0] + 1:016d}.tmp", "w") as f:
+        f.write('{"complete": false}')
+    assert load_manifest(root)["probe"] == 1
+
+    # crash window B: new version committed, GC of the old one never ran —
+    # readers take the max sequence
+    with open(f"{paths.manifest}.v{v2[0][0] + 1:016d}", "w") as f:
+        json.dump(dict(m, probe=2), f)
+    assert load_manifest(root)["probe"] == 2
+
+    # legacy single-file manifests (pre-versioning indexes) still load,
+    # and their first new commit supersedes + removes the legacy file
+    for _, p in _manifest_versions(paths.manifest):
+        os.remove(p)
+    with open(paths.manifest, "w") as f:
+        json.dump(dict(m, probe="legacy"), f)
+    assert load_manifest(root)["probe"] == "legacy"
+    _write_manifest_atomic(paths.manifest, dict(m, probe=3))
+    assert load_manifest(root)["probe"] == 3
+    assert not os.path.exists(paths.manifest)
+
+
+def test_write_text_new_refuses_overwrite(spark, tmp_path, monkeypatch):
+    from data_text_search_spark.sources import fsio
+
+    p = f"{tmp_path}/fresh.json"
+    fsio.write_text_new(p, "a", spark)
+    assert fsio.read_text(p, spark) == "a"
+    with pytest.raises(FileExistsError):
+        fsio.write_text_new(p, "b", spark)
+    # same contract through the JVM Hadoop-FS branch
+    monkeypatch.setattr(fsio, "is_local", lambda _p: False)
+    p2 = f"file://{tmp_path}/fresh2.json"
+    fsio.write_text_new(p2, "c", spark)
+    assert fsio.read_text(p2, spark) == "c"
+    with pytest.raises(FileExistsError):
+        fsio.write_text_new(p2, "d", spark)
 
 
 def test_merge_segments_through_jvm_filesystem(spark, tmp_path, monkeypatch):

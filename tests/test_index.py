@@ -68,8 +68,10 @@ def test_resume_completes_partial_build(spark, corpus, corpus_pdf, tmp_path):
     m = load_manifest(root)
     del m["groups_state"]["1"]
     m["complete"] = False
-    with open(paths.manifest, "w") as f:
-        json.dump(m, f)
+    from data_text_search_spark.operators.index_build import (
+        _write_manifest_atomic,
+    )
+    _write_manifest_atomic(paths.manifest, m)
 
     m2 = build_index(spark, corpus, root, id_col="doc_id", shards=8, groups=2,
                      resume=True)
