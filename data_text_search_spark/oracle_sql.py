@@ -183,12 +183,16 @@ FROM f ORDER BY doc_id"""
 
 def ngram_jaccard_sql(n: int = 3, threshold: float = 0.5) -> str:
     parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    # join/count key = substr(md5(shingle),1,16), matching the Spark side
+    # exactly (dedup.ngram_jaccard_pairs): md5 is byte-identical across
+    # both engines, so even a 64-bit prefix collision affects both alike
     return f"""WITH docs AS ({_TOK_DOCS}),
-sh AS (
+raw AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(range(1, len(toks) - {n - 2}),
-                          i -> {parts})) AS shingle
+                          i -> {parts})) AS s
   FROM docs WHERE len(toks) >= {n}),
+sh AS (SELECT DISTINCT doc_id, substr(md5(s), 1, 16) AS shingle FROM raw),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
