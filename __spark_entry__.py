@@ -411,6 +411,17 @@ def q_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"), "score_abs")
 
 
+def q_fuzzy_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z1+Z3 answered by the PERSISTED index (dictionary levenshtein +
+    posting tf sums + stored n_chars — never a corpus scan), hash-checked
+    against the identical DuckDB corpus-scan oracle as fuzzy_search:
+    index_query.IndexSearcher.fuzzy_search."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.fuzzy_search(FUZZY_QUERY, max_mistakes=1)
+    return res.select("doc_id", "match_count", "n_chars",
+                      F.round("score", 4).alias("score"), "score_abs")
+
+
 FUZZY_PHRASE = "tible hash"  # 1 edit from the frequent bigram 'table hash'
 
 
@@ -492,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_cert": q_ann_lsh_cert,
         "semantic_search": q_semantic_search,
         "fuzzy_search": q_fuzzy_search,
+        "fuzzy_search_indexed": q_fuzzy_search_indexed,
         "fuzzy_phrase": q_fuzzy_phrase,
     }
 
@@ -538,5 +550,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_dup_pairs": osql.cosine_dup_pairs_sql(threshold=0.4),
         "semantic_search": osql.semantic_search_sql(0, 0.2, 9999),
         "fuzzy_search": osql.fuzzy_search_sql(FUZZY_QUERY, max_mistakes=1),
+        "fuzzy_search_indexed": osql.fuzzy_search_sql(FUZZY_QUERY,
+                                                      max_mistakes=1),
         "fuzzy_phrase": osql.fuzzy_phrase_sql(FUZZY_PHRASE, max_mistakes=1),
     }

@@ -83,22 +83,51 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
     )
 
 
+# auto-strategy gate: Catalyst's optimized-plan size estimate for the
+# corpus below this → 'scan', above → 'vocab'. Measured A/B at sf0.1
+# (50k docs, ~30 MB parquet, 5 interleaved passes, warm JVM, local[32]):
+# scan 0.98 s median vs vocab 1.12 s — the vocab distinct-shuffle costs
+# more than it saves when the whole corpus is this small, while at real
+# corpus scale the Zipf vocab-compression (|vocab| ≪ occurrences)
+# dominates. Unknown-size plans estimate huge → vocab (the safe side).
+AUTO_SCAN_MAX_BYTES = 256 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate of the optimized plan — free (no
+    job), file-size-based for file sources; a conservative huge default
+    when unknown."""
+    try:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        return 1 << 62
+
+
 def fuzzy_search(spark: SparkSession, df: DataFrame, query: str,
                  max_mistakes: int = 1, text_col: str = "text",
                  id_col: str = "doc_id",
                  max_rows: int | None = None,
-                 strategy: str = "vocab") -> DataFrame:
+                 strategy: str = "auto") -> DataFrame:
     """(doc_id, match_count, n_chars, score, score_abs) for docs with >0
     fuzzy token matches.
 
     `strategy`:
-    - 'vocab' (default, the scale path): edit distance runs over the
+    - 'auto' (default): 'scan' for small corpora (Catalyst size estimate
+      ≤ AUTO_SCAN_MAX_BYTES), 'vocab' above — the measured crossover
+      (see AUTO_SCAN_MAX_BYTES). Both return identical rows, so the
+      gate is pure cost.
+    - 'vocab' (the scale path): edit distance runs over the
       DISTINCT token vocabulary only; matched tokens broadcast back as
       an equi-join. Work ∝ |vocab| · |query tokens| for the fuzzy part,
       ∝ occurrences for one codegen hash join. Identical results
       (tested + oracle-checked) — the match set per token is the same.
     - 'scan': the direct theta-join (every occurrence × query token) —
       the verification form, still length-band + threshold guarded.
+
+    Against a persisted index, prefer IndexSearcher.fuzzy_search: the
+    dictionary is already materialized and per-doc tf/n_chars come from
+    the posting blocks — no corpus pass of any kind.
 
     `max_rows` (Z4, spacy_search_funcs.py:36-38): the reference refuses
     corpora over 100,000 rows because its per-row spaCy loop would take
@@ -125,6 +154,9 @@ def fuzzy_search(spark: SparkSession, df: DataFrame, query: str,
                     F.explode("_toks").alias("tok")))
     qdf = F.broadcast(spark.createDataFrame([(t,) for t in qtokens], "qtok string"))
     cond = _fuzzy_match_cond(F.col("tok"), F.col("qtok"), max_mistakes)
+    if strategy == "auto":
+        strategy = ("scan" if _plan_size_bytes(df) <= AUTO_SCAN_MAX_BYTES
+                    else "vocab")
     if strategy == "vocab":
         # candidate index: levenshtein over distinct tokens (map-side
         # partial-agg distinct keeps the shuffle ∝ per-partition vocab),

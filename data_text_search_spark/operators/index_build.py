@@ -174,6 +174,21 @@ def committed_tokenized_paths(root: str, manifest: dict) -> list[str]:
                                 for s in manifest.get("segments", [])]
 
 
+def doc_stats_df(pairs_df: DataFrame) -> DataFrame:
+    """doc_stats columns derived from the tokenized checkpoint, including
+    n_chars = len(' '.join(tokens)) = Σ tf·len(term) + max(doc_len−1, 0)
+    — the reference's fuzzy-score denominator (spacy_search_funcs.py:34,
+    100-104), stored at build so IndexSearcher.fuzzy_search never
+    re-tokenizes the corpus. Order-independent, so computable from the
+    (term, tf) pairs."""
+    n_chars = (F.aggregate(
+        "pairs", F.lit(0).cast("long"),
+        lambda acc, p: acc + p["tf"].cast("long") * F.length(p["term"]))
+        + F.greatest(F.col("doc_len").cast("long") - 1, F.lit(0).cast("long"))
+    ).alias("n_chars")
+    return pairs_df.select("doc_id", "doc_len", "shard", n_chars)
+
+
 def _encode_shard_factory(block_size: int, impact_codec: str = "f64"):
     """applyInPandas kernel: one pandas group per shard → posting blocks.
 
@@ -377,8 +392,7 @@ def build_index(
         # every downstream stat is a cheap derivation of the checkpoint —
         # empty docs are present (pairs=[], doc_len=0), so no backfill join
         pairs_df = spark.read.parquet(td_path)
-        pairs_df.select("doc_id", "doc_len", "shard").write.mode(
-            "overwrite").parquet(paths.doc_stats)
+        doc_stats_df(pairs_df).write.mode("overwrite").parquet(paths.doc_stats)
         row = pairs_df.agg(F.count("*").alias("n"),
                            F.sum("doc_len").alias("len"),
                            F.countDistinct("doc_id").alias("nd")).first()

@@ -237,8 +237,9 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
          .sortWithinPartitions("term", "shard", "block_id")
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(paths.postings_seg(seg_id)))
-    pairs_df.select("doc_id", "doc_len", "shard").write.mode(
-        "overwrite").parquet(paths.doc_stats_seg(seg_id))
+    from data_text_search_spark.operators.index_build import doc_stats_df
+    doc_stats_df(pairs_df).write.mode("overwrite").parquet(
+        paths.doc_stats_seg(seg_id))
     # tokenized checkpoint per segment (same role as the base build's
     # `tokenized/` stage): merges re-score from these without
     # re-tokenizing any document

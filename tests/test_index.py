@@ -193,3 +193,58 @@ def test_search_local_matches_distributed(spark, corpus_pdf, searcher):
     tiny = searcher.search_local("return import", 5, max_postings=1)
     assert tiny["doc_id"].tolist() == [
         r["doc_id"] for r in searcher.search("return import", 5).collect()]
+
+
+def _fuzzy_parity(spark, searcher_, corpus_df_, q, mm=1):
+    from data_text_search_spark.operators.fuzzy import fuzzy_search
+    got = [tuple(r) for r in searcher_.fuzzy_search(q, mm).collect()]
+    want = [tuple(r) for r in
+            fuzzy_search(spark, corpus_df_, q, mm, text_col="content",
+                         id_col="doc_id").collect()]
+    assert got == want, (q, got[:3], want[:3])
+
+
+def test_index_backed_fuzzy_matches_dataframe_operator(spark, corpus,
+                                                       searcher):
+    """IndexSearcher.fuzzy_search (dictionary levenshtein + posting tf
+    sums + stored n_chars) must return exactly the rows of the corpus
+    DataFrame operator — misspelled hot terms, absent terms, multi-token
+    queries, empty query."""
+    for q in ["retur", "zyzzyva", "improt retur", "qqqqqqq", "   "]:
+        _fuzzy_parity(spark, searcher, corpus, q)
+    assert searcher.fuzzy_search("").count() == 0
+
+
+def test_index_backed_fuzzy_covers_pruned_terms(spark, corpus, tmp_path):
+    """With a hot alpha cutoff (alpha=1.0 prunes high-df terms from the
+    postings), a fuzzy query grazing a pruned term must still count its
+    occurrences (served from the tokenized checkpoint) — exactness does
+    not depend on the BM25 pruning knob."""
+    root = str(tmp_path / "pruned_idx")
+    build_index(spark, corpus, root, BM25Config(alpha=1.0), id_col="doc_id",
+                shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    # sanity: the cutoff actually pruned something hot
+    pruned = {r["term"] for r in
+              s._term_stats_all.filter("pruned").select("term").collect()}
+    assert pruned, "alpha=1.0 should prune hot terms on this corpus"
+    probe = sorted(pruned)[0]
+    for q in [probe, probe + "x", "retur " + probe]:
+        _fuzzy_parity(spark, s, corpus, q)
+
+
+def test_index_backed_fuzzy_n_chars_fallback(spark, corpus, tmp_path):
+    """Indexes built before n_chars was stored in doc_stats must still
+    answer fuzzy queries (denominator derived from the tokenized
+    checkpoint on the fly)."""
+    import pandas as pd
+
+    root = str(tmp_path / "old_idx")
+    build_index(spark, corpus, root, BM25Config(), id_col="doc_id",
+                shards=4, groups=1)
+    paths = IndexPaths(root)
+    old = spark.read.parquet(paths.doc_stats).drop("n_chars").toPandas()
+    shutil.rmtree(paths.doc_stats)
+    spark.createDataFrame(old).write.parquet(paths.doc_stats)
+    s = IndexSearcher(spark, root)
+    _fuzzy_parity(spark, s, corpus, "retur improt")
