@@ -41,6 +41,7 @@ def main() -> None:
             "ceiling": ceil,
             "build_rel": round(d["build_scaling_efficiency"] / ceil, 3),
             "query_rel": round(d["query_scaling_efficiency"] / ceil, 3),
+            "load": (max(d["load_1m"]) if d.get("load_1m") else None),
             "lo": d["levels"][0], "hi": d["levels"][1],
         })
     med = {k: round(statistics.median(r[k] for r in rows), 3)
@@ -48,28 +49,31 @@ def main() -> None:
     best_hi = max(rows, key=lambda r: r["hi"]["qps"])["hi"]
     best_lo = max(rows, key=lambda r: r["lo"]["qps"])["lo"]
 
-    out = [f"""# BENCH/BASELINE — measured engine numbers (round 4)
+    out = [f"""# BENCH/BASELINE — measured engine numbers (round 5)
 
 Scaling evidence per the north rule (sandbox form: no real cluster, so
 the same job runs at two pinned local parallelism levels, local[{lo}] vs
 local[{hi}], one fresh JVM each, best-of-2 interleaved per level inside
 every run). Input: the deterministic synthetic source-code corpus,
 {n_docs} docs, JIT-warmed. Query workload: 20000-query batch, top-10,
-via `search_batch_pandas` (the bulk surface; 5000 in round 3 — the
-round-4 kernel is ~1.5-2x faster per batch, so the larger batch keeps
+via `search_batch_pandas` (the bulk surface — the larger batch keeps
 the fixed ~0.3 s per-JOB cost out of a throughput criterion, which is
-measured at saturation). **{len(rows)} independent
+measured at saturation). The load column is the max 1-minute load
+average sampled around each run's level executions (own pinned JVM +
+neighbors) — the pass/fail margin on this criterion is of the same
+order as neighbor noise, so every run carries the load it ran under. **{len(rows)} independent
 protocol runs — the criterion is reported as a distribution (median),
 per the round-2 verdict, not a best draw.**
 
-| run | build eff | query eff | DRAM ceiling | build/ceiling | query/ceiling |
-|---|---|---|---|---|---|"""]
+| run | build eff | query eff | DRAM ceiling | build/ceiling | query/ceiling | load(1m max) |
+|---|---|---|---|---|---|---|"""]
     for i, r in enumerate(rows, 1):
         out.append(f"| {i} | {r['build']} | {r['query']} | {r['ceiling']} "
-                   f"| {r['build_rel']} | {r['query_rel']} |")
+                   f"| {r['build_rel']} | {r['query_rel']} "
+                   f"| {r['load'] if r['load'] is not None else '—'} |")
     out.append(f"| **median** | **{med['build']}** | **{med['query']}** "
                f"| {med['ceiling']} | **{med['build_rel']}** "
-               f"| **{med['query_rel']}** |")
+               f"| **{med['query_rel']}** | |")
     n_above = sum(1 for r in rows if r["query"] >= 0.63)
     out.append(f"""
 Round-2 target: query ≥ 0.63 raw in ≥3 of 5 runs → **{n_above} of

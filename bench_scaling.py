@@ -141,10 +141,18 @@ def main() -> None:
         out["build_sec"] = min(a["build_sec"], b["build_sec"])
         return out
 
+    # 1-min load average sampled around every level run: the pass/fail
+    # call on a ~0.02-margin criterion rides on neighbor noise (round-4
+    # verdict item 7), so each run records the load it ran under
+    loads = [os.getloadavg()[0]]
     r_lo = run_level(repo, lo, n_docs, corpus_path)
+    loads.append(os.getloadavg()[0])
     r_hi = run_level(repo, hi, n_docs, corpus_path)
+    loads.append(os.getloadavg()[0])
     r_lo = best(r_lo, run_level(repo, lo, n_docs, corpus_path))
+    loads.append(os.getloadavg()[0])
     r_hi = best(r_hi, run_level(repo, hi, n_docs, corpus_path))
+    loads.append(os.getloadavg()[0])
 
     # hardware ceiling of this box (see bench_hw_ceiling.py)
     hw = json.loads(subprocess.run(
@@ -156,9 +164,11 @@ def main() -> None:
     query_eff = (r_hi["qps"] / r_lo["qps"]) / factor
     mem_ceiling = hw.get(f"mem_eff_{lo}_to_{hi}")
     cpu_ceiling = hw.get(f"cpu_eff_{lo}_to_{hi}")
+    loads.append(os.getloadavg()[0])
     summary = {"n_docs": n_docs, "levels": [r_lo, r_hi],
                "build_scaling_efficiency": round(build_eff, 3),
                "query_scaling_efficiency": round(query_eff, 3),
+               "load_1m": [round(x, 2) for x in loads],
                "hw_ceiling": hw}
     print(json.dumps(summary))
 
