@@ -323,6 +323,16 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
                 wcache[(t, c)] = w
             return w
 
+        # Per-sig numpy loop, deliberately NOT batched into dense
+        # (sigs × docs) matrices: a multi-sig bincount/partition kernel
+        # was built and measured 1.5x faster in isolation (one task on an
+        # idle socket), but 40% SLOWER end-to-end — 8 concurrent tasks
+        # each streaming B×nd score matrices + nnz-sized key arrays turn
+        # the stage DRAM-bound, while the per-sig form's working set
+        # stays cache-resident per core. Small-and-hot beats
+        # wide-and-streaming when every core runs the kernel at once
+        # (and the shared-DRAM term is exactly what the N→4N criterion
+        # stresses).
         for sig, qlist in groups.items():
             if len(sig) == 1:
                 # single-term fast path: one posting per doc, so the
@@ -738,42 +748,58 @@ class IndexSearcher:
             # collapse Td to 1 and serialize the whole pruned posting
             # read into one task — default to the doc-parallel grid
             return 1, max(1, min(C, n_units)), [qid_list]
-        tdfs = [[self._term_map[t][2] for t in qterms[q]
-                 if t in self._term_map] for q in qid_list]
-        tkeys = [[t for t in qterms[q] if t in self._term_map]
-                 for q in qid_list]
+        # integer-coded per-sig term lists: grid planning is serial driver
+        # time the N→4N criterion pays at full price, so cost evaluation
+        # is pure numpy (the python set-sweep version cost ~0.2 s at 12k
+        # distinct sigs — more than the merge it was optimizing around)
+        tid: dict[str, int] = {}
+        flat_l: list[int] = []
+        offs_l = [0]
+        for q in qid_list:
+            for t in qterms[q]:
+                if t in self._term_map:
+                    flat_l.append(tid.setdefault(t, len(tid)))
+            offs_l.append(len(flat_l))
+        flat = np.asarray(flat_l, dtype=np.int64)
+        offs = np.asarray(offs_l, dtype=np.int64)
+        dfs = np.zeros(max(len(tid), 1), dtype=np.float64)
+        for t, i in tid.items():
+            dfs[i] = self._term_map[t][2]
+        sig_df = (np.add.reduceat(dfs[flat], offs[:-1])
+                  if flat.size else np.zeros(Q))
+        # per-sig cost estimate → WEIGHTED contiguous chunking: groups
+        # carry equal estimated cost, not equal query counts (equal-count
+        # chunks skew ~10%+ across groups, and at one task wave per batch
+        # the max task gates the stage)
+        w = F_Q + D_P * sig_df
+        cw = np.concatenate(([0.0], np.cumsum(w)))
 
-        def chunks(lst: list, parts: int) -> list[list]:
-            step = (len(lst) + parts - 1) // parts
-            return [lst[i:i + step] for i in range(0, len(lst), step)] or [lst]
+        def boundaries(tq: int) -> np.ndarray:
+            targets = cw[-1] * np.arange(1, tq) / tq
+            cuts = np.searchsorted(cw[1:-1], targets) + 1 if Q > 1 else []
+            return np.unique(np.concatenate(([0], cuts, [Q]))).astype(np.int64)
 
-        def dd_max(tq: int) -> float:
+        def dd_max(cuts: np.ndarray) -> float:
             worst = 0.0
-            for idxs in chunks(list(range(Q)), tq):
-                seen: set[str] = set()
-                s = 0.0
-                for i in idxs:
-                    for t, d in zip(tkeys[i], tdfs[i]):
-                        if t not in seen:
-                            seen.add(t)
-                            s += d
-                worst = max(worst, s)
+            for i in range(len(cuts) - 1):
+                seg = flat[offs[cuts[i]]:offs[cuts[i + 1]]]
+                if seg.size:
+                    worst = max(worst, float(dfs[np.unique(seg)].sum()))
             return worst
 
         best = None
         for tq in range(1, C + 1):
             if C % tq:
                 continue
-            tq_eff = min(tq, Q)
+            cuts = boundaries(min(tq, Q))
             td = max(min(C // tq, n_units), 1)
-            cost = (F_Q * -(-Q // tq_eff) + D_P * dd_max(tq_eff) / td
-                    + M_R * Q * td * k)
+            qf = F_Q * float(np.max(np.diff(cuts)))
+            cost = qf + D_P * dd_max(cuts) / td + M_R * Q * td * k
             if best is None or cost < best[0]:
-                best = (cost, tq_eff, td)
-        _, Tq, Td = best
-        groups = chunks(qid_list, Tq)
-        # ceil-chunking can yield fewer chunks than requested — Tq must
-        # equal the actual group count (task ids are divmod(tid, Td))
+                best = (cost, cuts, td)
+        _, cuts, Td = best
+        groups = [qid_list[cuts[i]:cuts[i + 1]]
+                  for i in range(len(cuts) - 1) if cuts[i + 1] > cuts[i]]
         return len(groups), Td, groups
 
     def _colocated_batch_grid(self, qterms: dict[int, dict[str, int]],

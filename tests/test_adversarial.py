@@ -193,8 +193,10 @@ def _crash_state(root: str, batch_key: str) -> None:
     m["needs_rebuild"] = False
     m["applied_batches"].remove(batch_key)
     m["pending"] = {"segment": seg["segment"], "batch_key": batch_key}
-    with open(paths.manifest, "w") as f:
-        json.dump(m, f)
+    from data_text_search_spark.operators.index_build import (
+        _write_manifest_atomic,
+    )
+    _write_manifest_atomic(paths.manifest, m)
 
 
 def test_crashed_append_invisible_then_replayable(spark, tmp_path):
