@@ -90,20 +90,29 @@ ceiling is the physically achievable bound for this criterion here. On
 a multi-node cluster the shared-DRAM term disappears, which is the
 regime the ≥0.8 criterion describes.
 
-Why the plans scale (round-4 shape): the kernel stage is SHUFFLE-FREE —
+Why the plans scale (round-5 shape): the kernel stage is SHUFFLE-FREE —
 each task reads its own colocation units' posting files (pyarrow,
 term-IN row-group pruning) and scores in place; posting payloads never
-cross an exchange; per-task tops (≤ tasks·queries·k rows) merge on the
-driver from one Arrow transfer (pure-numpy merge: one lexsort + a
-boundary sweep). No collect() loops on hot paths, no windows on the
-batch path, no term-keyed shuffle anywhere (doc-hash sharding), one
-task wave per query batch (~20 ms/task Python protocol measured —
-waves don't parallelize it). Round-4 kernel: identical (term,count)
-termsets compute once per task, single-term queries skip the dense
-accumulation entirely, and per-(term,count) weight arrays are cached —
-the per-query fixed cost that limited the N->4N ratio in round 3
-dropped ~2x, and the 2-D grid cost model was refit to the new kernel
-on measured shape sweeps at both core counts.
+cross an exchange; per-task tops (≤ tasks·distinct-queries·k rows)
+merge on the driver from one Arrow transfer (pure-numpy merge: one
+lexsort + a boundary sweep). No collect() loops on hot paths, no
+windows on the batch path, no term-keyed shuffle anywhere (doc-hash
+sharding), one task wave per query batch. Round-5 serial-term work,
+each measured at 8 pinned cores on the 20k workload: (a) batches are
+DEDUPLICATED driver-side (distinct raw strings, then distinct
+effective (term,count) multisets — 20,000 → 12,494 here) and results
+fanned back with one vectorized repeat, so tokenize/kernel/merge costs
+are paid per distinct query (prep 0.14 s); (b) grid planning is pure
+numpy (integer-coded sigs, per-candidate np.unique unions — was 0.185 s
+of python set-sweeps, now ~10 ms); (c) query groups are chunked by
+ESTIMATED COST with term affinity (signature-sorted, cut by cumulative
+fixed+df weight) — equal-count chunks skewed group kernels ~10% and
+one wave means the max task gates; (d) the driver merge is 0.20 s at
+500k partial rows. A dense multi-sig kernel (one bincount per
+(sigs × docs) block) was built and REJECTED on measurement: 1.5x
+faster single-task, 40% slower with 8 concurrent tasks — DRAM-bound,
+exactly the term this criterion stresses; the per-sig loop's
+cache-resident working set wins under concurrency.
 
 ## Absolute throughput at the two levels (best across runs)
 
@@ -113,10 +122,10 @@ on measured shape sweeps at both core counts.
 | query QPS (20000-query batch, top-10) | {best_lo['qps']} | {best_hi['qps']} |
 | batch wall seconds | {best_lo['query_sec']} | {best_hi['query_sec']} |
 
-Round-over-round (same 50k-doc corpus, 8 pinned cores): round 2
-recorded 405 QPS (1000-query batch), round 3 recorded 4026 QPS
-(5000-query batch); round 4 reaches {best_hi['qps']} QPS (20000-query
-batch — see the workload note above).
+Round-over-round (same 50k-doc corpus, 8 pinned cores, 20000-query
+batch since round 4; 5000 in round 3, 1000 in round 2): round 2
+405 QPS -> round 3 4,026 -> round 4 7,551.6 -> round 5
+{best_hi['qps']} QPS.
 
 ## Rank parity at SF=0.1 scale (bench_parity.py)
 
@@ -125,8 +134,10 @@ oracle on the 50000-doc corpus: **12/12 rank-identical**, max |score
 diff| < 2e-15 (pre-rounding doubles) — re-verified by the test suite
 every run (tests/test_index.py, tests/test_bm25_exhaustive.py); the
 DuckDB cross-check runs in tests/test_entry_contract.py and the
-driver's CORRECTNESS gate (27 contract rows, ALL 27 oracle-checked —
-approximate operators via empty-set certificates, see __spark_entry__).
+driver's CORRECTNESS gate (28 contract rows, ALL 28 oracle-checked —
+approximate operators via empty-set certificates, see __spark_entry__;
+round 5 adds fuzzy_search_indexed, the persisted-index fuzzy path
+hash-matched against the same corpus-scan DuckDB oracle).
 
 ## Posting payload (measured)
 
@@ -158,6 +169,23 @@ timed alongside as `ngram_jaccard_capped`: ~9 s median at SF=0.1,
 SLOWER than the uncapped oracle here — the cap's extra df-filter and
 set-attach verify joins only pay off on boilerplate-heavy corpora with
 hot shingles, which this uniform synthetic corpus does not have.
+
+## Round-5 bench-accounting fixes (verdict items 2 and 4)
+
+The bench stdout JSON is kept compact (per-row medians + headline
+numbers only; `queries_minmax` and other diagnostics live in
+`BENCH/bench_details_latest.json`) so the driver's tail capture parses
+it — BENCH_r04 overflowed the window and lost the round's metrics.
+Certificate rows now SEED their exact counterparts once per pass
+(persisted, outside the timed window) instead of recomputing them:
+`minhash_lsh_cert` / `lsh_dup_cert` time the certificate anti-join,
+not a repeat of the most expensive operator, while the
+`ngram_jaccard` / `cosine_dup_pairs` rows remain fresh uncached
+timings each pass. The uncapped ngram candidate join also moved to
+64-bit md5-prefix keys (computed identically by the DuckDB oracle —
+cross-engine parity exact by construction), and the capped form joins
+on xxhash64 (collisions only add candidates, which the exact verify
+filters).
 """)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(out))
