@@ -50,6 +50,14 @@ Shuffle profile: one wide shuffle for the (term,doc) tf aggregate
 (AQE skew-split; term_stats broadcasts when small), one uniform
 repartition by doc-shard for encoding. Nothing keys a shuffle by bare
 term.
+
+Job profile: build metrics (n_docs/avgdl, average IDF, posting payload
+stats) ride their write jobs as observe() CollectMetrics — never a
+post-write re-scan. The only read-back jobs are column-pruned small
+scans (exact distinct-id check, per-shard balance). Every extra action
+pays a core-count-independent scheduling floor (~0.2-0.3 s measured),
+which is pure Amdahl serial fraction in the N-vs-4N build criterion —
+keep the job chain short.
 """
 
 from __future__ import annotations
@@ -59,7 +67,7 @@ import time
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_text_search_spark.config import BM25Config, IndexPaths
@@ -390,18 +398,28 @@ def build_index(
              .write.mode("overwrite").parquet(td_path))
 
         # every downstream stat is a cheap derivation of the checkpoint —
-        # empty docs are present (pairs=[], doc_len=0), so no backfill join
+        # empty docs are present (pairs=[], doc_len=0), so no backfill join.
+        # n_docs/avgdl ride the doc_stats write as observe() metrics (one
+        # CollectMetrics node in the same job) instead of a second full
+        # checkpoint scan: each extra action pays a core-count-independent
+        # job floor (~0.2-0.3 s) that caps N->4N build scaling (Amdahl).
         pairs_df = spark.read.parquet(td_path)
-        doc_stats_df(pairs_df).write.mode("overwrite").parquet(paths.doc_stats)
-        row = pairs_df.agg(F.count("*").alias("n"),
-                           F.sum("doc_len").alias("len"),
-                           F.countDistinct("doc_id").alias("nd")).first()
+        ds_obs = Observation()
+        (doc_stats_df(pairs_df)
+         .observe(ds_obs, F.count(F.lit(1)).alias("n"),
+                  F.sum("doc_len").alias("len"))
+         .write.mode("overwrite").parquet(paths.doc_stats))
+        row = ds_obs.get
         n_docs, total_len = int(row["n"]), int(row["len"] or 0)
-        if int(row["nd"]) != n_docs:
+        # exact distinctness check: a tiny column-pruned job over the
+        # written doc_stats (observe cannot express COUNT DISTINCT)
+        nd = (spark.read.parquet(paths.doc_stats)
+              .select("doc_id").distinct().count())
+        if nd != n_docs:
             # hash-derived ids (ingest) or dirty input: colliding doc_ids
             # would silently merge documents into phantom posting sets
             raise ValueError(
-                f"doc_id collision: {n_docs} rows but {row['nd']} distinct "
+                f"doc_id collision: {n_docs} rows but {nd} distinct "
                 f"ids — supply a unique id column or widen the key")
         avgdl = total_len / n_docs if n_docs else 0.0
         manifest["n_docs"] = n_docs
@@ -426,6 +444,10 @@ def build_index(
         # but incremental segments can still see the base df — otherwise a
         # pruned hot term reappearing in a delta would be misclassified as
         # new and get a wildly inflated delta-only IDF
+        # A6 (bm25_functions.py:104-117): the average-IDF sanity metric
+        # (over surviving terms, like the reference's self.idf average)
+        # rides the write job as an observe() metric — no read-back job
+        ts_obs = Observation()
         (td.groupBy("term")
          .agg(F.count("*").alias("df"))
          .withColumn(
@@ -435,12 +457,11 @@ def build_index(
          .withColumn("pruned", ~(F.col("idf") > F.lit(config.alpha)))
          .withColumn("term_bucket",
                      F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
+         .observe(ts_obs, F.avg(F.when(~F.col("pruned"), F.col("idf")))
+                  .alias("avg_idf"))
          .write.mode("overwrite").parquet(paths.term_stats))
-        # A6 (bm25_functions.py:104-117): average IDF sanity metric + warn
-        # (over surviving terms, like the reference's self.idf average)
-        avg_idf_row = spark.read.parquet(paths.term_stats).filter(
-            ~F.col("pruned")).agg(F.avg("idf")).first()
-        avg_idf = float(avg_idf_row[0]) if avg_idf_row[0] is not None else 0.0
+        avg_idf_val = ts_obs.get["avg_idf"]
+        avg_idf = float(avg_idf_val) if avg_idf_val is not None else 0.0
         manifest["metrics"]["average_idf"] = round(avg_idf, 6)
         if avg_idf < 0:
             print("Average inverse document frequency is less than zero. "
@@ -467,11 +488,20 @@ def build_index(
             continue
         t0 = time.perf_counter()
         part = enc_df.filter(F.pmod(F.col("shard"), F.lit(groups)) == g)
+        # global payload stats ride the write job as observe() metrics —
+        # re-scanning the written payload for them cost a full extra pass
+        # over every posting byte plus a second job floor per group
+        g_obs = Observation()
         blocks = (
             part.groupBy("shard")
             .applyInPandas(kernel, schema=POSTINGS_SCHEMA)
             .withColumn("term_bucket",
                         F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
+            .observe(g_obs,
+                     F.count(F.lit(1)).alias("n_blocks"),
+                     F.sum("n_docs").alias("n_postings"),
+                     (F.sum(F.length("doc_deltas")) + F.sum(F.length("tfs"))
+                      + F.sum(F.length("impacts"))).alias("payload_bytes"))
         )
         gdir = f"{paths.postings}/group={g}"
         if subshards:
@@ -506,18 +536,15 @@ def build_index(
             (blocks.repartition(tp, "term_bucket")
              .sortWithinPartitions("term", "shard", "block_id")
              .write.mode("overwrite").partitionBy("term_bucket").parquet(gdir))
-        written = spark.read.parquet(gdir)
-        stats = written.agg(
-            F.count("*").alias("n_blocks"),
-            F.sum("n_docs").alias("n_postings"),
-            (F.sum(F.length("doc_deltas")) + F.sum(F.length("tfs"))
-             + F.sum(F.length("impacts"))).alias("payload_bytes"),
-        ).first()
+        stats = g_obs.get
         # shard balance: the doc-hash salting claim, measured (hot terms
-        # must not concentrate postings on any shard)
-        shard_stats = written.groupBy("shard").agg(
-            F.sum("n_docs").alias("p")).agg(
-            F.max("p").alias("mx"), F.avg("p").alias("av")).first()
+        # must not concentrate postings on any shard). This read-back is
+        # column-pruned to (shard, n_docs) — two small int columns, not
+        # the posting payload
+        shard_stats = (spark.read.parquet(gdir)
+                       .groupBy("shard").agg(F.sum("n_docs").alias("p"))
+                       .agg(F.max("p").alias("mx"), F.avg("p").alias("av"))
+                       .first())
         n_post = int(stats["n_postings"] or 0)
         manifest["groups_state"][gkey] = {
             "status": "done",
