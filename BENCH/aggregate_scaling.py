@@ -83,14 +83,17 @@ Round-2 target: query ≥ 0.63 raw in ≥3 of 5 runs → **{n_above} of
 
 Round-over-round on the query criterion — the carried headline since
 round 2: 0.603 raw / 0.761-of-ceiling (round 3, 8 runs) → 0.626 /
-0.782 (round 4, 20 runs) → **0.642 / {med['query_rel']} this round —
+0.782 (round 4, 20 runs) → **{med['query']} / {med['query_rel']} this round —
 the ≥0.8-of-ceiling bar is met as a median over all {len(rows)} runs**
 (driver-side batch dedup + numpy grid planning + cost-weighted
 affinity chunking; each serial term measured, see below). Build:
 0.804 (round 3) → 0.788 (round 4) → {med['build_rel']} — stable
 within the noise band of the bar; the calm-window runs above sit at
-0.82-0.90 of ceiling and the two clear load-spike draws (runs 9 and
-11, load 8.3-9.2) carry their load in the table. The campaign is
+0.82-0.90 of ceiling and the clear load-spike draws (load ≥8)
+carry their load in the table. A run whose query/ceiling exceeds 1.0
+means the ceiling PROBE itself got squeezed by a neighbor spike (its
+mem-streaming efficiency column is the low outlier of the campaign),
+not that the engine beat physics. The campaign is
 reported whole: no run was dropped.
 
 Local threads share ONE box's DRAM, GC and (this sandbox) noisy
