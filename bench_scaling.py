@@ -175,7 +175,10 @@ def main() -> None:
     os.makedirs(f"{repo}/BENCH", exist_ok=True)
     rel_build = round(build_eff / mem_ceiling, 3) if mem_ceiling else None
     rel_query = round(query_eff / mem_ceiling, 3) if mem_ceiling else None
-    with open(f"{repo}/BENCH/BASELINE.md", "w") as f:
+    # Per-run report goes to a SIDE file: BENCH/BASELINE.md is owned by
+    # aggregate_scaling.py (the campaign-wide distribution), and a single
+    # run overwriting it silently drops the whole campaign table.
+    with open(f"{repo}/BENCH/BASELINE_lastrun.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured engine numbers
 
 Scaling evidence per the north rule (sandbox form: no real cluster, so

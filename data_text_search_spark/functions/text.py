@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -143,6 +144,7 @@ _TOKTF_SCHEMA = StructType([
         StructField("tf", IntegerType()),
     ]))),
     StructField("doc_len", IntegerType()),
+    StructField("n_chars", LongType()),
 ])
 
 
@@ -154,17 +156,25 @@ def tokenize_tf_pandas_udf(texts: pd.Series) -> pd.DataFrame:
     the (term, doc) groupBy shuffle entirely (pairs are already unique per
     doc), and keeps the string-heavy work in Python processes that scale
     with cores instead of JVM allocation/GC. Pairs are term-sorted so
-    downstream float summation order is deterministic."""
+    downstream float summation order is deterministic.
+
+    n_chars = len(' '.join(tokens)) = Σ tf·len(term) + max(doc_len−1, 0)
+    (the reference's fuzzy denominator, spacy_search_funcs.py:34,100-104)
+    is computed here, while the token counts are already in hand, so
+    doc_stats never re-decodes the checkpoint's pairs column for it."""
     from collections import Counter
 
-    pairs_out, dlen_out = [], []
+    pairs_out, dlen_out, nch_out = [], [], []
     for t in texts.astype(str):
         toks = _TOKEN_RE.findall(t.lower())
         c = Counter(toks)
         pairs_out.append([(k, int(v)) for k, v in sorted(c.items())])
         dlen_out.append(len(toks))
+        nch_out.append(sum(len(k) * v for k, v in c.items())
+                       + max(len(toks) - 1, 0))
     return pd.DataFrame({"pairs": pairs_out,
-                         "doc_len": pd.Series(dlen_out, dtype="int32")})
+                         "doc_len": pd.Series(dlen_out, dtype="int32"),
+                         "n_chars": pd.Series(nch_out, dtype="int64")})
 
 
 @F.pandas_udf(StringType())

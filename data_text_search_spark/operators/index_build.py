@@ -51,18 +51,22 @@ Shuffle profile: one wide shuffle for the (term,doc) tf aggregate
 repartition by doc-shard for encoding. Nothing keys a shuffle by bare
 term.
 
-Job profile: build metrics (n_docs/avgdl, average IDF, posting payload
-stats) ride their write jobs as observe() CollectMetrics — never a
-post-write re-scan. The only read-back jobs are column-pruned small
-scans (exact distinct-id check, per-shard balance). Every extra action
-pays a core-count-independent scheduling floor (~0.2-0.3 s measured),
-which is pure Amdahl serial fraction in the N-vs-4N build criterion —
-keep the job chain short.
+Job profile: every build metric (n_docs/avgdl on the tokenize write,
+average IDF on term_stats, posting payload + per-shard balance on the
+posting write, exact distinct-id collision check on doc_stats) rides
+its write job as observe() CollectMetrics — there are NO read-back
+jobs. The critical path is exactly three actions (tokenize →
+term_stats → postings per group); the doc_stats write runs concurrently
+with term_stats+postings on a second action thread, so its job costs ~no
+wall time. Every extra action pays a core-count-independent scheduling
+floor (~0.2-0.3 s measured), which is pure Amdahl serial fraction in
+the N-vs-4N build criterion — keep the job chain short.
 """
 
 from __future__ import annotations
 
 import json
+import threading
 import time
 
 import numpy as np
@@ -80,8 +84,14 @@ from data_text_search_spark.operators.bm25_exhaustive import ingest
 POSTINGS_SCHEMA = (
     "term string, shard int, block_id int, first_doc_id long, last_doc_id long, "
     "n_docs int, doc_deltas binary, tfs binary, impacts binary, "
-    "block_max double, block_min double"
+    "block_max double, block_min double, shard_n_docs long"
 )
+# shard_n_docs: the shard's TOTAL posting count, emitted on the shard's
+# first block row only (null elsewhere). It exists so the shard-balance
+# metric (max/mean postings per shard — the doc-hash salting claim) rides
+# the posting write job as observe(max(col), avg(col)) instead of a
+# post-write read-back job: avg ignores nulls, so both aggregates see
+# exactly one value per shard. Query readers never select this column.
 
 
 # --- manifest commit protocol ----------------------------------------------
@@ -182,19 +192,34 @@ def committed_tokenized_paths(root: str, manifest: dict) -> list[str]:
                                 for s in manifest.get("segments", [])]
 
 
-def doc_stats_df(pairs_df: DataFrame) -> DataFrame:
+def doc_stats_df(pairs_df: DataFrame, complete_n_chars: bool = False) -> DataFrame:
     """doc_stats columns derived from the tokenized checkpoint, including
     n_chars = len(' '.join(tokens)) = Σ tf·len(term) + max(doc_len−1, 0)
     — the reference's fuzzy-score denominator (spacy_search_funcs.py:34,
     100-104), stored at build so IndexSearcher.fuzzy_search never
-    re-tokenizes the corpus. Order-independent, so computable from the
-    (term, tf) pairs."""
-    n_chars = (F.aggregate(
+    re-tokenizes the corpus.
+
+    complete_n_chars=True (build paths, which wrote the checkpoint with
+    the current tokenize UDF themselves) projects the stored column
+    directly — the scan then prunes the heavy `pairs` column entirely.
+    The default derives/repairs n_chars from the (term, tf) pairs
+    (order-independent): a union of legacy (pre-n_chars) and current
+    checkpoint files surfaces the missing column as NULL for the legacy
+    rows, and those must be derived, not dropped — the coalesce keeps
+    `pairs` in the read schema, which is the safe-but-slower choice for
+    mixed-provenance readers."""
+    if complete_n_chars and "n_chars" in pairs_df.columns:
+        return pairs_df.select("doc_id", "doc_len", "shard", "n_chars")
+    computed = (F.aggregate(
         "pairs", F.lit(0).cast("long"),
         lambda acc, p: acc + p["tf"].cast("long") * F.length(p["term"]))
-        + F.greatest(F.col("doc_len").cast("long") - 1, F.lit(0).cast("long"))
-    ).alias("n_chars")
-    return pairs_df.select("doc_id", "doc_len", "shard", n_chars)
+        + F.greatest(F.col("doc_len").cast("long") - 1, F.lit(0).cast("long")))
+    if "n_chars" in pairs_df.columns:
+        return pairs_df.select(
+            "doc_id", "doc_len", "shard",
+            F.coalesce(F.col("n_chars"), computed).alias("n_chars"))
+    return pairs_df.select("doc_id", "doc_len", "shard",
+                           computed.alias("n_chars"))
 
 
 def _encode_shard_factory(block_size: int, impact_codec: str = "f64"):
@@ -214,7 +239,8 @@ def _encode_shard_factory(block_size: int, impact_codec: str = "f64"):
         if pdf.empty:
             return pd.DataFrame(columns=[
                 "term", "shard", "block_id", "first_doc_id", "last_doc_id",
-                "n_docs", "doc_deltas", "tfs", "impacts", "block_max", "block_min"])
+                "n_docs", "doc_deltas", "tfs", "impacts", "block_max",
+                "block_min", "shard_n_docs"])
         # sort by (term, doc_id) via integer codes — a pandas object-string
         # multi-key sort is python-comparison-bound and turns superlinear on
         # large shards (70s+ per 690k-row shard vs ~1s this way)
@@ -273,6 +299,9 @@ def _encode_shard_factory(block_size: int, impact_codec: str = "f64"):
             imp_starts = imp_ends - block_len * 8
             impacts_bufs = [imp_le[s:e] for s, e in zip(imp_starts, imp_ends)]
 
+        # shard total on the first row only (see POSTINGS_SCHEMA note)
+        shard_total = pd.array([None] * n_blocks, dtype="Int64")
+        shard_total[0] = len(codes)
         return pd.DataFrame({
             "term": np.asarray(uniq_terms, dtype=object)[codes[block_start]],
             "shard": np.full(n_blocks, shard, dtype=np.int32),
@@ -285,6 +314,7 @@ def _encode_shard_factory(block_size: int, impact_codec: str = "f64"):
             "impacts": impacts_bufs,
             "block_max": block_max,
             "block_min": block_min,
+            "shard_n_docs": shard_total,
         })
 
     return encode_shard
@@ -379,13 +409,37 @@ def build_index(
     td_path = f"{root}/tokenized"
     if not stage_done("tokenized"):
         t0 = time.perf_counter()
+        # n_docs / avgdl ride THIS write as observe() metrics: they are
+        # plain row aggregates of the checkpoint, and knowing them the
+        # moment tokenize finishes unblocks term_stats (idf needs n_docs)
+        # without waiting for any doc_stats action
+        tk_obs = Observation()
         if tokenized_pairs is not None:
             # merge path: re-shard the persisted pairs (shards may differ
-            # from the source index's layout) and checkpoint
-            (tokenized_pairs
+            # from the source index's layout) and checkpoint. Pre-n_chars
+            # source checkpoints (or mixed old+new unions, where missing
+            # parquet columns surface as NULLs) get the column derived
+            # here (same formula as doc_stats_df), so the merged
+            # checkpoint always carries a complete n_chars
+            tp_df = tokenized_pairs
+            nch_expr = (
+                F.aggregate(
+                    "pairs", F.lit(0).cast("long"),
+                    lambda acc, p: acc + p["tf"].cast("long")
+                    * F.length(p["term"]))
+                + F.greatest(F.col("doc_len").cast("long") - 1,
+                             F.lit(0).cast("long")))
+            if "n_chars" in tp_df.columns:
+                tp_df = tp_df.withColumn(
+                    "n_chars", F.coalesce(F.col("n_chars"), nch_expr))
+            else:
+                tp_df = tp_df.withColumn("n_chars", nch_expr)
+            (tp_df
              .withColumn("shard", F.pmod(F.xxhash64("doc_id"),
                                          F.lit(shards)).cast("int"))
-             .select("doc_id", "shard", "pairs", "doc_len")
+             .select("doc_id", "shard", "pairs", "doc_len", "n_chars")
+             .observe(tk_obs, F.count(F.lit(1)).alias("n"),
+                      F.sum("doc_len").alias("len"))
              .write.mode("overwrite").parquet(td_path))
         else:
             prep = ingest(corpus, text_col=text_col, id_col=id_col,
@@ -394,42 +448,85 @@ def build_index(
                 "doc_id", tokenize_tf_pandas_udf("prepared").alias("s"),
                 F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard"))
              .select("doc_id", "shard", F.col("s.pairs").alias("pairs"),
-                     F.col("s.doc_len").alias("doc_len"))
+                     F.col("s.doc_len").alias("doc_len"),
+                     F.col("s.n_chars").alias("n_chars"))
+             .observe(tk_obs, F.count(F.lit(1)).alias("n"),
+                      F.sum("doc_len").alias("len"))
              .write.mode("overwrite").parquet(td_path))
-
-        # every downstream stat is a cheap derivation of the checkpoint —
-        # empty docs are present (pairs=[], doc_len=0), so no backfill join.
-        # n_docs/avgdl ride the doc_stats write as observe() metrics (one
-        # CollectMetrics node in the same job) instead of a second full
-        # checkpoint scan: each extra action pays a core-count-independent
-        # job floor (~0.2-0.3 s) that caps N->4N build scaling (Amdahl).
-        pairs_df = spark.read.parquet(td_path)
-        ds_obs = Observation()
-        (doc_stats_df(pairs_df)
-         .observe(ds_obs, F.count(F.lit(1)).alias("n"),
-                  F.sum("doc_len").alias("len"))
-         .write.mode("overwrite").parquet(paths.doc_stats))
-        row = ds_obs.get
-        n_docs, total_len = int(row["n"]), int(row["len"] or 0)
-        # exact distinctness check: a tiny column-pruned job over the
-        # written doc_stats (observe cannot express COUNT DISTINCT)
-        nd = (spark.read.parquet(paths.doc_stats)
-              .select("doc_id").distinct().count())
-        if nd != n_docs:
-            # hash-derived ids (ingest) or dirty input: colliding doc_ids
-            # would silently merge documents into phantom posting sets
-            raise ValueError(
-                f"doc_id collision: {n_docs} rows but {nd} distinct "
-                f"ids — supply a unique id column or widen the key")
+        row = tk_obs.get
+        n_docs, total_len = int(row["n"] or 0), int(row["len"] or 0)
         avgdl = total_len / n_docs if n_docs else 0.0
         manifest["n_docs"] = n_docs
         manifest["avgdl"] = avgdl
-        mark_stage("tokenized", seconds=round(time.perf_counter() - t0, 3))
+        # protocol 3: doc_stats is its own (concurrent) stage; older
+        # manifests folded it into `tokenized`, so resume uses this
+        # marker to tell the two layouts apart
+        mark_stage("tokenized", seconds=round(time.perf_counter() - t0, 3),
+                   protocol=3)
         manifest["metrics"]["tokenize_docs_per_sec"] = round(
             n_docs / max(time.perf_counter() - t0, 1e-9), 1)
         _write_manifest_atomic(paths.manifest, manifest)
 
     n_docs, avgdl = manifest["n_docs"], manifest["avgdl"]
+
+    # ---- stage: doc_stats (runs CONCURRENTLY with term_stats+postings) ---
+    # doc_stats is a derivation of the checkpoint that nothing downstream
+    # of this function reads during the build, so its whole job (scheduling
+    # floor + groupBy shuffle + write) overlaps the term_stats→postings
+    # chain on a second action thread — at N cores the stage costs ~zero
+    # wall time instead of a serial job. The groupBy(doc_id) makes the
+    # written rows the distinct set, and the exact collision check
+    # (max(dup) > 1) rides the write as observe() metrics; the verdict is
+    # inspected at join time, before the build is marked complete.
+    ds_stage_done = stage_done("doc_stats") or (
+        stage_done("tokenized")
+        and manifest["stages"]["tokenized"].get("protocol", 2) < 3)
+    ds_state: dict = {}
+    ds_thread = None
+    if not ds_stage_done:
+        pairs_for_ds = spark.read.parquet(td_path)
+
+        def _doc_stats_job() -> None:
+            try:
+                t_ds = time.perf_counter()
+                ds_obs = Observation()
+                (doc_stats_df(pairs_for_ds, complete_n_chars=True)
+                 .groupBy("doc_id")
+                 .agg(F.first("doc_len").alias("doc_len"),
+                      F.first("shard").alias("shard"),
+                      F.first("n_chars").alias("n_chars"),
+                      F.count(F.lit(1)).alias("dup"))
+                 .observe(ds_obs,
+                          F.count(F.lit(1)).alias("n_distinct"),
+                          F.max("dup").alias("max_dup"))
+                 .drop("dup")
+                 .write.mode("overwrite").parquet(paths.doc_stats))
+                ds_state["obs"] = ds_obs.get
+                ds_state["seconds"] = round(time.perf_counter() - t_ds, 3)
+            except BaseException as e:  # surfaced at join
+                ds_state["error"] = e
+
+        ds_thread = threading.Thread(target=_doc_stats_job, daemon=True)
+        ds_thread.start()
+
+    def _join_doc_stats() -> None:
+        if ds_thread is None:
+            return
+        ds_thread.join()
+        if "error" in ds_state:
+            raise ds_state["error"]
+        obs = ds_state["obs"]
+        if int(obs["max_dup"] or 0) > 1:
+            # hash-derived ids (ingest) or dirty input: colliding doc_ids
+            # would silently merge documents into phantom posting sets.
+            # (Checked at join time — a colliding corpus wastes the
+            # overlapped postings work, but can never be marked complete.)
+            raise ValueError(
+                f"doc_id collision: {n_docs} rows but "
+                f"{int(obs['n_distinct'] or 0)} distinct ids — supply a "
+                f"unique id column or widen the key (then rebuild with "
+                f"resume=False)")
+        mark_stage("doc_stats", seconds=ds_state["seconds"])
     td = (spark.read.parquet(td_path)
           .select("doc_id", "doc_len", "shard", F.explode("pairs").alias("p"))
           .select("doc_id", "doc_len", "shard",
@@ -501,7 +598,13 @@ def build_index(
                      F.count(F.lit(1)).alias("n_blocks"),
                      F.sum("n_docs").alias("n_postings"),
                      (F.sum(F.length("doc_deltas")) + F.sum(F.length("tfs"))
-                      + F.sum(F.length("impacts"))).alias("payload_bytes"))
+                      + F.sum(F.length("impacts"))).alias("payload_bytes"),
+                     # shard balance (doc-hash salting claim): shard_n_docs
+                     # is set on exactly one row per shard, so max/avg over
+                     # non-nulls are the per-shard posting-count extremes —
+                     # no post-write read-back job
+                     F.max("shard_n_docs").alias("shard_max"),
+                     F.avg("shard_n_docs").alias("shard_mean"))
         )
         gdir = f"{paths.postings}/group={g}"
         if subshards:
@@ -537,14 +640,6 @@ def build_index(
              .sortWithinPartitions("term", "shard", "block_id")
              .write.mode("overwrite").partitionBy("term_bucket").parquet(gdir))
         stats = g_obs.get
-        # shard balance: the doc-hash salting claim, measured (hot terms
-        # must not concentrate postings on any shard). This read-back is
-        # column-pruned to (shard, n_docs) — two small int columns, not
-        # the posting payload
-        shard_stats = (spark.read.parquet(gdir)
-                       .groupBy("shard").agg(F.sum("n_docs").alias("p"))
-                       .agg(F.max("p").alias("mx"), F.avg("p").alias("av"))
-                       .first())
         n_post = int(stats["n_postings"] or 0)
         manifest["groups_state"][gkey] = {
             "status": "done",
@@ -555,11 +650,12 @@ def build_index(
             "bytes_per_posting": round(
                 (stats["payload_bytes"] or 0) / max(n_post, 1), 3),
             "shard_balance_max_over_mean": round(
-                float(shard_stats["mx"]) / float(shard_stats["av"]), 3)
-            if shard_stats["av"] else None,
+                float(stats["shard_max"]) / float(stats["shard_mean"]), 3)
+            if stats["shard_mean"] else None,
         }
         _write_manifest_atomic(paths.manifest, manifest)
 
+    _join_doc_stats()
     manifest["complete"] = True
     _write_manifest_atomic(paths.manifest, manifest)
     return manifest

@@ -1099,9 +1099,15 @@ class IndexSearcher:
                      .agg(F.sum("match_count").alias("match_count")))
         dstats = spark.read.parquet(
             *committed_doc_stats_paths(self.paths.root, self.manifest))
-        if "n_chars" not in dstats.columns:
-            # index built before n_chars was stored: derive it once from
-            # the tokenized checkpoint (same formula as doc_stats_df)
+        if ("n_chars" not in dstats.columns
+                or dstats.filter(F.col("n_chars").isNull()).head(1)):
+            # index built before n_chars was stored — or a MIXED union
+            # (legacy base doc_stats + post-n_chars segments), where the
+            # missing parquet column surfaces as NULL for the legacy rows
+            # and would silently drop those docs from the score. Derive
+            # the column once from the tokenized checkpoint instead (same
+            # formula as doc_stats_df); the null probe is a column-pruned
+            # LIMIT 1 scan, ~free on the current all-non-null layout
             from data_text_search_spark.operators.index_build import (
                 committed_tokenized_paths,
                 doc_stats_df,

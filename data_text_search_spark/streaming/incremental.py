@@ -116,7 +116,8 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
         "doc_id", tokenize_tf_pandas_udf("prepared").alias("s"),
         F.pmod(F.xxhash64("doc_id"), F.lit(shards)).cast("int").alias("shard"))
         .select("doc_id", "shard", F.col("s.pairs").alias("pairs"),
-                F.col("s.doc_len").alias("doc_len"))).persist()
+                F.col("s.doc_len").alias("doc_len"),
+                F.col("s.n_chars").alias("n_chars"))).persist()
     def _abort(msg: str):
         pairs_df.unpersist()
         manifest.pop("pending", None)
@@ -238,7 +239,8 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(paths.postings_seg(seg_id)))
     from data_text_search_spark.operators.index_build import doc_stats_df
-    doc_stats_df(pairs_df).write.mode("overwrite").parquet(
+    # pairs_df is the fresh tokenize-UDF output — n_chars is complete
+    doc_stats_df(pairs_df, complete_n_chars=True).write.mode("overwrite").parquet(
         paths.doc_stats_seg(seg_id))
     # tokenized checkpoint per segment (same role as the base build's
     # `tokenized/` stage): merges re-score from these without

@@ -248,3 +248,73 @@ def test_index_backed_fuzzy_n_chars_fallback(spark, corpus, tmp_path):
     spark.createDataFrame(old).write.parquet(paths.doc_stats)
     s = IndexSearcher(spark, root)
     _fuzzy_parity(spark, s, corpus, "retur improt")
+
+
+def test_doc_id_collision_raises(spark, tmp_path):
+    """Colliding doc_ids must fail the build loudly (they would silently
+    merge documents into phantom posting sets). The check rides the
+    doc_stats write as an observe() metric — no separate distinct job —
+    so this pins that the fused form still detects duplicates."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 2, 3], "content": ["a b", "c d", "e f", "g h"]}))
+    with pytest.raises(ValueError, match="collision"):
+        build_index(spark, df, str(tmp_path / "dup"), BM25Config(),
+                    id_col="doc_id", shards=4, groups=1)
+
+
+def test_checkpoint_n_chars_matches_formula(spark, corpus, tmp_path):
+    """The tokenize UDF's stored n_chars must equal the derived formula
+    Σ tf·len(term) + max(doc_len−1, 0) for every doc, and the doc_stats
+    scan must NOT read the heavy pairs column when trusting it."""
+    from pyspark.sql import functions as F
+
+    from data_text_search_spark.operators.index_build import doc_stats_df
+
+    root = str(tmp_path / "nch")
+    build_index(spark, corpus, root, BM25Config(), id_col="doc_id",
+                shards=4, groups=1)
+    tok = spark.read.parquet(f"{root}/tokenized")
+    derived = (
+        F.aggregate("pairs", F.lit(0).cast("long"),
+                    lambda acc, p: acc + p["tf"].cast("long")
+                    * F.length(p["term"]))
+        + F.greatest(F.col("doc_len").cast("long") - 1,
+                     F.lit(0).cast("long")))
+    assert tok.filter(F.col("n_chars") != derived).count() == 0
+    assert tok.filter(F.col("n_chars").isNull()).count() == 0
+    # column pruning: the trusted projection must not scan `pairs`
+    plan = doc_stats_df(tok, complete_n_chars=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "pairs" not in plan, plan
+    # and the written doc_stats agrees with the checkpoint
+    ds = spark.read.parquet(f"{root}/doc_stats")
+    joined = (ds.alias("d").join(tok.alias("t"), "doc_id")
+              .filter(F.col("d.n_chars") != F.col("t.n_chars")))
+    assert joined.count() == 0
+
+
+def test_doc_stats_df_repairs_null_n_chars(spark):
+    """A mixed legacy+current checkpoint union surfaces n_chars as NULL
+    for legacy rows; doc_stats_df must derive those, not drop them."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_text_search_spark.operators.index_build import doc_stats_df
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2],
+        "shard": [0, 1],
+        "pairs": [[("ab", 2), ("c", 1)], [("xyz", 1)]],
+        "doc_len": [3, 1],
+        "n_chars": [None, 3],
+    })
+    df = spark.createDataFrame(
+        pdf, schema=("doc_id long, shard int, "
+                     "pairs array<struct<term:string,tf:int>>, "
+                     "doc_len int, n_chars long"))
+    got = {r["doc_id"]: r["n_chars"]
+           for r in doc_stats_df(df).collect()}
+    # doc 1: 2*2 + 1*1 + (3-1) = 7 (derived); doc 2: stored 3 kept
+    assert got == {1: 7, 2: 3}
