@@ -49,6 +49,17 @@ def main() -> None:
     best_hi = max(rows, key=lambda r: r["hi"]["qps"])["hi"]
     best_lo = max(rows, key=lambda r: r["lo"]["qps"])["lo"]
 
+    # Build-code cohorts: table rows from POST_BUILD_FROM onward ran after
+    # the zero-read-back build commit (74a23c8 — every metric rides a write
+    # job via observe(), doc_stats overlapped on a second action thread;
+    # 3-action critical path). The cohort split shows what that change did
+    # to the BUILD criterion; query code is identical across the campaign.
+    POST_BUILD_FROM = 17  # 1-based table row == file scale_r5_18.log
+    pre = rows[:POST_BUILD_FROM - 1]
+    post = rows[POST_BUILD_FROM - 1:]
+    bmed = lambda rs, k: (round(statistics.median(r[k] for r in rs), 3)
+                          if rs else None)
+
     out = [f"""# BENCH/BASELINE — measured engine numbers (round 5)
 
 Scaling evidence per the north rule (sandbox form: no real cluster, so
@@ -87,9 +98,24 @@ round 2: 0.603 raw / 0.761-of-ceiling (round 3, 8 runs) → 0.626 /
 the ≥0.8-of-ceiling bar is met as a median over all {len(rows)} runs**
 (driver-side batch dedup + numpy grid planning + cost-weighted
 affinity chunking; each serial term measured, see below). Build:
-0.804 (round 3) → 0.788 (round 4) → {med['build_rel']} — stable
-within the noise band of the bar; the calm-window runs above sit at
-0.82-0.90 of ceiling and the clear load-spike draws (load ≥8)
+0.804 (round 3) → 0.788 (round 4) → {med['build_rel']} over the whole
+campaign — but the campaign spans a build-code change: runs
+{POST_BUILD_FROM}-{len(rows)} ran after the zero-read-back build
+(commit 74a23c8: every build metric rides its write job as observe()
+CollectMetrics, the doc_stats job overlaps term_stats→postings on a
+second action thread — 3 actions on the critical path, no read-back
+jobs). Cohort medians: pre-change ({len(pre)} runs) build
+{bmed(pre, 'build')} raw / {bmed(pre, 'build_rel')} of ceiling →
+post-change ({len(post)} runs) **{bmed(post, 'build')} raw /
+{bmed(post, 'build_rel')} of ceiling — the ≥0.8 build bar is met for
+the code as committed** (query cohort medians {bmed(pre, 'query')} vs
+{bmed(post, 'query')} — unchanged, as expected: the query path is
+identical across the campaign, which also says the machine didn't
+simply get calmer). Each removed action was a ~0.2-0.3 s
+core-count-independent job floor — pure Amdahl serial fraction in the
+N-vs-4N criterion; the interleaved A/B measured build wall 24.86→20.38 s
+at 2 pinned cores (−18%), 8.82→7.13 s at 8 (−19%). Calm-window runs sit
+at 0.85-0.98 of ceiling and the clear load-spike draws (load ≥8)
 carry their load in the table. A run whose query/ceiling exceeds 1.0
 means the ceiling PROBE itself got squeezed by a neighbor spike (its
 mem-streaming efficiency column is the low outlier of the campaign),
