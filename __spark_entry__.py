@@ -298,6 +298,49 @@ def q_minhash_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.join(exact, ["doc_a", "doc_b", "jaccard"], "left_anti")
 
 
+def q_minhash_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL certificate for MinHash-LSH (oracle: typed empty set) — the
+    converse of q_minhash_lsh_cert, which an LSH path that returned
+    NOTHING would pass trivially (round-4 verdict caveat). Every exact
+    shingle-Jaccard pair at J >= 0.9 must be FOUND by the banded path:
+    at 16 bands x 4 rows, P(miss one pair) = (1 - J^4)^16 <= 3.9e-8 at
+    J = 0.9, so over the ~25 such pairs in the driver corpus
+    P(any missed) < 1e-6 — and with the pinned hash seeds +
+    deterministic corpus the result is fully deterministic (verified
+    empty at sf0.001 and sf0.01). A banding, bucketing, bucket-cap or
+    signature-prefilter regression that loses true near-dups surfaces
+    here as a non-empty set the driver's hash gate rejects."""
+    from data_text_search_spark.operators import dedup
+    docs = _documents(spark, sf_dir)
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    exact_hi = _exact_ngram_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.9)
+    return exact_hi.join(lsh, ["doc_a", "doc_b"], "left_anti")
+
+
+def q_lsh_dup_recall_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECALL certificate for hyperplane-LSH dup pairs (oracle: typed
+    empty set). The driver embeddings hold no true near-dups (max
+    pairwise cosine ~0.51 — a regime no LSH family can bucket, served by
+    the exact path), so recall is certified on DETERMINISTIC PLANTED
+    COPIES derived from the corpus itself: the first 32 vectors are
+    duplicated under vec_id + 10_000_000, giving pairs at cosine 1.0
+    whose signatures are identical bit-for-bit — every band collides, so
+    banded LSH finds them by pigeonhole, not probability. The expected
+    (orig, planted) pairs anti-joined against the LSH output must be
+    empty; an LSH path that returns nothing — or a banding/bucketing/
+    verify regression that drops pairs — fails the driver's hash gate."""
+    from data_text_search_spark.operators import similarity
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 32)
+    planted = base.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"), "embedding")
+    pairs = similarity.lsh_dup_pairs(emb.unionByName(planted), threshold=0.99)
+    expected = base.select(
+        F.col("vec_id").alias("id_a"),
+        (F.col("vec_id") + F.lit(10_000_000)).alias("id_b"))
+    return expected.join(pairs, ["id_a", "id_b"], "left_anti")
+
+
 def q_simhash_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-recall CERTIFICATE for SimHash (oracle: typed empty set).
     4x16-bit and 8x8-bit bandings are INDEPENDENT pigeonhole
@@ -495,11 +538,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_cert": q_minhash_lsh_cert,
+        "minhash_recall_cert": q_minhash_recall_cert,
         "simhash_cert": q_simhash_cert,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_int8": q_cosine_topk_int8,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "lsh_dup_cert": q_lsh_dup_cert,
+        "lsh_dup_recall_cert": q_lsh_dup_recall_cert,
         "ann_lsh_cert": q_ann_lsh_cert,
         "semantic_search": q_semantic_search,
         "fuzzy_search": q_fuzzy_search,
@@ -539,10 +584,14 @@ def oracle_sql() -> dict[str, str]:
         # set; recall distributions stay asserted in pytest
         "minhash_lsh_cert": osql.empty_sql(
             {"doc_a": "BIGINT", "doc_b": "BIGINT", "jaccard": "DOUBLE"}),
+        "minhash_recall_cert": osql.empty_sql(
+            {"doc_a": "BIGINT", "doc_b": "BIGINT", "jaccard": "DOUBLE"}),
         "simhash_cert": osql.empty_sql(
             {"doc_a": "BIGINT", "doc_b": "BIGINT", "hamming": "INTEGER"}),
         "lsh_dup_cert": osql.empty_sql(
             {"id_a": "BIGINT", "id_b": "BIGINT", "cosine": "DOUBLE"}),
+        "lsh_dup_recall_cert": osql.empty_sql(
+            {"id_a": "BIGINT", "id_b": "BIGINT"}),
         "ann_lsh_cert": osql.empty_sql(
             {"vec_id": "BIGINT", "score": "DOUBLE"}),
         "cosine_topk": osql.cosine_topk_sql(query_vec_id=0, k=20),

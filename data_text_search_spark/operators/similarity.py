@@ -179,20 +179,37 @@ def build_ann_index(df: DataFrame, root: str, vec_col: str = "embedding",
 def ann_index_search(spark: SparkSession, root: str, query_vec: list[float],
                      k: int = 10, probe_hamming: int = 16,
                      n_flip_bits: int = 5,
-                     bucket_bits: int = BUCKET_BITS) -> DataFrame:
+                     bucket_bits: int = BUCKET_BITS,
+                     shortlist: int | None = None) -> DataFrame:
     """Approximate top-k over a persisted ANN index.
 
     Scan ∝ probed buckets (query-directed multi-probe + partition
     pruning: 2^n_flip_bits of 2^bucket_bits directories) → full-signature
     hamming filter (cheap int ops on the persisted sig — no vector math)
     → exact cosine only for survivors. Approximate recall, exact scores.
-    """
+
+    The hamming cutoff alone is a CLIFF: on a corpus with no true near
+    neighbors (random vectors sit at expected hamming ≈ 32 ± 4 of 64),
+    nothing survives ``ham <= 16`` and a top-k query returns almost no
+    rows. So the candidate set is the cutoff survivors UNION the
+    `shortlist` lowest-hamming vectors of the probed buckets (default
+    max(4k, 64); a TakeOrdered over the pruned scan, never a global
+    sort) — k rows come back whenever the probed buckets hold k vectors,
+    ranked by exact cosine. The union only ADDS candidates, so with
+    probe_hamming=64 and all buckets probed the search still degenerates
+    to exhaustive brute force (pinned in tests), and on a near-dup-heavy
+    corpus the cutoff survivors dominate exactly as before."""
     qsig = sig64_py(query_vec)
     buckets = probe_buckets(query_vec, bucket_bits, n_flip_bits)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    idx = spark.read.parquet(root).filter(F.col("bucket").isin(buckets))
-    ham = F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig)))
-    return (idx.filter(ham <= probe_hamming)
+    idx = (spark.read.parquet(root).filter(F.col("bucket").isin(buckets))
+           .withColumn("_ham",
+                       F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig)))))
+    cap = max(shortlist if shortlist is not None else 4 * k, k, 64)
+    cand = (idx.filter(F.col("_ham") <= probe_hamming)
+            .unionByName(idx.orderBy(F.asc("_ham"), F.asc("vec_id")).limit(cap))
+            .dropDuplicates(["vec_id"]))
+    return (cand
             .select("vec_id",
                     F.round(cosine_expr(F.col("embedding"), q), 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("vec_id"))
@@ -201,21 +218,29 @@ def ann_index_search(spark: SparkSession, root: str, query_vec: list[float],
 
 def lsh_ann_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 probe_hamming: int = 16) -> DataFrame:
+                 probe_hamming: int = 16,
+                 shortlist: int | None = None) -> DataFrame:
     """Ad-hoc (no persisted index) approximate top-k: score only vectors
     whose 64-bit hyperplane signature is within `probe_hamming` bits of
-    the query's. One signature matmul pass over the input — for repeated
-    queries build_ann_index + ann_index_search is the real path (the
-    signature is persisted and the scan bucket-pruned)."""
+    the query's, backfilled with the `shortlist` lowest-hamming vectors
+    so k rows come back even when nothing clears the cutoff (same
+    cliff-vs-shortlist reasoning as ann_index_search). One signature
+    matmul pass over the input — for repeated queries build_ann_index +
+    ann_index_search is the real path (the signature is persisted and
+    the scan bucket-pruned)."""
     qsig = sig64_py(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     # reuse a persisted signature column (with_signature at embed time)
     # instead of re-hashing the corpus per query
     sig = F.col("sig") if "sig" in df.columns else sig64_udf(F.col(vec_col))
-    ham = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
+    hamed = df.withColumn("_ham", sig.bitwiseXOR(F.lit(qsig))) \
+              .withColumn("_ham", F.bit_count(F.col("_ham")))
+    cap = max(shortlist if shortlist is not None else 4 * k, k, 64)
+    cand = (hamed.filter(F.col("_ham") <= probe_hamming)
+            .unionByName(hamed.orderBy(F.asc("_ham"), F.asc(id_col)).limit(cap))
+            .dropDuplicates([id_col]))
     return (
-        df.withColumn("_ham", ham)
-        .filter(F.col("_ham") <= probe_hamming)
+        cand
         .select(F.col(id_col),
                 F.round(cosine_expr(F.col(vec_col), q), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))

@@ -207,6 +207,31 @@ def test_ann_index_recall_on_planted_near_dups(spark, tmp_path):
     assert found / total >= 0.9, (found, total)
 
 
+def test_ann_topk_fills_k_without_near_neighbors(spark, embeddings, tmp_path):
+    """Shortlist backfill: on a corpus with NO true near neighbors
+    (driver embeddings, max pairwise cosine ~0.51, expected hamming ≈32),
+    the hamming cutoff alone strands a top-k query at ~1 row. The
+    lowest-hamming shortlist must fill k, scores must stay exact, and
+    rows must come back cosine-descending."""
+    qv = [float(v) for v in
+          embeddings.filter("vec_id = 11").first()["embedding"]]
+    brute_scores = {r["vec_id"]: r["score"] for r in
+                    similarity.cosine_topk(embeddings, qv, k=1000).collect()}
+    got = similarity.lsh_ann_topk(embeddings, qv, k=20).collect()
+    assert len(got) == 20
+    assert [r["score"] for r in got] == sorted(
+        (r["score"] for r in got), reverse=True)
+    for r in got:
+        assert brute_scores[r["vec_id"]] == r["score"]
+    # persisted-index path: k filled from probed buckets only
+    root = str(tmp_path / "annfill")
+    similarity.build_ann_index(embeddings, root)
+    got_idx = similarity.ann_index_search(spark, root, qv, k=20).collect()
+    assert len(got_idx) == 20
+    for r in got_idx:
+        assert brute_scores[r["vec_id"]] == r["score"]
+
+
 def test_ann_index_scan_is_bucket_pruned(spark, embeddings, tmp_path):
     """The probed scan must read only probed bucket partitions
     (PartitionFilters on `bucket`), not the whole index."""
