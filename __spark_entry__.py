@@ -404,6 +404,43 @@ def q_ann_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(exact, ["vec_id", "score"], "left_anti")
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT batch top-k join (the retrieval-eval / hard-negative-mining
+    workhorse): every embedding with vec_id < 32 queries the full table,
+    k=5 nearest by cosine, self excluded. Runs the BLOCK strategy — the
+    2-D blocked matmul + partial-top-k scale path (broadcast is
+    pytest-pinned identical) — and is hash-matched against a DuckDB
+    window-ranked cross join on raw scores."""
+    from data_text_search_spark.operators import similarity
+    emb = _embeddings(spark, sf_dir)
+    left = emb.filter(F.col("vec_id") < 32)
+    return similarity.knn_join(left, emb, k=5, exclude_self=True,
+                               strategy="block")
+
+
+def q_ann_batch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-exactness CERTIFICATE for the BATCHED ANN search (oracle:
+    typed empty set). Runs ann_index_search_batch over 8 query vectors
+    against the persisted bucket-partitioned index, then anti-joins
+    every (qid, vec_id, score) hit against the exact cross-join cosine
+    for that pair — approximate in RECALL only, so any scoring drift,
+    stale index row, or probe/shortlist bug makes this non-empty.
+    Identity vs the single-query path is pytest-pinned."""
+    from data_text_search_spark.operators import similarity
+    root = _ann_index_root(spark, sf_dir)
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    hits = similarity.ann_index_search_batch(spark, root, queries, k=10)
+    qv = queries.select(F.col("qid").alias("_qid"),
+                        F.col("embedding").alias("_qv"))
+    exact = (emb.crossJoin(F.broadcast(qv))
+             .select(F.col("_qid").alias("qid"), "vec_id",
+                     F.round(similarity.cosine_expr(
+                         F.col("embedding"), F.col("_qv")), 6).alias("score")))
+    return hits.join(exact, ["qid", "vec_id", "score"], "left_anti")
+
+
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_text_search_spark.operators import similarity
     return similarity.cosine_dup_pairs(_embeddings(spark, sf_dir),
@@ -542,6 +579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_cert": q_simhash_cert,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_int8": q_cosine_topk_int8,
+        "knn_join": q_knn_join,
+        "ann_batch_cert": q_ann_batch_cert,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "lsh_dup_cert": q_lsh_dup_cert,
         "lsh_dup_recall_cert": q_lsh_dup_recall_cert,
@@ -594,6 +633,9 @@ def oracle_sql() -> dict[str, str]:
             {"id_a": "BIGINT", "id_b": "BIGINT"}),
         "ann_lsh_cert": osql.empty_sql(
             {"vec_id": "BIGINT", "score": "DOUBLE"}),
+        "ann_batch_cert": osql.empty_sql(
+            {"qid": "BIGINT", "vec_id": "BIGINT", "score": "DOUBLE"}),
+        "knn_join": osql.knn_join_sql(max_qid=32, k=5),
         "cosine_topk": osql.cosine_topk_sql(query_vec_id=0, k=20),
         "cosine_topk_int8": osql.cosine_topk_int8_sql(query_vec_id=0, k=20),
         "cosine_dup_pairs": osql.cosine_dup_pairs_sql(threshold=0.4),

@@ -426,3 +426,234 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
                 "cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
             .filter(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+# ------------------------------------------------------------- knn join
+
+def knn_join(left: DataFrame, right: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             left_vec_col: str | None = None,
+             left_id_col: str | None = None,
+             exclude_self: bool = False,
+             strategy: str = "auto",
+             broadcast_max_rows: int = 200_000,
+             block_rows: int = 100_000,
+             max_blocks: int = 64) -> DataFrame:
+    """EXACT batch top-k: for every left row, its k nearest right rows by
+    cosine — (qid, vec_id, score), score desc / vec_id asc per qid. The
+    workhorse of embedding-based curation (retrieval eval, near-dup
+    attribution, hard-negative mining) and the verification oracle for
+    the batched ANN path.
+
+    strategy (same gates as cosine_dup_pairs — the RIGHT side must fit
+    to broadcast; the left side streams in both forms):
+    - 'broadcast': right matrix broadcast once, one mapInPandas pass over
+      left, one BLAS matmul + argpartition per Arrow batch. No shuffle of
+      either side; output is exactly |left|·k rows.
+    - 'block': neither side collected — left hashes into BL row-blocks,
+      right into BR; each (i, j) block pair is one task doing a
+      sub-matrix matmul and a PARTIAL top-k (k rows per left row per
+      right-block), so the only shuffle after the fan-out carries
+      ≤ |left|·BR·k partial rows into a per-qid window merge — never the
+      |left|×|right| score matrix.
+    - 'auto': broadcast iff right rows ≤ broadcast_max_rows AND
+      rows·dim·8 ≤ 512 MB.
+
+    Tie order at the k boundary follows RAW score desc then id asc
+    (matching ORDER BY cosine DESC, vec_id in SQL); with >32-way
+    exact raw-score ties at the boundary (bit-identical duplicate
+    vectors) the broadcast path's candidate expansion may pick a
+    different id subset — dedup first if that matters.
+    exclude_self drops qid == vec_id matches BEFORE top-k (self-join
+    convention when left IS right)."""
+    lvec = left_vec_col or vec_col
+    lid = left_id_col or id_col
+    lt = left.select(F.col(lid).alias("qid"), F.col(lvec).alias("qv"))
+    rt = right.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("rv"))
+    if strategy == "auto":
+        n = rt.count()
+        first = rt.select(F.size("rv").alias("d")).first()
+        dim = int(first["d"]) if first and first["d"] is not None else 0
+        strategy = ("broadcast"
+                    if n <= broadcast_max_rows
+                    and n * dim * 8 <= (512 << 20) else "block")
+    if strategy == "broadcast":
+        return _knn_broadcast(lt, rt, k, exclude_self)
+    return _knn_block(lt, rt, k, exclude_self, block_rows, max_blocks)
+
+
+def _knn_topk_rows(qids: np.ndarray, sims: np.ndarray, rids: np.ndarray,
+                   k: int, exclude_self: bool) -> pd.DataFrame:
+    """Deterministic per-row top-k of a (|q|, |r|) raw-score block:
+    argpartition to k+32 candidates, exact (score desc, id asc) lexsort
+    among them, emit ≤ k rows per query. RAW scores out (rounding is the
+    caller's display step — merges must compare raw)."""
+    nq, nr = sims.shape
+    if exclude_self:
+        sims = np.where(qids[:, None] == rids[None, :], -np.inf, sims)
+    m = min(nr, k + 32)
+    if m < nr:
+        cand = np.argpartition(-sims, m - 1, axis=1)[:, :m]
+    else:
+        cand = np.broadcast_to(np.arange(nr), (nq, nr))
+    rows_q, rows_r, rows_s = [], [], []
+    for i in range(nq):
+        ci = cand[i]
+        si = sims[i, ci]
+        keep = si > -np.inf
+        ci, si = ci[keep], si[keep]
+        order = np.lexsort((rids[ci], -si))[:k]
+        rows_q.append(np.full(len(order), qids[i], dtype=np.int64))
+        rows_r.append(rids[ci[order]])
+        rows_s.append(si[order])
+    if not rows_q:
+        return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "_raw": pd.Series([], dtype="float64")})
+    return pd.DataFrame({"qid": np.concatenate(rows_q),
+                         "vec_id": np.concatenate(rows_r),
+                         "_raw": np.concatenate(rows_s)})
+
+
+def _knn_broadcast(lt: DataFrame, rt: DataFrame, k: int,
+                   exclude_self: bool) -> DataFrame:
+    rows = rt.collect()
+    rids = np.array([r["rid"] for r in rows], dtype=np.int64)
+    rmat = np.array([r["rv"] for r in rows], dtype=np.float64)
+    rn = np.linalg.norm(rmat, axis=1)
+    rn[rn == 0] = 1.0
+    spark = lt.sparkSession
+    b_ids = spark.sparkContext.broadcast(rids)
+    b_mat = spark.sparkContext.broadcast((rmat / rn[:, None]).T.copy())
+
+    def scorer(batches):
+        ids, matT = b_ids.value, b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = pdf["qid"].to_numpy(dtype=np.int64)
+            qm = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            qn = np.linalg.norm(qm, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (qm / qn[:, None]) @ matT
+            yield _knn_topk_rows(qids, sims, ids, k, exclude_self)
+
+    out = lt.mapInPandas(scorer, schema="qid long, vec_id long, _raw double")
+    return (out.select("qid", "vec_id", F.round("_raw", 6).alias("score"))
+            .orderBy("qid", F.desc("score"), F.asc("vec_id")))
+
+
+def _knn_block(lt: DataFrame, rt: DataFrame, k: int, exclude_self: bool,
+               block_rows: int, max_blocks: int) -> DataFrame:
+    from pyspark.sql import Window
+    nl, nr = lt.count(), rt.count()
+    bl = int(min(max_blocks, max(1, -(-nl // block_rows))))
+    br = int(min(max_blocks, max(1, -(-nr // block_rows))))
+    a = (lt.withColumn("i", F.pmod(F.xxhash64("qid"), F.lit(bl)).cast("int"))
+         .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(br - 1))))
+         .select(F.col("qid").alias("id"), F.col("qv").alias("v"),
+                 "i", "j", F.lit(0).alias("role")))
+    b = (rt.withColumn("j", F.pmod(F.xxhash64("rid"), F.lit(br)).cast("int"))
+         .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(bl - 1))))
+         .select(F.col("rid").alias("id"), F.col("rv").alias("v"),
+                 "i", "j", F.lit(1).alias("role")))
+
+    def kernel(key, pdf):
+        L = pdf[pdf["role"] == 0]
+        R = pdf[pdf["role"] == 1]
+        if L.empty or R.empty:
+            return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "_raw": pd.Series([], dtype="float64")})
+        qids = L["id"].to_numpy(dtype=np.int64)
+        qm = np.array(L["v"].tolist(), dtype=np.float64)
+        qn = np.linalg.norm(qm, axis=1)
+        qn[qn == 0] = 1.0
+        rids = R["id"].to_numpy(dtype=np.int64)
+        rm = np.array(R["v"].tolist(), dtype=np.float64)
+        rn = np.linalg.norm(rm, axis=1)
+        rn[rn == 0] = 1.0
+        sims = (qm / qn[:, None]) @ (rm / rn[:, None]).T
+        return _knn_topk_rows(qids, sims, rids, k, exclude_self)
+
+    partial = (a.unionByName(b).groupBy("i", "j")
+               .applyInPandas(kernel, schema="qid long, vec_id long, _raw double"))
+    w = Window.partitionBy("qid").orderBy(F.desc("_raw"), F.asc("vec_id"))
+    return (partial.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("qid", "vec_id", F.round("_raw", 6).alias("score"))
+            .orderBy("qid", F.desc("score"), F.asc("vec_id")))
+
+
+def ann_index_search_batch(spark: SparkSession, root: str,
+                           queries: DataFrame,
+                           k: int = 10, probe_hamming: int = 16,
+                           n_flip_bits: int = 5,
+                           bucket_bits: int = BUCKET_BITS,
+                           shortlist: int | None = None,
+                           qid_col: str = "qid",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Batched approximate top-k over a persisted ANN index: one job for
+    a whole (qid, vector) query table — (qid, vec_id, score), k rows per
+    qid, same candidate semantics as ann_index_search per query (hamming
+    cutoff survivors plus the lowest-hamming shortlist, exact rescoring;
+    identity vs the single-query path is pytest-pinned).
+
+    Scale shape: per-query signatures + probe buckets are computed
+    DISTRIBUTED (one Arrow batch pass over the query table — the only
+    per-query Python, Q·2^n_flip_bits tiny probe rows out); the index
+    scan is pruned to the UNION of probed buckets (collected driver-side
+    — bounded by 2^bucket_bits = {256} ints, never by Q); the probe
+    table broadcast-joins the pruned scan on bucket, so index rows
+    never shuffle. The per-qid shortlist window ranks each query's
+    PROBED rows (the same per-query work the single-query path's
+    TakeOrdered does — ∝ probed fraction, never the whole corpus); the
+    final top-k window sees only cutoff-or-shortlist survivors."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType as LT,
+                                   StructField, StructType)
+    cap = max(shortlist if shortlist is not None else 4 * k, k, 64)
+
+    probe_schema = StructType([
+        StructField("qid", LT()), StructField("qsig", LT()),
+        StructField("bucket", ArrayType(IntegerType()))])
+
+    def probes(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = pdf[qid_col].to_numpy(dtype=np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            sigs = _sig_batch(mat)
+            bks = [probe_buckets(list(mat[i]), bucket_bits, n_flip_bits)
+                   for i in range(len(qids))]
+            yield pd.DataFrame({"qid": qids, "qsig": sigs, "bucket": bks})
+
+    qv = queries.select(F.col(qid_col).alias("_qid"),
+                        F.col(vec_col).alias("_qv"))
+    probe = (queries.select(qid_col, vec_col)
+             .mapInPandas(probes, schema=probe_schema)
+             .select("qid", "qsig", F.explode("bucket").alias("bucket")))
+    # one tiny job: the distinct probed-bucket list (≤ 2^bucket_bits
+    # ints regardless of Q) drives static partition pruning of the scan;
+    # the probe table itself recomputes in the main plan — one Arrow
+    # batch pass over the query table, cheaper than managing a persist
+    buckets = [r["bucket"] for r in
+               probe.select("bucket").distinct().collect()]
+    idx = spark.read.parquet(root).filter(F.col("bucket").isin(buckets))
+    cand = (idx.join(F.broadcast(probe), "bucket")
+            .withColumn("_ham", F.bit_count(
+                F.col("sig").bitwiseXOR(F.col("qsig")))))
+    wham = Window.partitionBy("qid").orderBy(F.asc("_ham"), F.asc("vec_id"))
+    cand = (cand.withColumn("_hrn", F.row_number().over(wham))
+            .filter((F.col("_ham") <= probe_hamming)
+                    | (F.col("_hrn") <= cap)))
+    scored = (cand.join(F.broadcast(qv), cand["qid"] == qv["_qid"])
+              .select("qid", "vec_id",
+                      F.round(cosine_expr(F.col("embedding"),
+                                          F.col("_qv")), 6).alias("score")))
+    wtop = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(wtop))
+            .filter(F.col("_rn") <= k)
+            .select("qid", "vec_id", "score")
+            .orderBy("qid", F.desc("score"), F.asc("vec_id")))

@@ -250,6 +250,25 @@ ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT {k}"""
 
 
+def knn_join_sql(max_qid: int = 32, k: int = 5) -> str:
+    """Exact batch top-k oracle for knn_join: every embedding with
+    vec_id < max_qid queries the whole table (self excluded), k nearest
+    by raw cosine with (score desc, vec_id asc) tie order — the same
+    selection rule the Spark kernel applies before display rounding."""
+    sim = "list_cosine_similarity(e.embedding::DOUBLE[], q.qv)"
+    return f"""WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {max_qid}),
+ranked AS (
+  SELECT q.qid, e.vec_id, {sim} AS raw,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY {sim} DESC, e.vec_id) AS rn
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+SELECT qid, vec_id, round(raw, 6) AS score
+FROM ranked WHERE rn <= {k}
+ORDER BY qid, raw DESC, vec_id"""
+
+
 def cosine_dup_pairs_sql(threshold: float = 0.4) -> str:
     sim = ("list_cosine_similarity(a.embedding::DOUBLE[], "
            "b.embedding::DOUBLE[])")

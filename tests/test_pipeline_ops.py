@@ -573,3 +573,65 @@ def test_lsh_dup_band_exchange_carries_no_vectors(embeddings):
     assert band_ex, "expected band/bucket exchanges in the plan"
     for b in band_ex:
         assert not re.search(r"[\[, ](v|va|vb|embedding)#", b), b
+
+
+# -------------------------------------------------------- batch knn / ann
+
+def test_knn_join_block_equals_broadcast(embeddings):
+    """The 2-D blocked scale path must return byte-identical rows to the
+    broadcast path, including tie order, even with many small blocks."""
+    left = embeddings.filter("vec_id < 40")
+    b = similarity.knn_join(left, embeddings, k=7, exclude_self=True,
+                            strategy="broadcast").collect()
+    k = similarity.knn_join(left, embeddings, k=7, exclude_self=True,
+                            strategy="block", block_rows=64,
+                            max_blocks=8).collect()
+    assert [tuple(r) for r in b] == [tuple(r) for r in k]
+
+
+def test_knn_join_matches_cosine_topk_per_query(embeddings):
+    """Each query's knn_join slice equals the single-query cosine_topk
+    answer (ids and rounded scores) — the batch kernel is just N single
+    queries fused into one matmul."""
+    got = similarity.knn_join(embeddings.filter("vec_id < 3"), embeddings,
+                              k=6, exclude_self=False).collect()
+    for qid in range(3):
+        qv = [float(v) for v in
+              embeddings.filter(f"vec_id = {qid}").first()["embedding"]]
+        want = [(r["vec_id"], r["score"]) for r in
+                similarity.cosine_topk(embeddings, qv, k=6).collect()]
+        assert [(r["vec_id"], r["score"]) for r in got
+                if r["qid"] == qid] == want
+
+
+def test_knn_join_exclude_self_and_row_counts(embeddings):
+    left = embeddings.filter("vec_id < 10")
+    out = similarity.knn_join(left, embeddings, k=4,
+                              exclude_self=True).collect()
+    assert len(out) == 10 * 4
+    assert all(r["qid"] != r["vec_id"] for r in out)
+    # scores within each qid are non-increasing
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r["score"])
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_ann_batch_matches_single_query(spark, embeddings, tmp_path):
+    """The batched multi-probe index search returns, per qid, exactly the
+    rows the single-query path returns — same candidates (hamming cutoff
+    + lowest-hamming shortlist), same exact rescoring, same tie order."""
+    root = str(tmp_path / "ann")
+    similarity.build_ann_index(embeddings, root)
+    queries = embeddings.filter("vec_id < 6").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    batch = similarity.ann_index_search_batch(spark, root, queries,
+                                              k=10).collect()
+    for qid in range(6):
+        qv = [float(v) for v in
+              embeddings.filter(f"vec_id = {qid}").first()["embedding"]]
+        single = [(r["vec_id"], r["score"]) for r in
+                  similarity.ann_index_search(spark, root, qv, k=10).collect()]
+        assert [(r["vec_id"], r["score"]) for r in batch
+                if r["qid"] == qid] == single
