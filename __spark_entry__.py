@@ -404,6 +404,21 @@ def q_ann_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(exact, ["vec_id", "score"], "left_anti")
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION under the oracle gate: exact cosine
+    pairs (themselves hash-matched in the cosine_dup_pairs row) resolved
+    to connected components by distributed min-label propagation with
+    pointer doubling; hash-matched against a DuckDB recursive-CTE
+    transitive closure computing the same smallest-reachable-id
+    labeling."""
+    from data_text_search_spark.operators import dedup, similarity
+    pairs = similarity.cosine_dup_pairs(_embeddings(spark, sf_dir),
+                                        threshold=0.4)
+    cc = dedup.dup_clusters(pairs, a_col="id_a", b_col="id_b")
+    return (cc.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+            .orderBy("vec_id"))
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT batch top-k join (the retrieval-eval / hard-negative-mining
     workhorse): every embedding with vec_id < 32 queries the full table,
@@ -579,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_cert": q_simhash_cert,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_int8": q_cosine_topk_int8,
+        "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
         "ann_batch_cert": q_ann_batch_cert,
         "cosine_dup_pairs": q_cosine_dup_pairs,
@@ -636,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_batch_cert": osql.empty_sql(
             {"qid": "BIGINT", "vec_id": "BIGINT", "score": "DOUBLE"}),
         "knn_join": osql.knn_join_sql(max_qid=32, k=5),
+        "dup_clusters": osql.dup_clusters_sql(threshold=0.4),
         "cosine_topk": osql.cosine_topk_sql(query_vec_id=0, k=20),
         "cosine_topk_int8": osql.cosine_topk_int8_sql(query_vec_id=0, k=20),
         "cosine_dup_pairs": osql.cosine_dup_pairs_sql(threshold=0.4),

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
@@ -367,3 +367,78 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------- cluster resolution
+
+def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                 b_col: str = "doc_b", max_iter: int = 50) -> DataFrame:
+    """Resolve a near-dup PAIR list into connected components:
+    (doc_id, cluster_id) for every id that appears in a pair, where
+    cluster_id is the smallest doc id reachable through the pair graph
+    — the step between pair generation (ngram/minhash/simhash/cosine)
+    and actually dropping rows, which needs a per-document verdict, not
+    an edge list.
+
+    Distributed min-label propagation WITH pointer doubling: labels
+    start as self, and each round every vertex takes the min of (its
+    own label, all neighbours' labels, its label's label). The
+    neighbour term alone converges in O(diameter) rounds; the
+    shortcutting term (label is always a vertex id, so label[label[x]]
+    is defined) collapses already-linked chains exponentially, giving
+    O(log n) rounds even on a degenerate 1M-doc chain — near-dup
+    graphs are usually unions of small dense clusters where 2-3 rounds
+    suffice. Per round: one shuffle of the edge list joined to current
+    labels, one labels self-join, one min-aggregate — work ∝ |E|,
+    never materializing components. localCheckpoint() truncates the
+    lineage each round (iterative plans otherwise grow exponentially
+    in Catalyst); convergence is detected by counting changed labels
+    inside the same action that produces them (observe), so each
+    round costs exactly one job.
+    """
+    edges = (pairs.select(F.col(a_col).cast("long").alias("src"),
+                          F.col(b_col).cast("long").alias("dst"))
+             .union(pairs.select(F.col(b_col).cast("long").alias("src"),
+                                 F.col(a_col).cast("long").alias("dst")))
+             .distinct())
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("id"), F.col("src").alias("label")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges["dst"] == labels["id"])
+               .select(edges["src"].alias("id"),
+                       F.col("label").alias("label")))
+        l2 = labels.select(F.col("id").alias("_lid"),
+                           F.col("label").alias("_llabel"))
+        jump = (labels.join(l2, labels["label"] == l2["_lid"])
+                .select("id", F.col("_llabel").alias("label")))
+        obs = Observation()
+        new = (labels.union(nbr).union(jump)
+               .groupBy("id").agg(F.min("label").alias("new_label"))
+               .join(labels, "id")
+               .observe(obs, F.sum((F.col("new_label") < F.col("label"))
+                                   .cast("long")).alias("changed"))
+               .select("id", F.col("new_label").alias("label")))
+        new = new.localCheckpoint(eager=True)
+        changed = obs.get["changed"]
+        labels = new
+        if not changed:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id",
+                         a_col: str = "doc_a",
+                         b_col: str = "doc_b") -> DataFrame:
+    """Drop every near-duplicate except the canonical (smallest-id)
+    member of its cluster: df minus { ids whose cluster_id != own id }.
+    Documents that appear in no pair pass through untouched. The
+    drop-list is ≤ the number of paired docs — broadcast-joined, so the
+    corpus itself never shuffles."""
+    clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
+    losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+              .select(F.col("doc_id").alias(id_col)))
+    return df.join(F.broadcast(losers), id_col, "left_anti")

@@ -250,6 +250,29 @@ ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT {k}"""
 
 
+def dup_clusters_sql(threshold: float = 0.4) -> str:
+    """Connected components over the exact cosine near-dup pair graph
+    (same edge rule as cosine_dup_pairs_sql), as a recursive transitive
+    closure: cluster_id = smallest vec_id reachable. Viable at oracle
+    scale only — the engine's label propagation never materializes the
+    closure."""
+    sim = ("list_cosine_similarity(a.embedding::DOUBLE[], "
+           "b.embedding::DOUBLE[])")
+    return f"""WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE round({sim}, 6) >= {threshold}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src ORDER BY vec_id"""
+
+
 def knn_join_sql(max_qid: int = 32, k: int = 5) -> str:
     """Exact batch top-k oracle for knn_join: every embedding with
     vec_id < max_qid queries the whole table (self excluded), k nearest

@@ -635,3 +635,42 @@ def test_ann_batch_matches_single_query(spark, embeddings, tmp_path):
                   similarity.ann_index_search(spark, root, qv, k=10).collect()]
         assert [(r["vec_id"], r["score"]) for r in batch
                 if r["qid"] == qid] == single
+
+
+# ------------------------------------------------- cluster resolution
+
+def test_dup_clusters_components(spark):
+    """Chain, triangle, pair, and a disconnected singleton-free graph:
+    every vertex gets the smallest reachable id as cluster_id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long")
+    got = sorted(tuple(r) for r in dedup.dup_clusters(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (12, 10), (20, 20), (21, 20)]
+
+
+def test_dup_clusters_long_chain_pointer_doubling(spark):
+    """A 64-vertex chain must converge well inside max_iter=10 — the
+    shortcutting term gives O(log n) rounds, not O(diameter)."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "doc_a long, doc_b long")
+    cc = dedup.dup_clusters(pairs, max_iter=10).collect()
+    assert len(cc) == 64
+    assert all(r["cluster_id"] == 0 for r in cc)
+
+
+def test_dedup_keep_canonical(spark):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (20, 21)],
+                                  "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 5, 20, 21, 99]],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.dedup_keep_canonical(docs, pairs).collect())
+    assert kept == [1, 5, 20, 99]
+
+
+def test_dup_clusters_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert dedup.dup_clusters(pairs).count() == 0
