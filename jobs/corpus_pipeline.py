@@ -44,7 +44,8 @@ def run_pipeline(spark, corpus, text_col: str = "text",
                  id_col: str = "doc_id", near_dup_threshold: float | None = 0.5,
                  min_tokens: int | None = None, max_tokens: int | None = None,
                  min_stop_ratio: float | None = None,
-                 lsh_bucket_cap: int = 100_000):
+                 lsh_bucket_cap: int = 100_000,
+                 near_dup_mode: str = "pair"):
     """Returns (cleaned DataFrame with analytics columns, stats dict)."""
     from pyspark.sql import functions as F
 
@@ -60,13 +61,22 @@ def run_pipeline(spark, corpus, text_col: str = "text",
     df = df.join(keep, id_col)
     stats["after_exact_dedup"] = df.count()
 
-    # 2. near-dup dedup — drop the higher id of each verified LSH pair
+    # 2. near-dup dedup over verified LSH pairs — two policies:
+    #    'pair'    — drop the higher id of every pair (greedy; keeps
+    #                more data, guarantees no surviving pair)
+    #    'cluster' — resolve pairs into connected components and keep
+    #                only the smallest id per component (transitive;
+    #                one survivor per boilerplate family even when the
+    #                family is a chain the greedy rule keeps 2+ of)
     if near_dup_threshold is not None:
         pairs = dedup.minhash_lsh_pairs(
             df, text_col=text_col, id_col=id_col,
             threshold=near_dup_threshold, bucket_cap=lsh_bucket_cap)
-        drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        df = df.join(drop, id_col, "left_anti")
+        if near_dup_mode == "cluster":
+            df = dedup.dedup_keep_canonical(df, pairs, id_col=id_col)
+        else:
+            drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+            df = df.join(drop, id_col, "left_anti")
         stats["after_near_dedup"] = df.count()
 
     # 3. analytics — one broadcast-free join chain on the id
@@ -101,6 +111,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--max-tokens", type=int, default=None)
     ap.add_argument("--min-stop-ratio", type=float, default=None)
     ap.add_argument("--lsh-bucket-cap", type=int, default=100_000)
+    ap.add_argument("--near-dup-mode", choices=["pair", "cluster"],
+                    default="pair",
+                    help="'pair' drops the higher id per LSH pair; "
+                         "'cluster' keeps one canonical doc per "
+                         "connected component (transitive)")
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under spark-submit)")
     args = ap.parse_args(argv)
@@ -120,7 +135,8 @@ def main(argv: list[str] | None = None) -> dict:
         spark, corpus, text_col=args.text_col, id_col=args.id_col,
         near_dup_threshold=thr, min_tokens=args.min_tokens,
         max_tokens=args.max_tokens, min_stop_ratio=args.min_stop_ratio,
-        lsh_bucket_cap=args.lsh_bucket_cap)
+        lsh_bucket_cap=args.lsh_bucket_cap,
+        near_dup_mode=args.near_dup_mode)
     out.write.mode("overwrite").parquet(args.output)
     stats["output_docs"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))

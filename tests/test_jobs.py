@@ -51,3 +51,26 @@ def test_corpus_pipeline_near_dup_disabled(spark, tmp_path):
     assert stats["after_exact_dedup"] == 1
     assert "after_near_dedup" not in stats
     assert json.dumps(stats)  # serializable (the CLI prints it)
+
+
+def test_corpus_pipeline_cluster_mode(spark, tmp_path):
+    """--near-dup-mode cluster keeps exactly one canonical doc per
+    connected component: a 3-doc near-dup chain (0~1, 1~2 share most
+    shingles) collapses to doc 0 even where the greedy pair rule could
+    keep two."""
+    sys.path.insert(0, "jobs")
+    import corpus_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and"
+    texts = [base + " again", base + " anew", base + " anon",
+             "completely different content about spark query engines"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src, dst = str(tmp_path / "d3"), str(tmp_path / "c3")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stats = corpus_pipeline.main([
+        "--input", src, "--output", dst,
+        "--near-dup-threshold", "0.5", "--near-dup-mode", "cluster"])
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(dst).select("doc_id").collect()}
+    assert kept == {0, 3}
+    assert stats["after_near_dedup"] == 2

@@ -674,3 +674,32 @@ def test_dedup_keep_canonical(spark):
 def test_dup_clusters_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dedup.dup_clusters(pairs).count() == 0
+
+
+def test_ann_batch_scan_is_bucket_pruned_and_probe_broadcast(spark, embeddings, tmp_path):
+    """The batched path keeps the single-query scan shape: the index
+    read carries PartitionFilters on `bucket` (union of probed buckets,
+    driver-bounded by 2^bucket_bits), and the probe table reaches the
+    index via a broadcast join — index rows never shuffle."""
+    import re
+    root = str(tmp_path / "annbatchplan")
+    similarity.build_ann_index(embeddings, root)
+    queries = embeddings.filter("vec_id < 4").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    plan = similarity.ann_index_search_batch(
+        spark, root, queries, k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_keep_canonical_broadcasts_drop_list(spark):
+    """The corpus side of the canonical keep must not shuffle: the
+    (small) loser list reaches it as a broadcast LeftAnti join."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)],
+                                 "doc_id long, text string")
+    plan = dedup.dedup_keep_canonical(docs, pairs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
