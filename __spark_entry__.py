@@ -456,6 +456,37 @@ def q_ann_batch_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(exact, ["qid", "vec_id", "score"], "left_anti")
 
 
+def _ivf_index_root(spark: SparkSession, sf_dir: str) -> str:
+    from data_text_search_spark.operators import similarity
+    key = ("ivf", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+        root = tempfile.mkdtemp(prefix="dts_ivf_") + "/ivf"
+        similarity.build_ivf_index(_embeddings(spark, sf_dir), root,
+                                   n_centroids=32)
+        _CACHE[key] = (None, root)
+    return _CACHE[key][1]
+
+
+def q_ivf_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-exactness CERTIFICATE for the IVF index (oracle: typed
+    empty set). Runs the real nprobe-pruned search over k-means cells,
+    then anti-joins its hits against the exact full-scan cosine on
+    (vec_id, score) — IVF is approximate in RECALL only; any stale cell
+    assignment, centroid drift, or rescoring bug makes this non-empty.
+    Full-probe degeneration to brute force and planted-near-dup recall
+    are pytest-pinned."""
+    from data_text_search_spark.operators import similarity
+    qv = _query_vec(spark, sf_dir, 0)
+    root = _ivf_index_root(spark, sf_dir)
+    hits = similarity.ivf_search(spark, root, qv, k=20, nprobe=8)
+    q = F.array(*[F.lit(float(v)) for v in qv])
+    exact = _embeddings(spark, sf_dir).select(
+        "vec_id",
+        F.round(similarity.cosine_expr(F.col("embedding"), q), 6).alias("score"))
+    return hits.join(exact, ["vec_id", "score"], "left_anti")
+
+
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_text_search_spark.operators import similarity
     return similarity.cosine_dup_pairs(_embeddings(spark, sf_dir),
@@ -601,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dup_cert": q_lsh_dup_cert,
         "lsh_dup_recall_cert": q_lsh_dup_recall_cert,
         "ann_lsh_cert": q_ann_lsh_cert,
+        "ivf_cert": q_ivf_cert,
         "semantic_search": q_semantic_search,
         "fuzzy_search": q_fuzzy_search,
         "fuzzy_search_indexed": q_fuzzy_search_indexed,
@@ -648,6 +680,8 @@ def oracle_sql() -> dict[str, str]:
         "lsh_dup_recall_cert": osql.empty_sql(
             {"id_a": "BIGINT", "id_b": "BIGINT"}),
         "ann_lsh_cert": osql.empty_sql(
+            {"vec_id": "BIGINT", "score": "DOUBLE"}),
+        "ivf_cert": osql.empty_sql(
             {"vec_id": "BIGINT", "score": "DOUBLE"}),
         "ann_batch_cert": osql.empty_sql(
             {"qid": "BIGINT", "vec_id": "BIGINT", "score": "DOUBLE"}),

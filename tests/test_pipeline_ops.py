@@ -703,3 +703,65 @@ def test_dedup_keep_canonical_broadcasts_drop_list(spark):
     plan = dedup.dedup_keep_canonical(docs, pairs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# ------------------------------------------------------------ IVF index
+
+def test_ivf_full_probe_is_brute_force(spark, embeddings, tmp_path):
+    root = str(tmp_path / "ivf")
+    similarity.build_ivf_index(embeddings, root, n_centroids=16)
+    qv = [float(v) for v in
+          embeddings.filter("vec_id = 7").first()["embedding"]]
+    full = [(r["vec_id"], r["score"]) for r in
+            similarity.ivf_search(spark, root, qv, k=10, nprobe=16).collect()]
+    brute = [(r["vec_id"], r["score"]) for r in
+             similarity.cosine_topk(embeddings, qv, k=10).collect()]
+    assert full == brute
+
+
+def test_ivf_partial_probe_scores_exact_and_pruned(spark, embeddings, tmp_path):
+    import re
+    root = str(tmp_path / "ivfp")
+    similarity.build_ivf_index(embeddings, root, n_centroids=16)
+    qv = [float(v) for v in
+          embeddings.filter("vec_id = 0").first()["embedding"]]
+    brute = {r["vec_id"]: r["score"] for r in
+             similarity.cosine_topk(embeddings, qv, k=500).collect()}
+    res = similarity.ivf_search(spark, root, qv, k=10, nprobe=2)
+    got = res.collect()
+    assert got and all(brute[r["vec_id"]] == r["score"] for r in got)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+
+
+def test_ivf_recall_on_planted_near_dups(spark, tmp_path):
+    """k-means cells must put a vector and its tiny perturbation in the
+    same (or a probed) cell: every planted near-dup is recovered at
+    nprobe=4 of 16."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(400, 32)
+    rows = [(i, [float(v) for v in base[i]]) for i in range(400)]
+    rows += [(1000 + i, [float(v) for v in base[i] + 1e-4 * rng.randn(32)])
+             for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "ivfr")
+    similarity.build_ivf_index(df, root, n_centroids=16)
+    hit = 0
+    for i in range(20):
+        qv = rows[400 + i][1]
+        got = [r["vec_id"] for r in
+               similarity.ivf_search(spark, root, qv, k=3, nprobe=4).collect()]
+        hit += (i in got) or (1000 + i in got[:1])
+    assert hit == 20
+
+
+def test_ivf_deterministic_rebuild(spark, embeddings, tmp_path):
+    r1, r2 = str(tmp_path / "a"), str(tmp_path / "b")
+    similarity.build_ivf_index(embeddings, r1, n_centroids=8)
+    similarity.build_ivf_index(embeddings, r2, n_centroids=8)
+    a = sorted(tuple(r) for r in
+               spark.read.parquet(r1).select("vec_id", "cell").collect())
+    b = sorted(tuple(r) for r in
+               spark.read.parquet(r2).select("vec_id", "cell").collect())
+    assert a == b
