@@ -404,6 +404,27 @@ def q_ann_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(exact, ["vec_id", "score"], "left_anti")
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval under the oracle gate: the physical BM25 index's
+    top-50 and the exact cosine top-50 fused with reciprocal-rank
+    fusion. Both shortlists are re-ranked on their ROUNDED scores with
+    the id tie-break (the engine and DuckDB agree on rounded values by
+    the bm25_topk/cosine_topk rows, so the rank columns — and the fused
+    sum — are engine-portable)."""
+    from data_text_search_spark.operators import hybrid, similarity
+    s = _physical_searcher(spark, sf_dir)
+    bm = hybrid.with_rank(
+        s.search(FLAGSHIP_QUERY, 50)
+        .select("doc_id", F.round("score", 4).alias("score")),
+        [F.desc("score"), F.asc("doc_id")])
+    qv = _query_vec(spark, sf_dir, 0)
+    sem = hybrid.with_rank(
+        similarity.cosine_topk(_embeddings(spark, sf_dir), qv, k=50)
+        .withColumnRenamed("vec_id", "doc_id"),
+        [F.desc("score"), F.asc("doc_id")])
+    return hybrid.rrf_fuse([bm, sem], k=20)
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER RESOLUTION under the oracle gate: exact cosine
     pairs (themselves hash-matched in the cosine_dup_pairs row) resolved
@@ -625,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_cert": q_simhash_cert,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_int8": q_cosine_topk_int8,
+        "hybrid_search": q_hybrid_search,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
         "ann_batch_cert": q_ann_batch_cert,
@@ -687,6 +709,9 @@ def oracle_sql() -> dict[str, str]:
             {"qid": "BIGINT", "vec_id": "BIGINT", "score": "DOUBLE"}),
         "knn_join": osql.knn_join_sql(max_qid=32, k=5),
         "dup_clusters": osql.dup_clusters_sql(threshold=0.4),
+        "hybrid_search": osql.hybrid_search_sql(
+            FLAGSHIP_QUERY, query_vec_id=0, n_lists=50, k=20,
+            alpha=APP_CFG.alpha),
         "cosine_topk": osql.cosine_topk_sql(query_vec_id=0, k=20),
         "cosine_topk_int8": osql.cosine_topk_int8_sql(query_vec_id=0, k=20),
         "cosine_dup_pairs": osql.cosine_dup_pairs_sql(threshold=0.4),

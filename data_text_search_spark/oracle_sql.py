@@ -250,6 +250,33 @@ ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT {k}"""
 
 
+def hybrid_search_sql(query: str, query_vec_id: int = 0, n_lists: int = 50,
+                      k: int = 20, k0: int = 60, alpha: float = -5.0) -> str:
+    """RRF fusion oracle: ranks each top-n_lists shortlist on its
+    ROUNDED score (4dp BM25 / 6dp cosine) with the id tie-break — the
+    same total order the engine ranks on — then sums 1/(k0+rank)."""
+    bm = bm25_topk_sql(query, k=n_lists, alpha=alpha)
+    sem = cosine_topk_sql(query_vec_id=query_vec_id, k=n_lists)
+    return f"""WITH bm AS ({bm}),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM bm),
+sem AS ({sem}),
+semr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+  FROM sem),
+u AS (
+  SELECT doc_id, 1.0 / ({k0} + rank) AS c FROM bmr
+  UNION ALL
+  SELECT doc_id, 1.0 / ({k0} + rank) AS c FROM semr)
+SELECT doc_id, round(sum(c), 6) AS rrf_score,
+       cast(count(*) AS int) AS n_lists
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT {k}"""
+
+
 def dup_clusters_sql(threshold: float = 0.4) -> str:
     """Connected components over the exact cosine near-dup pair graph
     (same edge rule as cosine_dup_pairs_sql), as a recursive transitive

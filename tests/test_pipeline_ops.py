@@ -765,3 +765,44 @@ def test_ivf_deterministic_rebuild(spark, embeddings, tmp_path):
     b = sorted(tuple(r) for r in
                spark.read.parquet(r2).select("vec_id", "cell").collect())
     assert a == b
+
+
+# ---------------------------------------------------------- hybrid RRF
+
+def test_rrf_fuse_semantics(spark):
+    """A doc on both lists beats any single-list doc at these depths;
+    rrf_score is exactly the sum of reciprocal terms; n_lists counts
+    the lists that retrieved the doc."""
+    from data_text_search_spark.operators import hybrid
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: (r["rrf_score"], r["n_lists"]) for r in
+           hybrid.rrf_fuse([a, b], k=10).collect()}
+    assert got[3] == (round(1 / 63 + 1 / 61, 6), 2)
+    assert got[1] == (round(1 / 61, 6), 1)
+    top = hybrid.rrf_fuse([a, b], k=1).collect()[0]
+    assert top["doc_id"] == 3
+
+
+def test_rrf_fuse_batch_partitioned(spark):
+    """Batch mode: per-query windows — each query fuses independently
+    and k applies per query."""
+    from data_text_search_spark.operators import hybrid
+    a = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (1, 5, 1)],
+        "query_id int, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(0, 2, 1), (1, 6, 1)], "query_id int, doc_id long, rank int")
+    out = hybrid.rrf_fuse([a, b], k=1, partition_cols=["query_id"]).collect()
+    by_q = {r["query_id"]: r["doc_id"] for r in out}
+    assert by_q == {0: 2, 1: 5}  # q0: doc2 on both lists; q1: tie -> min id
+
+
+def test_with_rank_deterministic(spark):
+    from data_text_search_spark.operators import hybrid
+    df = spark.createDataFrame([(1, 2.0), (2, 2.0), (3, 1.0)],
+                               "doc_id long, score double")
+    got = {r["doc_id"]: r["rank"] for r in
+           hybrid.with_rank(df, [F.desc("score"), F.asc("doc_id")]).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
