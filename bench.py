@@ -127,6 +127,9 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._ann_index_root(spark, sf_dir)
     results["ann_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._ivf_index_root(spark, sf_dir)
+    results["ivf_index_build"] = round(time.perf_counter() - t0, 3)
 
     # Contract rows: N_PASSES INTERLEAVED passes over the whole query
     # list, report the MEDIAN per row. One-draw timings on this VM are
@@ -208,6 +211,18 @@ def main() -> None:
                       / 2 ** similarity.BUCKET_BITS)
     ann_recall = round(found / len(queries_v), 4)
     ann_probed_fraction = round(sum(probed) / max(len(probed), 1), 4)
+
+    # same planted-near-dup protocol for the IVF index (nprobe 8/64 =
+    # 12.5% of cells — the same probed fraction the LSH path uses)
+    ivf_probe_root = "/tmp/bench_ivf_probe"
+    shutil.rmtree(ivf_probe_root, ignore_errors=True)
+    similarity.build_ivf_index(big_emb, ivf_probe_root, n_centroids=64)
+    ivf_found = 0
+    for pid, qv in queries_v:
+        hits = {r["vec_id"] for r in similarity.ivf_search(
+            spark, ivf_probe_root, qv, k=5, nprobe=8).collect()}
+        ivf_found += int(pid in hits)
+    ivf_recall = round(ivf_found / len(queries_v), 4)
     emb.unpersist()
 
     # posting-payload evidence from the indexes already built above: the
@@ -234,6 +249,7 @@ def main() -> None:
         "query_qps": round(len(QUERIES) / query_sec, 2),
         "query_qps_batch1000": round(1000 / big_sec, 1),
         "ann_recall": ann_recall,
+        "ivf_recall": ivf_recall,
         "cpus": cpus,
     }
     details = dict(out)
