@@ -779,3 +779,61 @@ def ivf_search(spark: SparkSession, root: str, query_vec: list[float],
                     F.round(cosine_expr(F.col("embedding"), q), 6).alias("score"))
             .orderBy(F.desc("score"), F.asc("vec_id"))
             .limit(k))
+
+
+def ivf_search_batch(spark: SparkSession, root: str, queries: DataFrame,
+                     k: int = 10, nprobe: int = 8,
+                     qid_col: str = "qid",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Batched IVF search: one job for a whole (qid, vector) query
+    table — (qid, vec_id, score), k rows per qid, per-query candidate
+    semantics identical to ivf_search (identity pytest-pinned).
+
+    Scale shape mirrors ann_index_search_batch: per-query cell ranking
+    runs DISTRIBUTED (one Arrow pass over the query table against the
+    broadcast centroid matrix — Q·nprobe tiny probe rows out); the
+    index scan is pruned to the UNION of probed cells (collected
+    driver-side — bounded by n_centroids ints, never by Q); the probe
+    table broadcast-joins the pruned scan on cell, so index rows never
+    shuffle; exact rescoring + per-qid top-k window over probed rows
+    only."""
+    from pyspark.sql import Window
+    cent_rows = spark.read.parquet(root + "/_centroids").collect()
+    cells = np.array([r["cell"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["centroid"] for r in cent_rows], dtype=np.float64)
+    b_cent = spark.sparkContext.broadcast((cells, cmat.T.copy()))
+    npb = max(1, min(nprobe, len(cells)))
+
+    def probes(batches):
+        cs, ct = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qids = pdf[qid_col].to_numpy(dtype=np.int64)
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nm = np.linalg.norm(m, axis=1)
+            nm[nm == 0] = 1.0
+            sims = (m / nm[:, None]) @ ct            # (Q, n_centroids)
+            # same (sim desc, cell asc) order as the single-query path
+            order = np.lexsort((np.broadcast_to(cs, sims.shape),
+                                -sims), axis=1)[:, :npb]
+            yield pd.DataFrame({
+                "qid": np.repeat(qids, npb),
+                "cell": cs[order.ravel()].astype(np.int32)})
+
+    probe = queries.select(qid_col, vec_col).mapInPandas(
+        probes, schema="qid long, cell int")
+    probed = [r["cell"] for r in probe.select("cell").distinct().collect()]
+    qv = queries.select(F.col(qid_col).alias("_qid"),
+                        F.col(vec_col).alias("_qv"))
+    idx = spark.read.parquet(root).filter(F.col("cell").isin(probed))
+    cand = idx.join(F.broadcast(probe), "cell")
+    scored = (cand.join(F.broadcast(qv), cand["qid"] == qv["_qid"])
+              .select("qid", "vec_id",
+                      F.round(cosine_expr(F.col("embedding"),
+                                          F.col("_qv")), 6).alias("score")))
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("qid", "vec_id", "score")
+            .orderBy("qid", F.desc("score"), F.asc("vec_id")))

@@ -806,3 +806,23 @@ def test_with_rank_deterministic(spark):
     got = {r["doc_id"]: r["rank"] for r in
            hybrid.with_rank(df, [F.desc("score"), F.asc("doc_id")]).collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_ivf_batch_matches_single_query(spark, embeddings, tmp_path):
+    """Batched IVF returns per qid exactly what the single-query path
+    returns — same probed cells (sim desc, cell asc order), same exact
+    rescoring, same tie order."""
+    root = str(tmp_path / "ivfb")
+    similarity.build_ivf_index(embeddings, root, n_centroids=16)
+    queries = embeddings.filter("vec_id < 6").select(
+        F.col("vec_id").alias("qid"), "embedding")
+    batch = similarity.ivf_search_batch(spark, root, queries,
+                                        k=8, nprobe=3).collect()
+    for qid in range(6):
+        qv = [float(v) for v in
+              embeddings.filter(f"vec_id = {qid}").first()["embedding"]]
+        single = [(r["vec_id"], r["score"]) for r in
+                  similarity.ivf_search(spark, root, qv, k=8,
+                                        nprobe=3).collect()]
+        assert [(r["vec_id"], r["score"]) for r in batch
+                if r["qid"] == qid] == single
