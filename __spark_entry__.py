@@ -404,6 +404,19 @@ def q_ann_lsh_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.join(exact, ["vec_id", "score"], "left_anti")
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment under the oracle gate:
+    the md5-hex-prefix range expression is a pure function of doc_id,
+    so the split is identical across runs, engines, and cluster sizes —
+    hash-matched against the DuckDB twin computing the same
+    expression."""
+    from data_text_search_spark.operators import sampling
+    docs = _documents(spark, sf_dir).select("doc_id")
+    return (sampling.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+        .orderBy("doc_id"))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval under the oracle gate: the physical BM25 index's
     top-50 and the exact cosine top-50 fused with reciprocal-rank
@@ -646,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_cert": q_simhash_cert,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_int8": q_cosine_topk_int8,
+        "hash_split": q_hash_split,
         "hybrid_search": q_hybrid_search,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
@@ -709,6 +723,8 @@ def oracle_sql() -> dict[str, str]:
             {"qid": "BIGINT", "vec_id": "BIGINT", "score": "DOUBLE"}),
         "knn_join": osql.knn_join_sql(max_qid=32, k=5),
         "dup_clusters": osql.dup_clusters_sql(threshold=0.4),
+        "hash_split": osql.hash_split_sql(
+            {"train": 0.8, "val": 0.1, "test": 0.1}),
         "hybrid_search": osql.hybrid_search_sql(
             FLAGSHIP_QUERY, query_vec_id=0, n_lists=50, k=20,
             alpha=APP_CFG.alpha),

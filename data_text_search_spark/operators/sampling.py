@@ -1,0 +1,76 @@
+"""Deterministic content-addressed sampling and split assignment.
+
+`rand()`-based sampling is unstable: a rerun, a different partitioning,
+or a different cluster size draws a different sample, so eval splits
+drift and bug reproductions vanish. Hashing the ROW ID instead gives a
+sample that is a pure function of the data: same rows on every run,
+every engine, every cluster size — and adding new rows to the corpus
+never reshuffles which old rows are sampled (the property eval splits
+at 100 TB need).
+
+Mechanism: the first 8 hex chars of md5(id_string || salt), compared
+LEXICOGRAPHICALLY against a hex threshold. Lowercase-hex string order
+equals numeric order, md5 of a UTF-8 string is engine-portable (Spark,
+DuckDB, Python hashlib all agree), so the exact same rows pass on any
+engine — the contract row hash-matches a DuckDB twin computing the
+identical expression. Salt decorrelates: different salts give
+independent samples from the same ids.
+
+Scale shape: pure JVM expressions (md5 + substring + comparison) — no
+shuffle, no UDF, fully pushdown-friendly; a sample-then-aggregate plan
+keeps whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16 ** 8  # 8 hex chars
+
+
+def _bucket_expr(id_col: str, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+
+
+def _hex_threshold(fraction: float) -> str:
+    frac = min(max(float(fraction), 0.0), 1.0)
+    return format(min(int(frac * _HEX_SPAN), _HEX_SPAN - 1) if frac < 1.0
+                  else _HEX_SPAN - 1, "08x")
+
+
+def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
+                salt: str = "") -> DataFrame:
+    """Keep ~`fraction` of rows, chosen by id hash — deterministic
+    across runs, engines, and cluster sizes. fraction=1.0 keeps all."""
+    if fraction >= 1.0:
+        return df
+    return df.filter(_bucket_expr(id_col, salt)
+                     <= F.lit(_hex_threshold(fraction)))
+
+
+def hash_split(df: DataFrame, fractions: dict[str, float],
+               id_col: str = "doc_id", salt: str = "",
+               split_col: str = "split") -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test
+    style) by consecutive hash ranges: fractions are cumulated in
+    insertion order and the LAST split absorbs the rounding remainder,
+    so the assignment is total — every row lands in exactly one split,
+    and the same split, everywhere."""
+    if not fractions or not all(v > 0 for v in fractions.values()):
+        raise ValueError("fractions must be non-empty and positive")
+    names = list(fractions)
+    cum, bounds = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append(_hex_threshold(cum))
+    b = _bucket_expr(id_col, salt)
+    expr = None
+    for name, bound in zip(names[:-1], bounds):
+        cond = b <= F.lit(bound)
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    expr = (F.lit(names[-1]) if expr is None
+            else expr.otherwise(F.lit(names[-1])))
+    return df.withColumn(split_col, expr)

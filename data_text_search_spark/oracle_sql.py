@@ -250,6 +250,27 @@ ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id
 LIMIT {k}"""
 
 
+def hash_split_sql(fractions: dict[str, float], salt: str = "") -> str:
+    """Deterministic split-assignment twin: the identical
+    md5-hex-prefix range expression over documents — lowercase-hex
+    lexicographic comparison equals numeric comparison, and
+    md5(varchar) agrees byte-for-byte between Spark and DuckDB."""
+    span = 16 ** 8
+    names = list(fractions)
+    cum, cases = 0.0, []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bound = format(min(int(cum * span), span - 1), "08x")
+        cases.append(f"WHEN b <= '{bound}' THEN '{name}'")
+    case = ("CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+            if cases else f"'{names[-1]}'")
+    return f"""WITH h AS (
+  SELECT doc_id,
+         substring(md5(cast(doc_id AS varchar) || '{salt}'), 1, 8) AS b
+  FROM documents)
+SELECT doc_id, {case} AS split FROM h ORDER BY doc_id"""
+
+
 def hybrid_search_sql(query: str, query_vec_id: int = 0, n_lists: int = 50,
                       k: int = 20, k0: int = 60, alpha: float = -5.0) -> str:
     """RRF fusion oracle: ranks each top-n_lists shortlist on its

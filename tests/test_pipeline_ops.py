@@ -826,3 +826,51 @@ def test_ivf_batch_matches_single_query(spark, embeddings, tmp_path):
                                         nprobe=3).collect()]
         assert [(r["vec_id"], r["score"]) for r in batch
                 if r["qid"] == qid] == single
+
+
+# ----------------------------------------------------- hash sampling
+
+def test_hash_sample_deterministic_and_stable_under_growth(spark):
+    """Same rows on every call; adding rows never changes which old
+    rows are sampled (content-addressed, not positional)."""
+    from data_text_search_spark.operators import sampling
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"] for r in sampling.hash_sample(small, 0.2).collect()}
+    s2 = {r["doc_id"] for r in sampling.hash_sample(small, 0.2).collect()}
+    sb = {r["doc_id"] for r in sampling.hash_sample(big, 0.2).collect()}
+    assert s1 == s2
+    assert {d for d in sb if d < 500} == s1
+    assert 0.1 < len(s1) / 500 < 0.3  # ~fraction, hash-binomial
+    # different salt -> a different (roughly independent) sample
+    s3 = {r["doc_id"] for r in
+          sampling.hash_sample(small, 0.2, salt="x").collect()}
+    assert s3 != s1
+
+
+def test_hash_split_total_and_disjoint(spark):
+    from data_text_search_spark.operators import sampling
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(df, {"train": 0.8, "val": 0.1,
+                                   "test": 0.1}).collect()
+    assert len(out) == 1000  # total: every row assigned exactly once
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert 700 < counts["train"] < 900
+    # fraction=1.0 single split; bad fractions rejected
+    one = sampling.hash_split(df, {"all": 1.0}).select("split").distinct()
+    assert [r["split"] for r in one.collect()] == ["all"]
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, {})
+
+
+def test_hash_sample_is_pure_expression(spark):
+    """No shuffle, no UDF: the filter is a plain projection-level
+    expression (whole-stage-codegen-friendly)."""
+    from data_text_search_spark.operators import sampling
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = sampling.hash_sample(df, 0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
