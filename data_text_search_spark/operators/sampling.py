@@ -19,6 +19,12 @@ independent samples from the same ids.
 Scale shape: pure JVM expressions (md5 + substring + comparison) — no
 shuffle, no UDF, fully pushdown-friendly; a sample-then-aggregate plan
 keeps whole-stage codegen end to end.
+
+Domain separation: hash_sample and hash_split hash DIFFERENT strings
+for the same id (a "sample|"/"split|" prefix on the salt) — without
+it, sampling at 50% then splitting 80/10/10 puts every sampled row in
+train (both decisions would read the same hash). The prefixes are part
+of the spec; the DuckDB oracle uses them verbatim.
 """
 
 from __future__ import annotations
@@ -46,7 +52,7 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
     across runs, engines, and cluster sizes. fraction=1.0 keeps all."""
     if fraction >= 1.0:
         return df
-    return df.filter(_bucket_expr(id_col, salt)
+    return df.filter(_bucket_expr(id_col, "sample|" + salt)
                      <= F.lit(_hex_threshold(fraction)))
 
 
@@ -65,7 +71,7 @@ def hash_split(df: DataFrame, fractions: dict[str, float],
     for name in names[:-1]:
         cum += fractions[name]
         bounds.append(_hex_threshold(cum))
-    b = _bucket_expr(id_col, salt)
+    b = _bucket_expr(id_col, "split|" + salt)
     expr = None
     for name, bound in zip(names[:-1], bounds):
         cond = b <= F.lit(bound)

@@ -266,7 +266,7 @@ def hash_split_sql(fractions: dict[str, float], salt: str = "") -> str:
             if cases else f"'{names[-1]}'")
     return f"""WITH h AS (
   SELECT doc_id,
-         substring(md5(cast(doc_id AS varchar) || '{salt}'), 1, 8) AS b
+         substring(md5(cast(doc_id AS varchar) || 'split|{salt}'), 1, 8) AS b
   FROM documents)
 SELECT doc_id, {case} AS split FROM h ORDER BY doc_id"""
 

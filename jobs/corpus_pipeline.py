@@ -45,7 +45,9 @@ def run_pipeline(spark, corpus, text_col: str = "text",
                  min_tokens: int | None = None, max_tokens: int | None = None,
                  min_stop_ratio: float | None = None,
                  lsh_bucket_cap: int = 100_000,
-                 near_dup_mode: str = "pair"):
+                 near_dup_mode: str = "pair",
+                 sample_fraction: float | None = None,
+                 split_fractions: dict[str, float] | None = None):
     """Returns (cleaned DataFrame with analytics columns, stats dict)."""
     from pyspark.sql import functions as F
 
@@ -53,6 +55,14 @@ def run_pipeline(spark, corpus, text_col: str = "text",
 
     stats: dict[str, int] = {"input_docs": corpus.count()}
     df = corpus
+
+    # 0. optional deterministic subsample (content-addressed — the same
+    #    rows every run / cluster size; how you debug a 100 TB pipeline
+    #    at 1% without the sample drifting under you)
+    if sample_fraction is not None and sample_fraction < 1.0:
+        from data_text_search_spark.operators import sampling
+        df = sampling.hash_sample(df, sample_fraction, id_col=id_col)
+        stats["after_sample"] = df.count()
 
     # 1. exact dedup — keep the canonical representative per group
     groups = dedup.exact_dup_groups(df, text_col=text_col, id_col=id_col)
@@ -95,6 +105,13 @@ def run_pipeline(spark, corpus, text_col: str = "text",
         out = out.filter(F.col("n_tokens") <= max_tokens)
     if min_stop_ratio is not None:
         out = out.filter(F.col("stop_ratio") >= min_stop_ratio)
+
+    # 5. optional deterministic split column (train/val/test) — assigned
+    #    AFTER dedup/filtering so near-dups can't straddle splits via a
+    #    surviving twin, and stable under future corpus growth
+    if split_fractions:
+        from data_text_search_spark.operators import sampling
+        out = sampling.hash_split(out, split_fractions, id_col=id_col)
     return out, stats
 
 
@@ -116,6 +133,12 @@ def main(argv: list[str] | None = None) -> dict:
                     help="'pair' drops the higher id per LSH pair; "
                          "'cluster' keeps one canonical doc per "
                          "connected component (transitive)")
+    ap.add_argument("--sample", type=float, default=None,
+                    help="deterministic content-addressed input "
+                         "subsample fraction (same rows every run)")
+    ap.add_argument("--split", default=None,
+                    help="add a deterministic split column, e.g. "
+                         "'train=0.8,val=0.1,test=0.1'")
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under spark-submit)")
     args = ap.parse_args(argv)
@@ -136,7 +159,11 @@ def main(argv: list[str] | None = None) -> dict:
         near_dup_threshold=thr, min_tokens=args.min_tokens,
         max_tokens=args.max_tokens, min_stop_ratio=args.min_stop_ratio,
         lsh_bucket_cap=args.lsh_bucket_cap,
-        near_dup_mode=args.near_dup_mode)
+        near_dup_mode=args.near_dup_mode,
+        sample_fraction=args.sample,
+        split_fractions=(
+            {kv.split("=")[0]: float(kv.split("=")[1])
+             for kv in args.split.split(",")} if args.split else None))
     out.write.mode("overwrite").parquet(args.output)
     stats["output_docs"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))

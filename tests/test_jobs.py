@@ -74,3 +74,33 @@ def test_corpus_pipeline_cluster_mode(spark, tmp_path):
             spark.read.parquet(dst).select("doc_id").collect()}
     assert kept == {0, 3}
     assert stats["after_near_dedup"] == 2
+
+
+def test_corpus_pipeline_sample_and_split(spark, tmp_path):
+    """--sample subsamples deterministically before any stage; --split
+    adds a total train/val/test column after the quality gate."""
+    sys.path.insert(0, "jobs")
+    import corpus_pipeline
+
+    pdf = pd.DataFrame({"doc_id": range(200),
+                        "text": [f"unique document number {i} with words"
+                                 for i in range(200)]})
+    src, dst = str(tmp_path / "d4"), str(tmp_path / "c4")
+    spark.createDataFrame(pdf).write.parquet(src)
+    stats = corpus_pipeline.main([
+        "--input", src, "--output", dst, "--near-dup-threshold", "-1",
+        "--sample", "0.5", "--split", "train=0.8,val=0.1,test=0.1"])
+    assert 60 < stats["after_sample"] < 140
+    out = spark.read.parquet(dst)
+    assert "split" in out.columns
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
+    # rerun -> byte-identical sample + split (determinism)
+    dst2 = str(tmp_path / "c5")
+    corpus_pipeline.main([
+        "--input", src, "--output", dst2, "--near-dup-threshold", "-1",
+        "--sample", "0.5", "--split", "train=0.8,val=0.1,test=0.1"])
+    a = sorted(tuple(r) for r in out.select("doc_id", "split").collect())
+    b = sorted(tuple(r) for r in
+               spark.read.parquet(dst2).select("doc_id", "split").collect())
+    assert a == b

@@ -874,3 +874,16 @@ def test_hash_sample_is_pure_expression(spark):
     plan = sampling.hash_sample(df, 0.5)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_hash_sample_and_split_are_decorrelated(spark):
+    """Domain separation: a 50% sample then an 80/10/10 split must put
+    sampled rows in ALL splits (same-hash correlation would put every
+    sampled row in train)."""
+    from data_text_search_spark.operators import sampling
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    sampled = sampling.hash_sample(df, 0.5)
+    out = sampling.hash_split(sampled, {"train": 0.8, "val": 0.1,
+                                        "test": 0.1}).collect()
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "val", "test"}
