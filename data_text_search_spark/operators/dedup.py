@@ -372,7 +372,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 # ------------------------------------------------- cluster resolution
 
 def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
-                 b_col: str = "doc_b", max_iter: int = 50) -> DataFrame:
+                 b_col: str = "doc_b", max_iter: int = 50,
+                 driver_max_edges: int = 2_000_000) -> DataFrame:
     """Resolve a near-dup PAIR list into connected components:
     (doc_id, cluster_id) for every id that appears in a pair, where
     cluster_id is the smallest doc id reachable through the pair graph
@@ -395,6 +396,14 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     in Catalyst); convergence is detected by counting changed labels
     inside the same action that produces them (observe), so each
     round costs exactly one job.
+
+    Below `driver_max_edges` (2M edges ≈ 32 MB — the same size-gate
+    pattern as the query executor's driver merge) the edge list is
+    collected and resolved with a numpy union-find in ONE job instead:
+    the iterative path pays ~1-2 s of scheduling floor PER ROUND, which
+    dwarfs the actual work on small-to-medium pair lists. Identity
+    between the two paths is pytest-pinned; pass driver_max_edges=0 to
+    force the distributed path.
     """
     edges = (pairs.select(F.col(a_col).cast("long").alias("src"),
                           F.col(b_col).cast("long").alias("dst"))
@@ -402,6 +411,8 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                                  F.col(a_col).cast("long").alias("dst")))
              .distinct())
     edges = edges.localCheckpoint(eager=True)
+    if edges.count() <= driver_max_edges:
+        return _dup_clusters_driver(pairs.sparkSession, edges)
     labels = (edges.select("src").distinct()
               .select(F.col("src").alias("id"), F.col("src").alias("label")))
     labels = labels.localCheckpoint(eager=True)
@@ -427,6 +438,37 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
             break
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("label").alias("cluster_id"))
+
+
+def _dup_clusters_driver(spark, edges: DataFrame) -> DataFrame:
+    """Union-find on the collected (already size-gated) edge list —
+    same (doc_id, min-reachable-id) output as the propagation path, in
+    one collect + one parallelize."""
+    rows = edges.collect()
+    if not rows:
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+    src = np.fromiter((r["src"] for r in rows), dtype=np.int64)
+    dst = np.fromiter((r["dst"] for r in rows), dtype=np.int64)
+    ids = np.unique(np.concatenate([src, dst]))
+    pos = {int(v): i for i, v in enumerate(ids)}
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:          # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b in zip(src, dst):
+        ra, rb = find(pos[int(a)]), find(pos[int(b)])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root = smaller index
+    roots = np.fromiter((find(i) for i in range(len(ids))), dtype=np.int64)
+    # ids is sorted, so the min index in a component IS the min id
+    out = [(int(ids[i]), int(ids[roots[i]])) for i in range(len(ids))]
+    return spark.createDataFrame(out, "doc_id long, cluster_id long")
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,

@@ -655,7 +655,8 @@ def test_dup_clusters_long_chain_pointer_doubling(spark):
     shortcutting term gives O(log n) rounds, not O(diameter)."""
     pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
                                   "doc_a long, doc_b long")
-    cc = dedup.dup_clusters(pairs, max_iter=10).collect()
+    cc = dedup.dup_clusters(pairs, max_iter=10,
+                            driver_max_edges=0).collect()
     assert len(cc) == 64
     assert all(r["cluster_id"] == 0 for r in cc)
 
@@ -669,6 +670,19 @@ def test_dedup_keep_canonical(spark):
     kept = sorted(r["doc_id"] for r in
                   dedup.dedup_keep_canonical(docs, pairs).collect())
     assert kept == [1, 5, 20, 99]
+
+
+def test_dup_clusters_driver_equals_distributed(spark):
+    """The size-gated union-find path and the label-propagation path
+    must return identical rows on the same graph."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
+         (30, 31), (31, 32), (32, 30), (5, 40)],
+        "doc_a long, doc_b long")
+    drv = sorted(tuple(r) for r in dedup.dup_clusters(pairs).collect())
+    dist = sorted(tuple(r) for r in
+                  dedup.dup_clusters(pairs, driver_max_edges=0).collect())
+    assert drv == dist
 
 
 def test_dup_clusters_empty_pairs(spark):
