@@ -417,6 +417,28 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window passage chunking (the pre-embedding
+    curation step) under the oracle gate: 64-token windows advancing by
+    48, engine-tokenizer boundaries — hash-matched against the DuckDB
+    twin computing identical window arithmetic over the identical
+    tokenizer fragment. Shuffle-free map-only plan."""
+    from data_text_search_spark.operators import curation
+    return (curation.chunk_documents(_documents(spark, sf_dir),
+                                     chunk_size=64, overlap=16)
+            .orderBy("doc_id", "chunk_id"))
+
+
+def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/noise redaction (URL/email/IPv4/long-digit-run → typed
+    placeholders) with per-step match counts, under the oracle gate:
+    the exact dialect-portable pattern strings run in both engines.
+    Pure JVM regexp chain, zero shuffle."""
+    from data_text_search_spark.operators import curation
+    return (curation.scrub_text(_documents(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval under the oracle gate: the physical BM25 index's
     top-50 and the exact cosine top-50 fused with reciprocal-rank
@@ -660,6 +682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_topk_int8": q_cosine_topk_int8,
         "hash_split": q_hash_split,
+        "chunk_docs": q_chunk_docs,
+        "scrub_text": q_scrub_text,
         "hybrid_search": q_hybrid_search,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
@@ -725,6 +749,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": osql.dup_clusters_sql(threshold=0.4),
         "hash_split": osql.hash_split_sql(
             {"train": 0.8, "val": 0.1, "test": 0.1}),
+        "chunk_docs": osql.chunk_docs_sql(chunk_size=64, overlap=16),
+        "scrub_text": osql.scrub_text_sql(),
         "hybrid_search": osql.hybrid_search_sql(
             FLAGSHIP_QUERY, query_vec_id=0, n_lists=50, k=20,
             alpha=APP_CFG.alpha),

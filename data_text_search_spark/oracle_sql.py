@@ -427,6 +427,56 @@ FROM m WHERE match_count / n_chars * 100 > 0
 ORDER BY doc_id"""
 
 
+def chunk_docs_sql(chunk_size: int = 64, overlap: int = 16) -> str:
+    """Token-window chunking twin (operators/curation.chunk_documents):
+    identical tokenizer fragment, identical window arithmetic. DuckDB
+    list slices are 1-based inclusive like Spark's slice(start, length)
+    window [i*stride+1, i*stride+chunk_size]; array_to_string on an
+    empty slice is NULL in DuckDB where Spark array_join gives '' —
+    coalesced."""
+    stride = chunk_size - overlap
+    sl = f"toks[chunk_id*{stride}+1 : chunk_id*{stride}+{chunk_size}]"
+    return f"""WITH docs AS ({_TOK_DOCS}),
+planned AS (SELECT doc_id, toks,
+  CASE WHEN len(toks) <= {chunk_size} THEN 1
+       ELSE CAST(ceil((len(toks) - {chunk_size})
+                      / CAST({stride} AS DOUBLE)) AS BIGINT) + 1
+  END AS n_chunks FROM docs),
+ex AS (SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id
+       FROM planned)
+SELECT doc_id, chunk_id,
+  coalesce(array_to_string({sl}, ' '), '') AS chunk_text,
+  len({sl}) AS n_chunk_tokens
+FROM ex ORDER BY doc_id, chunk_id"""
+
+
+def scrub_text_sql() -> str:
+    """PII/noise scrub twin (operators/curation.scrub_text): the exact
+    SCRUB_STEPS pattern strings (spelled to mean the same in Java regex
+    and RE2 — no \\b, no lookaround, explicit ASCII classes), applied in
+    the same order, each step counting on the text as the chain sees
+    it."""
+    from data_text_search_spark.operators.curation import SCRUB_STEPS
+    ctes = ["s0 AS (SELECT doc_id, cast(text AS varchar) AS t FROM documents)"]
+    prev = "s0"
+    names = []
+    for i, (name, pat, repl) in enumerate(SCRUB_STEPS, start=1):
+        pat_sql = pat.replace("'", "''")
+        names.append(f"n_{name}")
+        carried = ", ".join(names[:-1])
+        carried = (carried + ", ") if carried else ""
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t, '{pat_sql}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat_sql}', '{repl}', 'g') AS t "
+            f"FROM {prev})")
+        prev = f"s{i}"
+    cols = ", ".join(names)
+    return (f"WITH {', '.join(ctes)}\n"
+            f"SELECT doc_id, t AS scrubbed, {cols} "
+            f"FROM {prev} ORDER BY doc_id")
+
+
 def clean_sql() -> str:
     """F1 clean pipeline on lowercased text, regexes in reference order.
 
