@@ -439,6 +439,36 @@ def q_scrub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style per-file quality signals under the oracle gate:
+    line-length shape + alnum/alpha density as exact integers, keep
+    flag pure integer arithmetic — bit-identical across engines.
+    Narrow HOF-only projection, zero shuffle."""
+    from data_text_search_spark.operators import curation
+    return (curation.code_quality(_documents(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals under the oracle gate:
+    duplicated-line chars (narrow HOFs) + most-frequent token bigram
+    (hash aggregate on (doc, gram) with deterministic tie-break)."""
+    from data_text_search_spark.operators import curation
+    return (curation.repetition_stats(_documents(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring duplication (Lee et al. 2021
+    shape) under the oracle gate: per-doc counts of 8-token span
+    positions whose span text occurs in >= 2 distinct documents.
+    Inverted-index shape — span-hash aggregate + semi-join, never a
+    pairwise document join."""
+    from data_text_search_spark.operators import curation
+    return (curation.duplicate_spans(_documents(spark, sf_dir), span=8)
+            .orderBy("doc_id"))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval under the oracle gate: the physical BM25 index's
     top-50 and the exact cosine top-50 fused with reciprocal-rank
@@ -684,6 +714,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "chunk_docs": q_chunk_docs,
         "scrub_text": q_scrub_text,
+        "code_quality": q_code_quality,
+        "repetition_stats": q_repetition_stats,
+        "duplicate_spans": q_duplicate_spans,
         "hybrid_search": q_hybrid_search,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
@@ -751,6 +784,9 @@ def oracle_sql() -> dict[str, str]:
             {"train": 0.8, "val": 0.1, "test": 0.1}),
         "chunk_docs": osql.chunk_docs_sql(chunk_size=64, overlap=16),
         "scrub_text": osql.scrub_text_sql(),
+        "code_quality": osql.code_quality_sql(),
+        "repetition_stats": osql.repetition_stats_sql(),
+        "duplicate_spans": osql.duplicate_spans_sql(span=8),
         "hybrid_search": osql.hybrid_search_sql(
             FLAGSHIP_QUERY, query_vec_id=0, n_lists=50, k=20,
             alpha=APP_CFG.alpha),

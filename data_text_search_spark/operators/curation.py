@@ -1,9 +1,9 @@
 """Curation transforms for large-scale training-data pipelines.
 
-Two operators the reference has no analogue for (its scope stops at
-search), both pure JVM expressions — narrow transformations with zero
-shuffle, zero Python in the plan, so they scale linearly with input
-bytes on any cluster:
+Operators the reference has no analogue for (its scope stops at
+search); the first four are pure JVM expressions — narrow
+transformations with zero shuffle, zero Python in the plan, so they
+scale linearly with input bytes on any cluster:
 
 - ``chunk_documents``: overlapping token-window passage splitting (the
   standard pre-embedding step). Tokenization reuses the engine's pinned
@@ -12,6 +12,24 @@ bytes on any cluster:
 - ``scrub_text``: heuristic PII/noise redaction (URLs, emails, IPv4,
   long digit runs) as a fixed chain of regexp_replace steps, plus
   per-step match counts (the curation filter signals).
+- ``code_quality``: StarCoder-style per-file filter signals for a
+  source-code corpus (line-length shape, alnum/alpha density) — every
+  signal an exact integer and the keep flag pure integer arithmetic, so
+  the result is bit-identical across engines (no float thresholds).
+- ``repetition_stats``: Gopher-style per-document repetition signals —
+  duplicated-line characters (narrow, higher-order functions only) and
+  the most frequent token bigram (one hash aggregate keyed by
+  (doc, gram) — partial map-side combine applies, key cardinality is
+  bounded by corpus token count, no skew beyond document size).
+- ``duplicate_spans``: cross-document exact substring duplication in
+  the style of Lee et al. 2021 ("Deduplicating Training Data Makes
+  Language Models Better") at token-span granularity: every k-token
+  span is content-addressed (md5-prefix) and a span position counts as
+  duplicated when the same span text appears in >= 2 distinct
+  documents. Inverted-index shape — span-hash aggregate + semi-join
+  back, never a pairwise join — so the cost is O(total positions), and
+  the hottest boilerplate span costs one aggregate cell, not an
+  M^2 pair explosion.
 
 Pattern dialect: every regex below is spelled to mean the SAME thing in
 Java regex (Spark) and RE2 (DuckDB oracle) — explicit ASCII classes
@@ -98,3 +116,163 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).alias("n_chunk_tokens"),
     )
+
+
+# StarCoder-ish keep thresholds, spelled as exact integer comparisons
+# (4*n_alpha >= n_chars  <=>  alpha fraction >= 0.25, etc.) so the flag
+# never rides a float boundary.
+MAX_LINE_LEN = 1000
+AVG_LINE_LEN = 100
+MIN_ALPHA_X4 = 1  # keep iff 4 * n_alpha >= MIN_ALPHA_X4 * n_chars
+
+
+def code_quality(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_lines, max_line_len, sum_line_len, n_chars, n_alnum,
+    n_alpha, keep): per-file quality signals for a source-code corpus.
+
+    The filters follow the published StarCoder/SantaCoder recipe
+    (drop files with extreme line lengths or low alphabetic density —
+    minified bundles, embedded blobs, auto-generated tables), but every
+    emitted signal is an exact integer and ``keep`` is pure integer
+    arithmetic:
+
+        keep = n_chars > 0
+               AND 4 * n_alpha >= n_chars          (alpha frac >= 0.25)
+               AND max_line_len <= 1000
+               AND sum_line_len <= 100 * n_lines   (avg line len <= 100)
+
+    Plan: one projection of higher-order-function expressions over the
+    line split — narrow, zero shuffle, whole-stage-codegen'd; at corpus
+    scale this is a map-only pass.
+    """
+    t = F.col(text_col).cast("string")
+    lines = F.split(t, "\n", -1)
+    lens = F.transform(lines, lambda x: F.length(x).cast("long"))
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.array_max(lens).alias("max_line_len"),
+        F.aggregate(lens, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("sum_line_len"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+        .cast("long").alias("n_alnum"),
+        F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+        .cast("long").alias("n_alpha"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_chars") > 0)
+        & (4 * F.col("n_alpha") >= MIN_ALPHA_X4 * F.col("n_chars"))
+        & (F.col("max_line_len") <= MAX_LINE_LEN)
+        & (F.col("sum_line_len") <= AVG_LINE_LEN * F.col("n_lines")))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_lines, line_chars, dup_line_chars, n_grams, top_gram,
+    top_gram_count): Gopher-style repetition signals.
+
+    - ``dup_line_chars``: characters in repeat occurrences of a line
+      (total line chars minus chars over the distinct line set) — the
+      "fraction of characters in duplicated lines" numerator, kept as
+      an exact integer. Computed with array higher-order functions:
+      narrow, no shuffle.
+    - ``top_gram`` / ``top_gram_count``: the document's most frequent
+      token bigram (engine tokenizer), tie-broken deterministically by
+      (count DESC, gram ASC). One hash aggregate keyed by
+      (doc_id, gram) with map-side partial combine, then a per-doc
+      window over the (small) per-doc distinct-gram sets. Documents
+      with < 2 tokens get ('', 0).
+    """
+    t = F.col(text_col).cast("string")
+    lines = F.split(t, "\n", -1)
+    line_chars = F.aggregate(
+        F.transform(lines, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    distinct_chars = F.aggregate(
+        F.transform(F.array_distinct(lines),
+                    lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    toks = tokenize_expr(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        line_chars.alias("line_chars"),
+        (line_chars - distinct_chars).alias("dup_line_chars"),
+        toks.alias("_toks"),
+        F.greatest(F.size(toks) - 1, F.lit(0)).cast("long")
+        .alias("n_grams"),
+    )
+    grams = F.zip_with(
+        F.slice(F.col("_toks"), 1, F.size(F.col("_toks")) - 1),
+        F.slice(F.col("_toks"), 2, F.size(F.col("_toks")) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    from pyspark.sql.window import Window
+    top = (base.filter(F.col("n_grams") > 0)
+           .select(id_col, F.explode(grams).alias("gram"))
+           .groupBy(id_col, "gram")
+           .agg(F.count(F.lit(1)).alias("top_gram_count"))
+           .withColumn("_rn", F.row_number().over(
+               Window.partitionBy(id_col)
+               .orderBy(F.col("top_gram_count").desc(), F.col("gram"))))
+           .filter(F.col("_rn") == 1)
+           .select(id_col, F.col("gram").alias("top_gram"),
+                   "top_gram_count"))
+    return (base.drop("_toks")
+            .join(top, on=id_col, how="left")
+            .select(id_col, "n_lines", "line_chars", "dup_line_chars",
+                    "n_grams",
+                    F.coalesce("top_gram", F.lit("")).alias("top_gram"),
+                    F.coalesce("top_gram_count", F.lit(0)).cast("long")
+                    .alias("top_gram_count")))
+
+
+def duplicate_spans(df: DataFrame, span: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_spans, n_dup_spans): cross-document exact substring
+    duplication at k-token granularity (Lee et al. 2021 shape).
+
+    Every token position i (1-based, i <= n_tokens - span + 1) owns the
+    span of ``span`` consecutive tokens starting there, content-
+    addressed by the 64-bit md5 prefix of the space-joined span text
+    (md5 so the DuckDB oracle computes the identical key; a 64-bit
+    prefix collision hits both engines alike). A position is DUPLICATED
+    when its span text occurs in >= 2 distinct documents — within-doc
+    repeats alone do not count. Documents shorter than ``span`` tokens
+    emit (0, 0).
+
+    Scale shape: positions explode to one row per (doc, position) —
+    O(corpus tokens); the duplicated-span set is a hash aggregate on
+    the span key (distinct doc count, map-side partial combine), and
+    positions are filtered by a broadcast-or-shuffle semi-join against
+    that set. No pairwise document join exists anywhere, so boilerplate
+    spans shared by millions of files cost one aggregate cell each.
+    """
+    if span < 2:
+        raise ValueError(f"span must be >= 2, got {span}")
+    toks = tokenize_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks"),
+                     F.size(toks).alias("_n"))
+    spans = F.transform(
+        F.sequence(F.lit(1), F.col("_n") - (span - 1)),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(F.col("_toks"), i, span), " ")),
+            1, 16))
+    pos = (base.filter(F.col("_n") >= span)
+           .select(id_col, F.explode(spans).alias("h")))
+    dup_h = (pos.select(id_col, "h").distinct()
+             .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+             .filter(F.col("nd") >= 2).select("h"))
+    per_doc = (pos.join(dup_h, on="h", how="leftsemi")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    totals = base.select(
+        id_col,
+        F.greatest(F.col("_n") - (span - 1), F.lit(0)).cast("long")
+        .alias("n_spans"))
+    return (totals.join(per_doc, on=id_col, how="left")
+            .select(id_col, "n_spans",
+                    F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+                    .alias("n_dup_spans")))

@@ -477,6 +477,111 @@ def scrub_text_sql() -> str:
             f"FROM {prev} ORDER BY doc_id")
 
 
+def code_quality_sql() -> str:
+    """code_quality twin (operators/curation.code_quality): identical
+    line split (chr(10), trailing empties kept — matches Spark
+    split(limit=-1)), identical ASCII character classes, identical
+    integer keep arithmetic. DuckDB length() counts characters like
+    Spark length (strlen would count bytes — wrong on unicode)."""
+    from data_text_search_spark.operators.curation import (
+        AVG_LINE_LEN, MAX_LINE_LEN, MIN_ALPHA_X4)
+    return f"""WITH s AS (
+  SELECT doc_id, cast(text AS varchar) AS t FROM documents),
+l AS (
+  SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM s),
+m AS (
+  SELECT doc_id,
+    cast(len(ls) AS bigint) AS n_lines,
+    cast(list_aggregate(list_transform(ls, x -> length(x)), 'max')
+         AS bigint) AS max_line_len,
+    cast(coalesce(list_aggregate(list_transform(ls, x -> length(x)),
+                                 'sum'), 0) AS bigint) AS sum_line_len,
+    cast(length(t) AS bigint) AS n_chars,
+    cast(length(regexp_replace(t, '[^A-Za-z0-9]', '', 'g'))
+         AS bigint) AS n_alnum,
+    cast(length(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+         AS bigint) AS n_alpha
+  FROM l)
+SELECT doc_id, n_lines, max_line_len, sum_line_len, n_chars, n_alnum,
+  n_alpha,
+  (n_chars > 0 AND 4 * n_alpha >= {MIN_ALPHA_X4} * n_chars
+   AND max_line_len <= {MAX_LINE_LEN}
+   AND sum_line_len <= {AVG_LINE_LEN} * n_lines) AS keep
+FROM m ORDER BY doc_id"""
+
+
+def repetition_stats_sql() -> str:
+    """repetition_stats twin (operators/curation.repetition_stats):
+    identical line split + tokenizer fragment; dup_line_chars = total
+    line chars minus chars over list_distinct(lines); top bigram by
+    ROW_NUMBER over (count DESC, gram ASC) — the same deterministic
+    tie-break as the Spark window."""
+    return f"""WITH docs AS (
+  SELECT doc_id, cast(text AS varchar) AS t,
+    {TOKENIZE.format(col='text')} AS toks
+  FROM documents),
+l AS (
+  SELECT doc_id, toks, string_split(t, chr(10)) AS ls FROM docs),
+base AS (
+  SELECT doc_id, toks,
+    cast(len(ls) AS bigint) AS n_lines,
+    cast(coalesce(list_aggregate(list_transform(ls, x -> length(x)),
+                                 'sum'), 0) AS bigint) AS line_chars,
+    cast(coalesce(list_aggregate(
+        list_transform(list_distinct(ls), x -> length(x)), 'sum'), 0)
+      AS bigint) AS distinct_chars,
+    cast(greatest(len(toks) - 1, 0) AS bigint) AS n_grams
+  FROM l),
+g AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM base WHERE n_grams > 0),
+cnt AS (
+  SELECT doc_id, gram, count(*) AS top_gram_count FROM g GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, gram AS top_gram, top_gram_count,
+    row_number() OVER (PARTITION BY doc_id
+                       ORDER BY top_gram_count DESC, gram) AS rn
+  FROM cnt)
+SELECT b.doc_id, b.n_lines, b.line_chars,
+  b.line_chars - b.distinct_chars AS dup_line_chars, b.n_grams,
+  coalesce(t.top_gram, '') AS top_gram,
+  cast(coalesce(t.top_gram_count, 0) AS bigint) AS top_gram_count
+FROM base b LEFT JOIN (SELECT * FROM top WHERE rn = 1) t
+  ON b.doc_id = t.doc_id
+ORDER BY b.doc_id"""
+
+
+def duplicate_spans_sql(span: int = 8) -> str:
+    """duplicate_spans twin (operators/curation.duplicate_spans):
+    identical tokenizer fragment, identical 64-bit md5-prefix span key
+    over the space-joined span text, identical >= 2-distinct-docs
+    duplication rule."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(span))
+    return f"""WITH docs AS ({_TOK_DOCS}),
+pos AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks) - {span - 2}),
+                          i -> substr(md5({parts}), 1, 16))) AS h
+  FROM docs WHERE len(toks) >= {span}),
+dh AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h)
+  WHERE nd >= 2),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans FROM pos
+  WHERE h IN (SELECT h FROM dh) GROUP BY doc_id),
+totals AS (
+  SELECT doc_id,
+    cast(greatest(len(toks) - {span - 1}, 0) AS bigint) AS n_spans
+  FROM docs)
+SELECT t.doc_id, t.n_spans,
+  cast(coalesce(p.n_dup_spans, 0) AS bigint) AS n_dup_spans
+FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id"""
+
+
 def clean_sql() -> str:
     """F1 clean pipeline on lowercased text, regexes in reference order.
 

@@ -134,3 +134,128 @@ def test_scrub_plan_is_jvm_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- code_quality ---------------------------------------------------------
+
+CQ_PLANTED = [
+    "",                                       # empty -> keep False
+    "def f(x):\n    return x + 1\n",          # normal code -> keep True
+    "x" * 2000,                               # one huge line -> max_line_len
+    "!!! ??? ...",                            # no alpha -> density fail
+    "héllo wörld",                  # unicode: length=chars, alpha=ASCII
+    "\n".join(["a" * 150] * 3),               # avg line len 150 -> fail
+]
+
+
+def test_code_quality_planted(spark):
+    from data_text_search_spark.operators.curation import code_quality
+    rows = (code_quality(_mkdocs(spark, CQ_PLANTED))
+            .orderBy("doc_id").collect())
+    for r, text in zip(rows, CQ_PLANTED):
+        lines = text.split("\n")
+        assert r.n_lines == len(lines)
+        assert r.max_line_len == max(len(l) for l in lines)
+        assert r.sum_line_len == sum(len(l) for l in lines)
+        assert r.n_chars == len(text)
+        assert r.n_alnum == len(re.findall("[A-Za-z0-9]", text))
+        assert r.n_alpha == len(re.findall("[A-Za-z]", text))
+        want_keep = (len(text) > 0
+                     and 4 * r.n_alpha >= r.n_chars
+                     and r.max_line_len <= 1000
+                     and r.sum_line_len <= 100 * r.n_lines)
+        assert r.keep == want_keep, text[:40]
+    assert [r.keep for r in rows] == [False, True, False, False, True, False]
+
+
+def test_code_quality_plan_has_no_shuffle(spark):
+    from data_text_search_spark.operators.curation import code_quality
+    df = code_quality(_mkdocs(spark, ["a b"]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- repetition_stats -----------------------------------------------------
+
+REP_PLANTED = [
+    "a b a b a",          # bigram tie "a b"=2 "b a"=2 -> gram-asc tiebreak
+    "x\ny\nx\n",          # dup line 'x' -> 1 repeated char
+    "",                   # no grams
+    "single",             # 1 token -> no grams
+    "c c c c",            # "c c" x3
+]
+
+
+def test_repetition_stats_planted(spark):
+    from collections import Counter
+    from data_text_search_spark.operators.curation import repetition_stats
+    rows = (repetition_stats(_mkdocs(spark, REP_PLANTED))
+            .orderBy("doc_id").collect())
+    for r, text in zip(rows, REP_PLANTED):
+        lines = text.split("\n")
+        assert r.n_lines == len(lines)
+        assert r.line_chars == sum(len(l) for l in lines)
+        seen, dup_chars = set(), 0
+        for l in lines:
+            if l in seen:
+                dup_chars += len(l)
+            seen.add(l)
+        assert r.dup_line_chars == dup_chars, text
+        toks = tokenize_py(text)
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert r.n_grams == len(grams)
+        if grams:
+            cnt = Counter(grams)
+            want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            assert (r.top_gram, r.top_gram_count) == want, text
+        else:
+            assert (r.top_gram, r.top_gram_count) == ("", 0)
+    assert rows[0].top_gram == "a b" and rows[0].top_gram_count == 2
+    assert rows[4].top_gram_count == 3
+
+
+# --- duplicate_spans ------------------------------------------------------
+
+SPAN_PLANTED = [
+    "one two three four",        # shares 'one two three' with doc1
+    "zzz one two three",
+    "p q r p q r p q r",         # within-doc repeats only -> 0 dups
+    "a b",                       # shorter than span -> (0, 0)
+]
+
+
+def test_duplicate_spans_planted(spark):
+    from data_text_search_spark.operators.curation import duplicate_spans
+    rows = (duplicate_spans(_mkdocs(spark, SPAN_PLANTED), span=3)
+            .orderBy("doc_id").collect())
+    # python reference: position-level spans, dup iff span text in >=2 docs
+    doc_spans = []
+    for text in SPAN_PLANTED:
+        toks = tokenize_py(text)
+        doc_spans.append([" ".join(toks[i:i + 3])
+                          for i in range(len(toks) - 2)])
+    owners = {}
+    for d, spans in enumerate(doc_spans):
+        for s in set(spans):
+            owners.setdefault(s, set()).add(d)
+    for r, spans in zip(rows, doc_spans):
+        assert r.n_spans == len(spans)
+        want_dup = sum(1 for s in spans if len(owners[s]) >= 2)
+        assert r.n_dup_spans == want_dup, r.doc_id
+    assert [(r.n_spans, r.n_dup_spans) for r in rows] == [
+        (2, 1), (2, 1), (7, 0), (0, 0)]
+
+
+def test_duplicate_spans_rejects_tiny_span(spark):
+    from data_text_search_spark.operators.curation import duplicate_spans
+    with pytest.raises(ValueError):
+        duplicate_spans(_mkdocs(spark, ["x"]), span=1)
+
+
+def test_duplicate_spans_plan_is_semi_join(spark):
+    """No pairwise document join: the dup-set attaches via a semi-join."""
+    from data_text_search_spark.operators.curation import duplicate_spans
+    df = duplicate_spans(_mkdocs(spark, SPAN_PLANTED), span=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
