@@ -47,7 +47,10 @@ def run_pipeline(spark, corpus, text_col: str = "text",
                  lsh_bucket_cap: int = 100_000,
                  near_dup_mode: str = "pair",
                  sample_fraction: float | None = None,
-                 split_fractions: dict[str, float] | None = None):
+                 split_fractions: dict[str, float] | None = None,
+                 scrub: bool = False,
+                 code_quality_gate: bool = False,
+                 max_dup_line_frac: float | None = None):
     """Returns (cleaned DataFrame with analytics columns, stats dict)."""
     from pyspark.sql import functions as F
 
@@ -63,6 +66,22 @@ def run_pipeline(spark, corpus, text_col: str = "text",
         from data_text_search_spark.operators import sampling
         df = sampling.hash_sample(df, sample_fraction, id_col=id_col)
         stats["after_sample"] = df.count()
+
+    # 0.5 optional PII/noise scrub — BEFORE dedup, so two documents
+    #     that differ only in redacted spans (emails, ticket URLs)
+    #     collapse into one exact-dup group
+    if scrub:
+        from data_text_search_spark.operators import curation
+        scrubbed = curation.scrub_text(df, text_col=text_col,
+                                       id_col=id_col)
+        red = scrubbed.select(
+            F.sum(F.col("n_url") + F.col("n_email") + F.col("n_ip")
+                  + F.col("n_num")).alias("s")).first()["s"]
+        stats["scrub_redactions"] = int(red or 0)
+        df = (df.drop(text_col)
+              .join(scrubbed.select(id_col,
+                                    F.col("scrubbed").alias(text_col)),
+                    id_col))
 
     # 1. exact dedup — keep the canonical representative per group
     groups = dedup.exact_dup_groups(df, text_col=text_col, id_col=id_col)
@@ -106,6 +125,26 @@ def run_pipeline(spark, corpus, text_col: str = "text",
     if min_stop_ratio is not None:
         out = out.filter(F.col("stop_ratio") >= min_stop_ratio)
 
+    # 4.5 optional code-shaped gates (StarCoder keep rule; Gopher
+    #     dup-line fraction) — each one more narrow analytics join on
+    #     the id, integer/exact signals
+    if code_quality_gate or max_dup_line_frac is not None:
+        from data_text_search_spark.operators import curation
+        if code_quality_gate:
+            cq = (curation.code_quality(df, text_col=text_col,
+                                        id_col=id_col)
+                  .select(id_col, "keep", "max_line_len"))
+            out = out.join(cq, id_col).filter(F.col("keep")).drop("keep")
+            stats["after_code_quality"] = out.count()
+        if max_dup_line_frac is not None:
+            rep = (curation.repetition_stats(df, text_col=text_col,
+                                             id_col=id_col)
+                   .select(id_col, "line_chars", "dup_line_chars"))
+            out = (out.join(rep, id_col)
+                   .filter(F.col("dup_line_chars")
+                           <= max_dup_line_frac * F.col("line_chars")))
+            stats["after_dup_line_gate"] = out.count()
+
     # 5. optional deterministic split column (train/val/test) — assigned
     #    AFTER dedup/filtering so near-dups can't straddle splits via a
     #    surviving twin, and stable under future corpus growth
@@ -139,6 +178,16 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--split", default=None,
                     help="add a deterministic split column, e.g. "
                          "'train=0.8,val=0.1,test=0.1'")
+    ap.add_argument("--scrub", action="store_true",
+                    help="redact URLs/emails/IPs/long digit runs "
+                         "(before dedup, so docs differing only in "
+                         "redacted spans collapse)")
+    ap.add_argument("--code-quality-gate", action="store_true",
+                    help="drop files failing the StarCoder-style keep "
+                         "rule (alpha density, line-length shape)")
+    ap.add_argument("--max-dup-line-frac", type=float, default=None,
+                    help="drop docs whose duplicated-line chars exceed "
+                         "this fraction of total line chars (Gopher)")
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under spark-submit)")
     args = ap.parse_args(argv)
@@ -163,7 +212,10 @@ def main(argv: list[str] | None = None) -> dict:
         sample_fraction=args.sample,
         split_fractions=(
             {kv.split("=")[0]: float(kv.split("=")[1])
-             for kv in args.split.split(",")} if args.split else None))
+             for kv in args.split.split(",")} if args.split else None),
+        scrub=args.scrub,
+        code_quality_gate=args.code_quality_gate,
+        max_dup_line_frac=args.max_dup_line_frac)
     out.write.mode("overwrite").parquet(args.output)
     stats["output_docs"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))

@@ -142,3 +142,42 @@ def test_embedding_index_cli(spark, tmp_path):
     kn = spark.read.parquet(kout)
     assert kn.count() == 500 * 3
     assert all(r["qid"] != r["vec_id"] for r in kn.collect())
+
+
+def test_corpus_pipeline_curation_gates(spark, tmp_path):
+    """--scrub collapses docs differing only in redacted spans into one
+    exact-dup group; --code-quality-gate drops the minified blob;
+    --max-dup-line-frac drops the boilerplate-repetition doc."""
+    sys.path.insert(0, "jobs")
+    import corpus_pipeline
+
+    texts = [
+        # 0,1: identical after <EMAIL> redaction -> exact-dup group of 2
+        "release notes are final contact alice@example.com for details",
+        "release notes are final contact bob@other.org for details",
+        # 2: a 'minified' single huge line -> code-quality gate drops it
+        "var a=1;" * 300,
+        # 3: heavy duplicated lines -> dup-line gate drops it
+        "header line one\n" + "the same repeated line\n" * 20,
+        # 4: clean survivor
+        "def main():\n    print('hello world tokens galore')\n",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src, dst = str(tmp_path / "dc"), str(tmp_path / "cc")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stats = corpus_pipeline.main([
+        "--input", src, "--output", dst,
+        "--near-dup-threshold", "-1",
+        "--scrub", "--code-quality-gate", "--max-dup-line-frac", "0.5"])
+    assert stats["scrub_redactions"] == 2           # the two emails
+    assert stats["after_exact_dedup"] == 4          # 0+1 collapsed
+    assert stats["after_code_quality"] == 3         # doc 2 out
+    assert stats["after_dup_line_gate"] == 2        # doc 3 out
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(dst).select("doc_id").collect()}
+    assert kept == {0, 4}
+    scrubbed = {r["doc_id"]: r["text"]
+                for r in spark.read.parquet(dst).select(
+                    "doc_id", "text").collect()}
+    assert "<EMAIL>" in scrubbed[0]
