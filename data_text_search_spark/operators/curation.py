@@ -59,6 +59,22 @@ SCRUB_STEPS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def scrub_exprs(text_col: str = "text") -> tuple[Column, list[Column]]:
+    """The scrub chain as raw column expressions:
+    (scrubbed_text, [n_url, n_email, n_ip, n_num] — unaliased).
+    For callers that want to inline the chain into an existing
+    projection (`withColumn(text_col, scrubbed)`) instead of joining
+    scrub_text's (id, scrubbed) output back onto the corpus — at scale
+    that join is a corpus-sized self-join that recomputes the whole
+    regex chain a second time."""
+    cur: Column = F.col(text_col).cast("string")
+    counts: list[Column] = []
+    for _name, pat, _repl in SCRUB_STEPS:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)))
+        cur = F.regexp_replace(cur, pat, _repl)
+    return cur, counts
+
+
 def scrub_text(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """(doc_id, scrubbed, n_url, n_email, n_ip, n_num).
@@ -68,14 +84,10 @@ def scrub_text(df: DataFrame, text_col: str = "text",
     are exactly the number of placeholders each step inserted, even when
     patterns overlap (an email inside a URL is one <URL>, not both).
     """
-    cur: Column = F.col(text_col).cast("string")
-    counts: list[Column] = []
-    for name, pat, repl in SCRUB_STEPS:
-        counts.append(
-            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
-            .alias(f"n_{name}"))
-        cur = F.regexp_replace(cur, pat, repl)
-    return df.select(F.col(id_col), cur.alias("scrubbed"), *counts)
+    cur, counts = scrub_exprs(text_col)
+    named = [c.alias(f"n_{name}") for c, (name, _, _)
+             in zip(counts, SCRUB_STEPS)]
+    return df.select(F.col(id_col), cur.alias("scrubbed"), *named)
 
 
 def chunk_documents(df: DataFrame, id_col: str = "doc_id",
@@ -99,7 +111,11 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"need 0 <= overlap < chunk_size, got "
                          f"overlap={overlap} chunk_size={chunk_size}")
     stride = chunk_size - overlap
-    toks = tokenize_expr(text_col)
+    # NULL text must yield one empty chunk, not a vanished document:
+    # tokenize(NULL) is NULL, NULL n_chunks makes sequence() NULL and
+    # explode() drops the row entirely
+    toks = tokenize_expr(F.coalesce(F.col(text_col).cast("string"),
+                                    F.lit("")))
     base = df.select(F.col(id_col), toks.alias("_toks"),
                      F.size(toks).alias("_n"))
     n_chunks = (
@@ -170,7 +186,8 @@ def code_quality(df: DataFrame, text_col: str = "text",
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     include_bigrams: bool = True) -> DataFrame:
     """(doc_id, n_lines, line_chars, dup_line_chars, n_grams, top_gram,
     top_gram_count): Gopher-style repetition signals.
 
@@ -185,6 +202,13 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
       (doc_id, gram) with map-side partial combine, then a per-doc
       window over the (small) per-doc distinct-gram sets. Documents
       with < 2 tokens get ('', 0).
+
+    ``include_bigrams=False`` skips the corpus-wide (doc, gram)
+    aggregate entirely (top_gram is '' / 0 for every row) — the line
+    columns alone are then a narrow shuffle-free projection, which is
+    what a dup-line-fraction gate needs; Catalyst cannot prune the
+    bigram subplan away on its own (it can't prove the window-filtered
+    join side is unique).
     """
     t = F.col(text_col).cast("string")
     lines = F.split(t, "\n", -1)
@@ -209,6 +233,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         F.slice(F.col("_toks"), 1, F.size(F.col("_toks")) - 1),
         F.slice(F.col("_toks"), 2, F.size(F.col("_toks")) - 1),
         lambda a, b: F.concat(a, F.lit(" "), b))
+    if not include_bigrams:
+        return base.drop("_toks").select(
+            id_col, "n_lines", "line_chars", "dup_line_chars", "n_grams",
+            F.lit("").alias("top_gram"),
+            F.lit(0).cast("long").alias("top_gram_count"))
     from pyspark.sql.window import Window
     top = (base.filter(F.col("n_grams") > 0)
            .select(id_col, F.explode(grams).alias("gram"))

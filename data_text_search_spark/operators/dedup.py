@@ -474,13 +474,22 @@ def _dup_clusters_driver(spark, edges: DataFrame) -> DataFrame:
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
                          a_col: str = "doc_a",
-                         b_col: str = "doc_b") -> DataFrame:
+                         b_col: str = "doc_b",
+                         broadcast_max_rows: int = 20_000_000) -> DataFrame:
     """Drop every near-duplicate except the canonical (smallest-id)
     member of its cluster: df minus { ids whose cluster_id != own id }.
     Documents that appear in no pair pass through untouched. The
-    drop-list is ≤ the number of paired docs — broadcast-joined, so the
-    corpus itself never shuffles."""
+    drop-list is ≤ the number of paired docs — broadcast-joined when it
+    fits (~8 B/id, 20M ids ≈ 160 MB) so the corpus never shuffles; on a
+    dedup-heavy corpus whose loser list exceeds the gate (a forced
+    broadcast would collect it to the driver and die on
+    spark.driver.maxResultSize) the anti-join runs as a plain shuffle
+    join of ids only — the corpus side still moves no text payload
+    beyond the join columns Spark needs."""
     clusters = dup_clusters(pairs, a_col=a_col, b_col=b_col)
     losers = (clusters.filter(F.col("doc_id") != F.col("cluster_id"))
               .select(F.col("doc_id").alias(id_col)))
-    return df.join(F.broadcast(losers), id_col, "left_anti")
+    n_losers = losers.count()
+    if n_losers <= broadcast_max_rows:
+        losers = F.broadcast(losers)
+    return df.join(losers, id_col, "left_anti")

@@ -152,9 +152,26 @@ def _write_manifest_atomic(path: str, manifest: dict) -> None:
 def load_manifest(root: str) -> dict | None:
     from data_text_search_spark.sources import fsio
     p = IndexPaths(root).manifest
-    versions = _manifest_versions(p)
-    if versions:
-        return json.loads(fsio.read_text(versions[-1][1]))
+    # A concurrent commit may GC the version we just listed (list sees
+    # v12, writer commits v13 and deletes v12 before our read) — on
+    # that race, re-list and read the new latest. Retry only when the
+    # file we tried really vanished (anything else is a genuine fault);
+    # every retry implies a newer complete manifest exists, so this
+    # terminates immediately in practice.
+    for _ in range(8):
+        versions = _manifest_versions(p)
+        if not versions:
+            break
+        try:
+            return json.loads(fsio.read_text(versions[-1][1]))
+        except Exception:
+            if fsio.exists(versions[-1][1]):
+                raise  # still there — a real read fault, not the GC race
+            continue
+    else:
+        raise RuntimeError(
+            f"manifest at {p}: latest version vanished on 8 consecutive "
+            "reads — concurrent commit storm or filesystem fault")
     if not fsio.exists(p):
         return None
     return json.loads(fsio.read_text(p))  # legacy single-file manifest

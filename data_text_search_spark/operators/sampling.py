@@ -41,19 +41,25 @@ def _bucket_expr(id_col: str, salt: str) -> Column:
 
 
 def _hex_threshold(fraction: float) -> str:
+    """Exclusive upper bound: a row is in iff bucket < threshold, so
+    fraction=0 keeps nothing (an inclusive <= '00000000' bound would
+    keep the ~2^-32 of rows hashing to exactly zero) and every
+    fraction keeps exactly int(frac*16^8)/16^8 of the bucket space."""
     frac = min(max(float(fraction), 0.0), 1.0)
-    return format(min(int(frac * _HEX_SPAN), _HEX_SPAN - 1) if frac < 1.0
-                  else _HEX_SPAN - 1, "08x")
+    return format(min(int(frac * _HEX_SPAN), _HEX_SPAN - 1), "08x")
 
 
 def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
                 salt: str = "") -> DataFrame:
     """Keep ~`fraction` of rows, chosen by id hash — deterministic
-    across runs, engines, and cluster sizes. fraction=1.0 keeps all."""
+    across runs, engines, and cluster sizes. fraction=1.0 keeps all,
+    fraction=0.0 keeps none."""
     if fraction >= 1.0:
         return df
+    if fraction <= 0.0:
+        return df.filter(F.lit(False))
     return df.filter(_bucket_expr(id_col, "sample|" + salt)
-                     <= F.lit(_hex_threshold(fraction)))
+                     < F.lit(_hex_threshold(fraction)))
 
 
 def hash_split(df: DataFrame, fractions: dict[str, float],
@@ -61,11 +67,16 @@ def hash_split(df: DataFrame, fractions: dict[str, float],
                split_col: str = "split") -> DataFrame:
     """Assign every row to exactly one named split (train/val/test
     style) by consecutive hash ranges: fractions are cumulated in
-    insertion order and the LAST split absorbs the rounding remainder,
-    so the assignment is total — every row lands in exactly one split,
-    and the same split, everywhere."""
+    insertion order and the LAST split absorbs the float-rounding
+    remainder, so the assignment is total — every row lands in exactly
+    one split, and the same split, everywhere. Fractions must sum to 1
+    (a typoed {train: .6, test: .6} would otherwise silently hand test
+    40%, not 60%)."""
     if not fractions or not all(v > 0 for v in fractions.values()):
         raise ValueError("fractions must be non-empty and positive")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
     names = list(fractions)
     cum, bounds = 0.0, []
     for name in names[:-1]:
@@ -74,7 +85,7 @@ def hash_split(df: DataFrame, fractions: dict[str, float],
     b = _bucket_expr(id_col, "split|" + salt)
     expr = None
     for name, bound in zip(names[:-1], bounds):
-        cond = b <= F.lit(bound)
+        cond = b < F.lit(bound)
         expr = (F.when(cond, F.lit(name)) if expr is None
                 else expr.when(cond, F.lit(name)))
     expr = (F.lit(names[-1]) if expr is None

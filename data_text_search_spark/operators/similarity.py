@@ -518,6 +518,11 @@ def _knn_topk_rows(qids: np.ndarray, sims: np.ndarray, rids: np.ndarray,
 def _knn_broadcast(lt: DataFrame, rt: DataFrame, k: int,
                    exclude_self: bool) -> DataFrame:
     rows = rt.collect()
+    if not rows:
+        # empty right table: no neighbors for anyone — typed empty
+        # result (np.array([]) is 1-D; norm(axis=1) would AxisError)
+        spark = lt.sparkSession
+        return spark.createDataFrame([], "qid long, vec_id long, score double")
     rids = np.array([r["rid"] for r in rows], dtype=np.int64)
     rmat = np.array([r["rv"] for r in rows], dtype=np.float64)
     rn = np.linalg.norm(rmat, axis=1)
@@ -727,6 +732,11 @@ def build_ivf_index(df: DataFrame, root: str, n_centroids: int = 64,
                                   F.lit(sample_mod)) == 0)
     rows = (samp.orderBy("vec_id").limit(sample_rows)
             .select("embedding").collect())
+    if not rows:
+        raise ValueError(
+            "build_ivf_index: training sample is empty (input has no "
+            "rows, or sample_mod filtered everything) — lower sample_mod "
+            "or check the input table")
     mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
     cent = _spherical_kmeans(mat, n_centroids, iters)
     spark = df.sparkSession

@@ -261,7 +261,7 @@ def hash_split_sql(fractions: dict[str, float], salt: str = "") -> str:
     for name in names[:-1]:
         cum += fractions[name]
         bound = format(min(int(cum * span), span - 1), "08x")
-        cases.append(f"WHEN b <= '{bound}' THEN '{name}'")
+        cases.append(f"WHEN b < '{bound}' THEN '{name}'")
     case = ("CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
             if cases else f"'{names[-1]}'")
     return f"""WITH h AS (

@@ -63,6 +63,9 @@ def run_pipeline(spark, corpus, text_col: str = "text",
     #    rows every run / cluster size; how you debug a 100 TB pipeline
     #    at 1% without the sample drifting under you)
     if sample_fraction is not None and sample_fraction < 1.0:
+        if sample_fraction <= 0.0:
+            raise ValueError(
+                f"sample_fraction must be in (0, 1], got {sample_fraction}")
         from data_text_search_spark.operators import sampling
         df = sampling.hash_sample(df, sample_fraction, id_col=id_col)
         stats["after_sample"] = df.count()
@@ -72,16 +75,17 @@ def run_pipeline(spark, corpus, text_col: str = "text",
     #     collapse into one exact-dup group
     if scrub:
         from data_text_search_spark.operators import curation
-        scrubbed = curation.scrub_text(df, text_col=text_col,
-                                       id_col=id_col)
-        red = scrubbed.select(
-            F.sum(F.col("n_url") + F.col("n_email") + F.col("n_ip")
-                  + F.col("n_num")).alias("s")).first()["s"]
+        # inline the chain (withColumn) instead of joining scrub_text's
+        # (id, scrubbed) back on id — that join is a corpus-sized
+        # self-join that recomputes the whole regex chain a second time
+        scrub_col, counts = curation.scrub_exprs(text_col)
+        red_total = counts[0]
+        for c in counts[1:]:
+            red_total = red_total + c
+        red = df.select(
+            F.sum(red_total.cast("long")).alias("s")).first()["s"]
         stats["scrub_redactions"] = int(red or 0)
-        df = (df.drop(text_col)
-              .join(scrubbed.select(id_col,
-                                    F.col("scrubbed").alias(text_col)),
-                    id_col))
+        df = df.withColumn(text_col, scrub_col)
 
     # 1. exact dedup — keep the canonical representative per group
     groups = dedup.exact_dup_groups(df, text_col=text_col, id_col=id_col)
@@ -138,7 +142,8 @@ def run_pipeline(spark, corpus, text_col: str = "text",
             stats["after_code_quality"] = out.count()
         if max_dup_line_frac is not None:
             rep = (curation.repetition_stats(df, text_col=text_col,
-                                             id_col=id_col)
+                                             id_col=id_col,
+                                             include_bigrams=False)
                    .select(id_col, "line_chars", "dup_line_chars"))
             out = (out.join(rep, id_col)
                    .filter(F.col("dup_line_chars")

@@ -52,6 +52,8 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("--input", required=True,
                    help="embeddings table holding the query vector")
     s.add_argument("--query-vec-id", type=int, required=True)
+    s.add_argument("--id-col", default="vec_id")
+    s.add_argument("--vec-col", default="embedding")
     s.add_argument("--k", type=int, default=10)
     s.add_argument("--nprobe", type=int, default=8)
 
@@ -102,9 +104,13 @@ def main(argv: list[str] | None = None) -> None:
         print(json.dumps({"built": args.kind, "root": args.root}))
     elif args.cmd == "search":
         emb = spark.read.parquet(args.input)
-        qv = [float(v) for v in
-              emb.filter(F.col("vec_id") == args.query_vec_id)
-              .first()["embedding"]]
+        row = (emb.filter(F.col(args.id_col) == args.query_vec_id)
+               .select(args.vec_col).first())
+        if row is None:
+            raise SystemExit(
+                f"search: no row with {args.id_col}={args.query_vec_id} "
+                f"in {args.input}")
+        qv = [float(v) for v in row[args.vec_col]]
         if args.kind == "lsh":
             res = similarity.ann_index_search(spark, args.root, qv, k=args.k)
         else:

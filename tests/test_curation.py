@@ -259,3 +259,34 @@ def test_duplicate_spans_plan_is_semi_join(spark):
     df = duplicate_spans(_mkdocs(spark, SPAN_PLANTED), span=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_chunk_null_text_yields_one_empty_chunk(spark):
+    """A NULL text document must not vanish from the chunk output:
+    tokenize(NULL) is NULL, NULL n_chunks would make sequence() NULL
+    and explode() drop the row."""
+    df = spark.createDataFrame([(1, "alpha beta"), (2, None)],
+                               "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=4, overlap=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["chunk_id"] == 0
+    assert rows[2]["chunk_text"] == ""
+    assert rows[2]["n_chunk_tokens"] == 0
+
+
+def test_repetition_stats_line_only_skips_bigram_aggregate(spark):
+    """include_bigrams=False: identical line columns, constant gram
+    columns, and NO shuffle in the plan (the dup-line gate's shape)."""
+    from data_text_search_spark.operators.curation import repetition_stats
+    df = spark.createDataFrame(
+        [(1, "a b\na b\nc"), (2, "x\ny\nz")], "doc_id long, text string")
+    full = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    lean_df = repetition_stats(df, include_bigrams=False)
+    lean = {r["doc_id"]: r for r in lean_df.collect()}
+    for d in (1, 2):
+        for c in ("n_lines", "line_chars", "dup_line_chars", "n_grams"):
+            assert lean[d][c] == full[d][c]
+        assert lean[d]["top_gram"] == "" and lean[d]["top_gram_count"] == 0
+    plan = lean_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

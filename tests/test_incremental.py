@@ -468,3 +468,48 @@ def test_missing_colocation_unit_fails_loudly(spark, tmp_path):
     shutil.rmtree(s._units[0])
     with pytest.raises(Exception, match="refresh"):
         s.search_batch_pandas(["return import"], 5)
+
+
+def test_load_manifest_survives_concurrent_gc(spark, tmp_path, monkeypatch):
+    """load_manifest lists versions then reads the latest — a concurrent
+    commit can GC that exact file between the two steps. The reader must
+    re-list and read the NEWER version, not crash (a search service
+    refreshing while add_documents commits hits this window)."""
+    import json as _json
+    import os
+
+    from data_text_search_spark.config import IndexPaths
+    from data_text_search_spark.operators.index_build import (
+        _write_manifest_atomic,
+        load_manifest,
+    )
+    from data_text_search_spark.sources import fsio
+
+    root = str(tmp_path / "race")
+    os.makedirs(root, exist_ok=True)
+    paths = IndexPaths(root)
+    _write_manifest_atomic(paths.manifest, {"probe": 1})
+
+    real_read = fsio.read_text
+    state = {"fired": False}
+
+    def racing_read(path, spark_=None):
+        if not state["fired"] and path.endswith("0000000000000001"):
+            state["fired"] = True
+            # simulate the concurrent committer: newer version lands,
+            # then the one we were about to read is GC'd
+            _write_manifest_atomic(paths.manifest, {"probe": 2})
+            raise FileNotFoundError(path)
+        return real_read(path, spark_)
+
+    monkeypatch.setattr(fsio, "read_text", racing_read)
+    assert load_manifest(root)["probe"] == 2
+    assert state["fired"]
+
+    # a read fault on a file that still EXISTS is NOT the race — raise
+    def faulty_read(path, spark_=None):
+        raise IOError("disk on fire")
+
+    monkeypatch.setattr(fsio, "read_text", faulty_read)
+    with pytest.raises(IOError, match="disk on fire"):
+        load_manifest(root)

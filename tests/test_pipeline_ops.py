@@ -901,3 +901,55 @@ def test_hash_sample_and_split_are_decorrelated(spark):
                                         "test": 0.1}).collect()
     splits = {r["split"] for r in out}
     assert splits == {"train", "val", "test"}
+
+
+def test_hash_sample_zero_and_split_sum_validation(spark):
+    """fraction=0 keeps NOTHING (an inclusive <= '00000000' bound would
+    keep the ~2^-32 of rows hashing to exactly zero — at 10^12 rows
+    that's a few hundred ghosts in a 'no sample'), and a split spec
+    whose fractions don't sum to 1 is rejected instead of silently
+    handing the last split the remainder."""
+    from data_text_search_spark.operators import sampling
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    assert sampling.hash_sample(df, 0.0).count() == 0
+    assert sampling.hash_sample(df, 1.0).count() == 2000
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(df, {"train": 0.6, "test": 0.6})
+    with pytest.raises(ValueError, match="sum to 1"):
+        sampling.hash_split(df, {"train": 0.25, "val": 0.25})
+
+
+def test_dedup_keep_canonical_shuffle_fallback_identical(spark):
+    """Above the broadcast gate the loser anti-join runs as a plain
+    shuffle join (a forced broadcast of an unbounded drop-list would
+    collect it to the driver) — identical rows either way."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (20, 21)],
+                                  "doc_a long, doc_b long")
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 5, 20, 21, 99]],
+        "doc_id long, text string")
+    bcast = sorted(r["doc_id"] for r in
+                   dedup.dedup_keep_canonical(docs, pairs).collect())
+    shuf = sorted(r["doc_id"] for r in
+                  dedup.dedup_keep_canonical(
+                      docs, pairs, broadcast_max_rows=0).collect())
+    assert bcast == shuf == [1, 5, 20, 99]
+
+
+def test_knn_join_empty_right(spark):
+    """An empty right table yields a typed empty result, not a numpy
+    AxisError from norm(axis=1) on a 1-D empty array."""
+    from data_text_search_spark.operators import similarity
+    left = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                                 "vec_id long, embedding array<double>")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.knn_join(left, empty, k=3)
+    assert out.columns == ["qid", "vec_id", "score"]
+    assert out.count() == 0
+
+
+def test_build_ivf_index_empty_input_raises(spark, tmp_path):
+    from data_text_search_spark.operators import similarity
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="training sample is empty"):
+        similarity.build_ivf_index(empty, str(tmp_path / "ivf_empty"))
