@@ -645,6 +645,26 @@ def q_fuzzy_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"), "score_abs")
 
 
+FUZZY_PHRASE3 = "stream tible hash"  # 1 edit from the frequent trigram
+#                                      'stream table hash' — 3 distinct
+#                                      tokens so the index-backed pruning
+#                                      lemma (required = 3 - 2*1 = 1)
+#                                      actually engages
+
+
+def q_fuzzy_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z2 with the PERSISTED index pruning candidates first (tokenized-
+    checkpoint term-presence bound, see IndexSearcher.fuzzy_phrase_search's
+    lemma) — the windowed levenshtein verify touches only the candidate
+    slice; hash-checked against the same full-scan DuckDB oracle shape as
+    fuzzy_phrase."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.fuzzy_phrase_search(_documents(spark, sf_dir), FUZZY_PHRASE3,
+                                max_mistakes=1)
+    return res.select("doc_id", "match_count", "n_chars",
+                      F.round("score", 4).alias("score"), "score_abs")
+
+
 def q_bm25_topk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with the F1 clean pipeline ON (Clean=Yes path of the reference,
     bm25_functions.py:322-336) — exercises clean+tokenize+score end to end."""
@@ -730,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search": q_fuzzy_search,
         "fuzzy_search_indexed": q_fuzzy_search_indexed,
         "fuzzy_phrase": q_fuzzy_phrase,
+        "fuzzy_phrase_indexed": q_fuzzy_phrase_indexed,
     }
 
 
@@ -798,4 +819,6 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_search_indexed": osql.fuzzy_search_sql(FUZZY_QUERY,
                                                       max_mistakes=1),
         "fuzzy_phrase": osql.fuzzy_phrase_sql(FUZZY_PHRASE, max_mistakes=1),
+        "fuzzy_phrase_indexed": osql.fuzzy_phrase_sql(FUZZY_PHRASE3,
+                                                      max_mistakes=1),
     }

@@ -1124,6 +1124,59 @@ class IndexSearcher:
                 .filter(F.col("score") > 0)
                 .orderBy(F.desc("score_abs"), F.asc("doc_id")))
 
+    def fuzzy_phrase_search(self, df: DataFrame, query: str,
+                            max_mistakes: int = 1, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+        """Index-accelerated Z2 (whole-phrase fuzzy, spacy_search_funcs.py
+        :58-92): prune candidate documents from the index's tokenized
+        checkpoint, then run the exact sliding-window verify only on the
+        survivors — rows identical to operators.fuzzy.fuzzy_phrase_search
+        over the same corpus (pytest-pinned + oracle row
+        fuzzy_phrase_indexed).
+
+        Pruning lemma (soundness): if levenshtein(span, phrase) <= m for
+        a space-joined n-token window, fix an optimal alignment. Each
+        character edit touches one position: either inside one phrase
+        token (corrupting at most that token) or on one separator space
+        (corrupting at most the TWO adjacent tokens — e.g. deleting the
+        space in "a b" merges both). So <= 2m phrase tokens are
+        corrupted, and >= n_distinct - 2m distinct phrase tokens appear
+        VERBATIM as complete tokens of the span — hence of the document.
+        Candidates are therefore exactly the docs whose term set contains
+        >= (n_distinct - 2m) of the query's distinct tokens; when that
+        bound is <= 0 the lemma prunes nothing and the full-scan operator
+        runs directly.
+
+        Scale shape: the candidate pass is a narrow HOF over the
+        checkpoint's per-doc (term, tf) pairs column — size(filter(pairs,
+        term IN query_terms)) >= required — no explode, no shuffle; the
+        windowed levenshtein then touches only the semi-joined candidate
+        slice of the corpus instead of every document. The corpus df is
+        still a parameter because phrase windows need token ORDER, which
+        the pre-aggregated checkpoint (deliberately) does not keep."""
+        from data_text_search_spark.operators import fuzzy
+        qtokens = tokenize_py(query)
+        distinct = sorted(set(qtokens))
+        required = len(distinct) - 2 * max_mistakes
+        if not qtokens or required <= 0:
+            return fuzzy.fuzzy_phrase_search(
+                self.spark, df, query, max_mistakes,
+                text_col=text_col, id_col=id_col)
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
+        tok = self.spark.read.parquet(
+            *committed_tokenized_paths(self.paths.root, self.manifest))
+        hits = F.size(F.filter(
+            F.col("pairs"), lambda p: p["term"].isin(distinct)))
+        cand = (tok.select(F.col("doc_id").alias(id_col),
+                           hits.alias("_present"))
+                .filter(F.col("_present") >= required)
+                .select(id_col))
+        return fuzzy.fuzzy_phrase_search(
+            self.spark, df.join(cand, id_col, "left_semi"), query,
+            max_mistakes, text_col=text_col, id_col=id_col)
+
     # interactive fast path: posting volume gate + driver term-block LRU
     LOCAL_MAX_POSTINGS = 5_000_000
     LOCAL_CACHE_MAX_POSTINGS = 50_000_000  # ~500 MB of decoded-ready blocks

@@ -318,3 +318,51 @@ def test_doc_stats_df_repairs_null_n_chars(spark):
            for r in doc_stats_df(df).collect()}
     # doc 1: 2*2 + 1*1 + (3-1) = 7 (derived); doc 2: stored 3 kept
     assert got == {1: 7, 2: 3}
+
+
+def _phrase_parity(spark, searcher_, corpus_df_, q, mm=1):
+    from data_text_search_spark.operators.fuzzy import fuzzy_phrase_search
+    got = [tuple(r) for r in
+           searcher_.fuzzy_phrase_search(corpus_df_, q, mm,
+                                         text_col="content").collect()]
+    want = [tuple(r) for r in
+            fuzzy_phrase_search(spark, corpus_df_, q, mm,
+                                text_col="content").collect()]
+    assert got == want, (q, got[:3], want[:3])
+
+
+def test_index_backed_fuzzy_phrase_matches_operator(spark, corpus, searcher):
+    """IndexSearcher.fuzzy_phrase_search (tokenized-checkpoint candidate
+    pruning + windowed verify on the survivors) must return exactly the
+    rows of the full-scan operator: planted 3-token needle misspelled
+    (pruned path, required = 3-2 = 1), exact phrase, 2-token phrase
+    (required <= 0 -> fallback path), duplicate-token phrase, absent
+    phrase, empty query."""
+    for q in ["quantum flax capacitor",    # 1 edit from planted needle
+              "quantum flux capacitor",    # exact
+              "zyzzyva obelisk",           # 2 tokens -> fallback
+              "select select select",      # dup tokens: distinct=1 -> fallback
+              "quokka hapax xylophone",    # rare multi
+              "notinthe corpus atall",     # no matches
+              "  "]:
+        _phrase_parity(spark, searcher, corpus, q)
+
+
+def test_index_backed_fuzzy_phrase_prunes_corpus(spark, corpus, searcher):
+    """On the pruned path the verify must touch a candidate SLICE, not
+    the whole corpus: with a rare 3-token phrase the semi-joined input
+    is far smaller than the corpus (here: only docs containing >= 1 of
+    the needle's tokens)."""
+    from pyspark.sql import functions as F
+    from data_text_search_spark.functions.text import tokenize_py
+    from data_text_search_spark.operators.index_build import (
+        committed_tokenized_paths,
+    )
+    q = "quokka hapax xylophone"
+    distinct = sorted(set(tokenize_py(q)))
+    tok = spark.read.parquet(
+        *committed_tokenized_paths(searcher.paths.root, searcher.manifest))
+    n_cand = (tok.select(F.size(F.filter(
+        F.col("pairs"), lambda p: p["term"].isin(distinct))).alias("c"))
+        .filter(F.col("c") >= 1).count())
+    assert 0 < n_cand < corpus.count() / 2, n_cand
