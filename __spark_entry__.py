@@ -469,6 +469,20 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination under the oracle gate (GPT-3
+    appendix-C 13-gram rule): per corpus doc, how many 13-token windows
+    occur verbatim in the eval set (here a deterministic doc_id % 37
+    slice of the same table, so overlap is guaranteed). Eval reduces to
+    a broadcast distinct span-hash set; the corpus side is one explode
+    + semi-join — never a pairwise document join."""
+    from data_text_search_spark.operators import curation
+    docs = _documents(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 37 == 0)
+    return (curation.contamination_stats(docs, ev, span=13)
+            .orderBy("doc_id"))
+
+
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval under the oracle gate: the physical BM25 index's
     top-50 and the exact cosine top-50 fused with reciprocal-rank
@@ -737,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_quality": q_code_quality,
         "repetition_stats": q_repetition_stats,
         "duplicate_spans": q_duplicate_spans,
+        "contamination": q_contamination,
         "hybrid_search": q_hybrid_search,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
@@ -808,6 +823,7 @@ def oracle_sql() -> dict[str, str]:
         "code_quality": osql.code_quality_sql(),
         "repetition_stats": osql.repetition_stats_sql(),
         "duplicate_spans": osql.duplicate_spans_sql(span=8),
+        "contamination": osql.contamination_sql(span=13, eval_mod=37),
         "hybrid_search": osql.hybrid_search_sql(
             FLAGSHIP_QUERY, query_vec_id=0, n_lists=50, k=20,
             alpha=APP_CFG.alpha),

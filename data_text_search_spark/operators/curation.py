@@ -258,6 +258,83 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                     .alias("top_gram_count")))
 
 
+def contamination_stats(corpus: DataFrame, eval_df: DataFrame,
+                        span: int = 13, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        eval_text_col: str | None = None,
+                        broadcast_max_spans: int = 5_000_000) -> DataFrame:
+    """(doc_id, n_spans, n_overlap_spans): per corpus document, how many
+    of its ``span``-token windows occur VERBATIM anywhere in the
+    evaluation set — the train/test decontamination check (GPT-3
+    appendix-C 13-gram overlap; Lee et al. 2021 §6.2). A leaked
+    benchmark answer inflates eval scores silently; this measures the
+    leak per document so a pipeline can drop or audit it.
+
+    Same content-addressed span key as duplicate_spans (64-bit md5
+    prefix of the space-joined tokenized span — the DuckDB twin computes
+    the identical key; a prefix collision hits both engines alike).
+    Corpus documents shorter than ``span`` tokens emit (0, 0). Each
+    corpus POSITION counts at most once however many eval docs share
+    its span (semi-join semantics).
+
+    Scale shape: the eval side reduces to its DISTINCT span-hash set —
+    eval suites are tiny next to a training corpus — broadcast below
+    ``broadcast_max_spans`` hashes (~16 B each), shuffle semi-join
+    above; the corpus side is one explode + hash semi-join, never a
+    pairwise document join, and the corpus text itself never shuffles.
+    """
+    if span < 2:
+        raise ValueError(f"span must be >= 2, got {span}")
+    etc = eval_text_col or text_col
+
+    def _positions(df: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        toks = tokenize_expr(col)
+        head = [F.col(id_col)] if keep_id else []  # eval may lack the id col
+        base = df.select(*head, toks.alias("_toks"),
+                         F.size(toks).alias("_n"))
+        spans = F.transform(
+            F.sequence(F.lit(1), F.col("_n") - (span - 1)),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice(F.col("_toks"), i, span), " ")),
+                1, 16))
+        return (base.filter(F.col("_n") >= span)
+                .select(*head, F.explode(spans).alias("h")))
+
+    eval_h = _positions(eval_df, etc, keep_id=False).distinct()
+    if eval_h.count() <= broadcast_max_spans:
+        eval_h = F.broadcast(eval_h)
+    pos = _positions(corpus, text_col, keep_id=True)
+    per_doc = (pos.join(eval_h, on="h", how="leftsemi")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_overlap_spans")))
+    toks = tokenize_expr(text_col)
+    totals = corpus.select(
+        F.col(id_col),
+        F.greatest(F.size(toks) - (span - 1), F.lit(0)).cast("long")
+        .alias("n_spans"))
+    return (totals.join(per_doc, on=id_col, how="left")
+            .select(id_col, "n_spans",
+                    F.coalesce("n_overlap_spans", F.lit(0)).cast("long")
+                    .alias("n_overlap_spans")))
+
+
+def decontaminate(corpus: DataFrame, eval_df: DataFrame, span: int = 13,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  eval_text_col: str | None = None,
+                  max_overlap_spans: int = 0) -> DataFrame:
+    """Drop every corpus document sharing more than ``max_overlap_spans``
+    ``span``-token windows with the evaluation set (default 0: any
+    verbatim 13-gram overlap removes the document, the GPT-3 rule).
+    The corpus passes through a broadcast-or-shuffle anti-join on ids —
+    its columns are untouched."""
+    flagged = (contamination_stats(corpus, eval_df, span=span,
+                                   text_col=text_col, id_col=id_col,
+                                   eval_text_col=eval_text_col)
+               .filter(F.col("n_overlap_spans") > max_overlap_spans)
+               .select(id_col))
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def duplicate_spans(df: DataFrame, span: int = 8, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """(doc_id, n_spans, n_dup_spans): cross-document exact substring

@@ -582,6 +582,35 @@ FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 ORDER BY t.doc_id"""
 
 
+def contamination_sql(span: int = 13, eval_mod: int = 37) -> str:
+    """contamination_stats twin (operators/curation.contamination_stats):
+    eval set = documents with doc_id % eval_mod == 0, identical
+    tokenizer fragment and 64-bit md5-prefix span key on both sides,
+    per-position semi-join counting."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(span))
+    spans = (f"unnest(list_transform(range(1, len(toks) - {span - 2}), "
+             f"i -> substr(md5({parts}), 1, 16)))")
+    return f"""WITH docs AS ({_TOK_DOCS}),
+ev AS (
+  SELECT DISTINCT h FROM (
+    SELECT {spans} AS h
+    FROM docs WHERE doc_id % {eval_mod} = 0 AND len(toks) >= {span})),
+pos AS (
+  SELECT doc_id, {spans} AS h
+  FROM docs WHERE len(toks) >= {span}),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_overlap_spans FROM pos
+  WHERE h IN (SELECT h FROM ev) GROUP BY doc_id),
+totals AS (
+  SELECT doc_id,
+    cast(greatest(len(toks) - {span - 1}, 0) AS bigint) AS n_spans
+  FROM docs)
+SELECT t.doc_id, t.n_spans,
+  cast(coalesce(p.n_overlap_spans, 0) AS bigint) AS n_overlap_spans
+FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+ORDER BY t.doc_id"""
+
+
 def clean_sql() -> str:
     """F1 clean pipeline on lowercased text, regexes in reference order.
 

@@ -50,7 +50,9 @@ def run_pipeline(spark, corpus, text_col: str = "text",
                  split_fractions: dict[str, float] | None = None,
                  scrub: bool = False,
                  code_quality_gate: bool = False,
-                 max_dup_line_frac: float | None = None):
+                 max_dup_line_frac: float | None = None,
+                 decontam_eval: "DataFrame | None" = None,
+                 decontam_span: int = 13):
     """Returns (cleaned DataFrame with analytics columns, stats dict)."""
     from pyspark.sql import functions as F
 
@@ -111,6 +113,16 @@ def run_pipeline(spark, corpus, text_col: str = "text",
             drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
             df = df.join(drop, id_col, "left_anti")
         stats["after_near_dedup"] = df.count()
+
+    # 2.7 optional train/test decontamination — any document sharing a
+    #     verbatim decontam_span-token window with the eval set is
+    #     dropped (GPT-3 appendix-C rule); runs AFTER dedup so one
+    #     leaked boilerplate family costs one flagged survivor
+    if decontam_eval is not None:
+        from data_text_search_spark.operators import curation
+        df = curation.decontaminate(df, decontam_eval, span=decontam_span,
+                                    text_col=text_col, id_col=id_col)
+        stats["after_decontam"] = df.count()
 
     # 3. analytics — one broadcast-free join chain on the id
     lang = textstats.lang_id(df, text_col=text_col, id_col=id_col)
@@ -193,6 +205,11 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--max-dup-line-frac", type=float, default=None,
                     help="drop docs whose duplicated-line chars exceed "
                          "this fraction of total line chars (Gopher)")
+    ap.add_argument("--decontam-eval", default=None,
+                    help="parquet path of an eval/benchmark set; any doc "
+                         "sharing a verbatim --decontam-span token window "
+                         "with it is dropped (GPT-3 13-gram rule)")
+    ap.add_argument("--decontam-span", type=int, default=13)
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under spark-submit)")
     args = ap.parse_args(argv)
@@ -220,7 +237,10 @@ def main(argv: list[str] | None = None) -> dict:
              for kv in args.split.split(",")} if args.split else None),
         scrub=args.scrub,
         code_quality_gate=args.code_quality_gate,
-        max_dup_line_frac=args.max_dup_line_frac)
+        max_dup_line_frac=args.max_dup_line_frac,
+        decontam_eval=(spark.read.parquet(args.decontam_eval)
+                       if args.decontam_eval else None),
+        decontam_span=args.decontam_span)
     out.write.mode("overwrite").parquet(args.output)
     stats["output_docs"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))

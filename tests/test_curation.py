@@ -290,3 +290,59 @@ def test_repetition_stats_line_only_skips_bigram_aggregate(spark):
         assert lean[d]["top_gram"] == "" and lean[d]["top_gram_count"] == 0
     plan = lean_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_contamination_planted(spark):
+    """A corpus doc sharing a 5-token window with the eval set is
+    flagged with the exact overlap-position count; clean docs emit 0;
+    docs shorter than span emit (0, 0)."""
+    from data_text_search_spark.operators.curation import (
+        contamination_stats,
+        decontaminate,
+    )
+    leak = "alpha beta gamma delta epsilon"
+    corpus = spark.createDataFrame(
+        [(1, f"intro {leak} outro words here"),   # 1 leaked window + noise
+         (2, f"{leak} {leak}"),                   # leak twice + bridging spans
+         (3, "totally clean text with many safe words"),
+         (4, "tiny")],                            # shorter than span
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(100, f"prefix {leak} suffix")],
+                               "eval_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_stats(
+        corpus, ev, span=5, id_col="doc_id").collect()}
+    assert out[1]["n_overlap_spans"] == 1
+    # doc 2: positions 1 and 6 are the two full-leak windows; the eval
+    # text also contains windows starting at 'prefix'/... no — eval
+    # windows are 'prefix a b g d', 'a b g d e', 'b g d e suffix', so
+    # only the exact leak window matches; bridging windows of doc 2
+    # ('b g d e a' etc.) are not in the eval set
+    assert out[2]["n_overlap_spans"] == 2
+    assert out[3]["n_overlap_spans"] == 0
+    assert out[4] ["n_spans"] == 0 and out[4]["n_overlap_spans"] == 0
+    # strict decontamination drops exactly the flagged docs
+    kept = sorted(r["doc_id"] for r in
+                  decontaminate(corpus, ev, span=5).collect())
+    assert kept == [3, 4]
+    # a loose threshold keeps the single-window doc
+    kept1 = sorted(r["doc_id"] for r in
+                   decontaminate(corpus, ev, span=5,
+                                 max_overlap_spans=1).collect())
+    assert kept1 == [1, 3, 4]
+
+
+def test_contamination_plan_shape(spark):
+    """The eval hash set reaches the corpus side as a BROADCAST semi
+    join (eval suites are tiny vs the corpus) and no cartesian/pairwise
+    document join exists anywhere in the plan."""
+    from data_text_search_spark.operators.curation import contamination_stats
+    corpus = spark.createDataFrame(
+        [(i, "w%d x y z a b c d e f g h" % i) for i in range(30)],
+        "doc_id long, text string")
+    ev = spark.createDataFrame([(1, "x y z a b c d e f g")],
+                               "eval_id long, text string")
+    plan = (contamination_stats(corpus, ev, span=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan

@@ -181,3 +181,32 @@ def test_corpus_pipeline_curation_gates(spark, tmp_path):
                 for r in spark.read.parquet(dst).select(
                     "doc_id", "text").collect()}
     assert "<EMAIL>" in scrubbed[0]
+
+
+def test_corpus_pipeline_decontamination(spark, tmp_path):
+    """--decontam-eval drops every surviving doc sharing a verbatim
+    span-token window with the eval set; clean docs pass through."""
+    sys.path.insert(0, "jobs")
+    import corpus_pipeline
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        f"document with the benchmark answer {leak} pasted in",
+        "a perfectly clean training document about query engines",
+        "another clean one mentioning alpha beta only briefly"]})
+    src = str(tmp_path / "docs2")
+    dst = str(tmp_path / "clean2")
+    evp = str(tmp_path / "eval")
+    spark.createDataFrame(pdf).write.parquet(src)
+    spark.createDataFrame(
+        pd.DataFrame({"eval_id": [0], "text": [f"q: {leak} a: whatever"]})
+    ).write.parquet(evp)
+
+    stats = corpus_pipeline.main([
+        "--input", src, "--output", dst,
+        "--near-dup-threshold", "-1",
+        "--decontam-eval", evp, "--decontam-span", "6"])
+    assert stats["after_decontam"] == 2
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(dst).select("doc_id").collect()}
+    assert kept == {1, 2}
