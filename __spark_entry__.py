@@ -469,6 +469,18 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL under the oracle gate (Lee et al.
+    2021 shape): every 8-token span occurring in >= 2 distinct docs is
+    excised everywhere except its min-doc_id canonical owner; output is
+    the space-joined kept tokens per doc. Hash aggregate + interval
+    merge + narrow HOF mask — never a pairwise document join."""
+    from data_text_search_spark.operators import curation
+    return (curation.remove_duplicate_spans(_documents(spark, sf_dir),
+                                            span=8)
+            .orderBy("doc_id"))
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test decontamination under the oracle gate (GPT-3
     appendix-C 13-gram rule): per corpus doc, how many 13-token windows
@@ -752,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "duplicate_spans": q_duplicate_spans,
         "contamination": q_contamination,
+        "remove_dup_spans": q_remove_dup_spans,
         "hybrid_search": q_hybrid_search,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
@@ -824,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": osql.repetition_stats_sql(),
         "duplicate_spans": osql.duplicate_spans_sql(span=8),
         "contamination": osql.contamination_sql(span=13, eval_mod=37),
+        "remove_dup_spans": osql.remove_dup_spans_sql(span=8),
         "hybrid_search": osql.hybrid_search_sql(
             FLAGSHIP_QUERY, query_vec_id=0, n_lists=50, k=20,
             alpha=APP_CFG.alpha),

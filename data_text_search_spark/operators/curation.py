@@ -258,6 +258,97 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                     .alias("top_gram_count")))
 
 
+def remove_duplicate_spans(df: DataFrame, span: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, text_clean, n_tokens, n_tokens_removed): excise
+    cross-document duplicated content instead of just measuring it —
+    the removal half of Lee et al. 2021's exact-substring deduplication,
+    at the same k-token granularity as duplicate_spans.
+
+    Rule: a position's span is DUPLICATED when its text occurs in >= 2
+    distinct documents (same key and threshold as duplicate_spans). For
+    each duplicated span hash the CANONICAL owner is the smallest
+    doc_id containing it; every other document removes all tokens
+    covered by any occurrence of that span. Exactly one document keeps
+    each duplicated passage (its min-id owner, which keeps ALL its
+    occurrences), the corpus-wide token mass of boilerplate drops to ~1
+    copy, and the choice is a pure function of the data — identical
+    across runs, engines, and partitionings. ``text_clean`` is the
+    space-joined KEPT tokens: removal operates on the tokenized view
+    (the view every scoring operator in this engine reads), not on raw
+    bytes, so original whitespace/punctuation between tokens is not
+    reconstructed.
+
+    Scale shape: span keys are the same content-addressed md5 prefixes;
+    ownership is one hash aggregate (min(doc_id), distinct-doc count >=
+    2, map-side combine); flagged starts come back to their docs as a
+    (doc, position) aggregate join — never a pairwise document join.
+    Per doc, flagged starts are merged into disjoint intervals with one
+    array fold (so a fully-boilerplate document masks against ONE
+    interval, not n starts), and the keep-mask is a narrow HOF pass
+    over the token array.
+    """
+    if span < 2:
+        raise ValueError(f"span must be >= 2, got {span}")
+    toks = tokenize_expr(text_col)
+    base = df.select(F.col(id_col), toks.alias("_toks"),
+                     F.size(toks).alias("_n"))
+    spans = F.transform(
+        F.sequence(F.lit(1), F.col("_n") - (span - 1)),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(F.col("_toks"), i, span), " ")),
+            1, 16))
+    pos = (base.filter(F.col("_n") >= span)
+           .select(id_col, F.posexplode(spans).alias("_p0", "h")))
+    owners = (pos.groupBy("h")
+              .agg(F.countDistinct(id_col).alias("_nd"),
+                   F.min(id_col).alias("_owner"))
+              .filter(F.col("_nd") >= 2)
+              .select("h", "_owner"))
+    flagged = (pos.join(owners, on="h")
+               .filter(F.col(id_col) != F.col("_owner"))
+               .groupBy(id_col)
+               .agg(F.collect_set(F.col("_p0") + 1).alias("_starts")))
+    # merge sorted 1-based starts into disjoint [lo, hi] token intervals
+    iv_t = "array<struct<lo:int,hi:int>>"
+
+    def _merge(acc, s):
+        last = F.element_at(acc, -1)
+        new_iv = F.array(F.struct(s.cast("int").alias("lo"),
+                                  (s + span - 1).cast("int").alias("hi")))
+        grown = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(last["lo"].alias("lo"),
+                             F.greatest(last["hi"], s + span - 1)
+                             .cast("int").alias("hi"))))
+        return (F.when(F.size(acc) == 0, new_iv)
+                .when(s <= last["hi"] + 1, grown)
+                .otherwise(F.concat(acc, new_iv)))
+
+    merged = F.aggregate(F.sort_array("_starts"),
+                         F.array().cast(iv_t), _merge)
+    tagged = base.join(flagged, on=id_col, how="left").select(
+        id_col, "_toks", "_n",
+        F.coalesce(merged, F.array().cast(iv_t)).alias("_ivs"))
+    kept = F.transform(
+        F.filter(
+            F.transform(
+                F.col("_toks"),
+                lambda x, j: F.struct(
+                    x.alias("t"),
+                    (~F.exists(F.col("_ivs"),
+                               lambda iv: (iv["lo"] <= j + 1)
+                               & (j + 1 <= iv["hi"]))).alias("k"))),
+            lambda st: st["k"]),
+        lambda st: st["t"])
+    return tagged.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_clean"),
+        F.col("_n").cast("long").alias("n_tokens"),
+        (F.col("_n") - F.size(kept)).cast("long").alias("n_tokens_removed"))
+
+
 def contamination_stats(corpus: DataFrame, eval_df: DataFrame,
                         span: int = 13, text_col: str = "text",
                         id_col: str = "doc_id",

@@ -582,6 +582,45 @@ FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 ORDER BY t.doc_id"""
 
 
+def remove_dup_spans_sql(span: int = 8) -> str:
+    """remove_duplicate_spans twin (operators/curation): identical span
+    keys and min-doc_id canonical-owner rule, spelled relationally —
+    token j of a doc is removed iff covered by a flagged start (a
+    duplicated span this doc does not own); kept tokens re-joined with
+    spaces in position order."""
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(span))
+    return f"""WITH docs AS ({_TOK_DOCS}),
+posi AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) - {span - 2})) AS i
+  FROM docs WHERE len(toks) >= {span}),
+pos AS (
+  SELECT doc_id, i, substr(md5({parts}), 1, 16) AS h FROM posi),
+own AS (
+  SELECT h, min(doc_id) AS owner FROM pos
+  GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+fl AS (
+  SELECT p.doc_id, p.i FROM pos p JOIN own o USING (h)
+  WHERE p.doc_id <> o.owner),
+toki AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM docs),
+tok AS (
+  SELECT doc_id, i, toks[i] AS tok FROM toki),
+keep AS (
+  SELECT t.doc_id, t.i, t.tok FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM fl f
+    WHERE f.doc_id = t.doc_id AND t.i BETWEEN f.i AND f.i + {span - 1})),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text_clean,
+         count(*) AS kept_n
+  FROM keep GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+  cast(len(d.toks) AS bigint) AS n_tokens,
+  cast(len(d.toks) - coalesce(a.kept_n, 0) AS bigint) AS n_tokens_removed
+FROM docs d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""
+
+
 def contamination_sql(span: int = 13, eval_mod: int = 37) -> str:
     """contamination_stats twin (operators/curation.contamination_stats):
     eval set = documents with doc_id % eval_mod == 0, identical

@@ -346,3 +346,60 @@ def test_contamination_plan_shape(spark):
     assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Cartesian" not in plan, plan
+
+
+def test_remove_duplicate_spans_keep_canonical(spark):
+    """Cross-doc duplicated passages survive ONLY in their min-doc_id
+    owner; non-owners lose every covered token; unique content and
+    sub-span docs are untouched; within-doc-only repeats are not
+    duplicated."""
+    from data_text_search_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+    boiler = "one two three four"  # 4-token span shared by docs 1,2,5
+    df = spark.createDataFrame(
+        [(1, f"{boiler} unique tail here"),
+         (2, f"other head {boiler}"),
+         (5, f"{boiler} and {boiler}"),       # non-owner, two occurrences
+         (3, "totally unrelated content words"),
+         (4, "one two three")],               # shorter than the span
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, span=4).collect()}
+    # owner (min doc_id = 1) keeps everything
+    assert out[1]["text_clean"] == "one two three four unique tail here"
+    assert out[1]["n_tokens_removed"] == 0
+    # doc 2 loses exactly the boilerplate tokens
+    assert out[2]["text_clean"] == "other head"
+    assert out[2]["n_tokens_removed"] == 4
+    # doc 5 loses both occurrences; 'and' between them survives only if
+    # not covered — spans here: positions 1 and 6 flagged, plus the
+    # bridging windows that also occur nowhere else; 'and' at position 5
+    # is covered by no flagged span start <= 5 <= start+3 except ... the
+    # flagged hashes are exactly the cross-doc ones (the two full-boiler
+    # windows), so starts={1,6}: covered tokens 1-4 and 6-9, 'and' (5)
+    # survives
+    assert out[5]["text_clean"] == "and"
+    assert out[5]["n_tokens_removed"] == 8
+    # untouched docs
+    assert out[3]["n_tokens_removed"] == 0
+    assert out[4]["text_clean"] == "one two three"
+    assert out[4]["n_tokens_removed"] == 0
+
+
+def test_remove_duplicate_spans_overlap_merge(spark):
+    """Overlapping flagged windows merge into one excised interval
+    (no double counting, no stranded mid-window tokens)."""
+    from data_text_search_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+    shared = "a b c d e f"  # 6 tokens -> three 4-token windows, all shared
+    df = spark.createDataFrame(
+        [(1, f"{shared} owner keeps all"),
+         (2, f"x {shared} y")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, span=4).collect()}
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text_clean"] == "x y"
+    assert out[2]["n_tokens_removed"] == 6
