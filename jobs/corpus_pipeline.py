@@ -52,7 +52,8 @@ def run_pipeline(spark, corpus, text_col: str = "text",
                  code_quality_gate: bool = False,
                  max_dup_line_frac: float | None = None,
                  decontam_eval: "DataFrame | None" = None,
-                 decontam_span: int = 13):
+                 decontam_span: int = 13,
+                 remove_dup_spans: int | None = None):
     """Returns (cleaned DataFrame with analytics columns, stats dict)."""
     from pyspark.sql import functions as F
 
@@ -123,6 +124,26 @@ def run_pipeline(spark, corpus, text_col: str = "text",
         df = curation.decontaminate(df, decontam_eval, span=decontam_span,
                                     text_col=text_col, id_col=id_col)
         stats["after_decontam"] = df.count()
+
+    # 2.8 optional surgical duplicate-span REMOVAL — instead of (or on
+    #     top of) dropping whole near-dup documents, excise passages
+    #     duplicated across >= 2 docs, keeping each passage once in its
+    #     canonical owner (Lee et al. exact-substring dedup); rewrites
+    #     text_col in place on the tokenized view
+    if remove_dup_spans is not None:
+        from data_text_search_spark.operators import curation
+        # persisted: the stats aggregate and the rewrite join both read
+        # it — without the persist the whole span-hash aggregate chain
+        # would execute twice (disk-backed, so corpus-sized is fine)
+        cleaned = curation.remove_duplicate_spans(
+            df, span=remove_dup_spans, text_col=text_col,
+            id_col=id_col).persist()
+        stats["dup_span_tokens_removed"] = int(
+            cleaned.agg(F.sum("n_tokens_removed")).first()[0] or 0)
+        df = (df.drop(text_col)
+              .join(cleaned.select(id_col,
+                                   F.col("text_clean").alias(text_col)),
+                    id_col))
 
     # 3. analytics — one broadcast-free join chain on the id
     lang = textstats.lang_id(df, text_col=text_col, id_col=id_col)
@@ -210,6 +231,11 @@ def main(argv: list[str] | None = None) -> dict:
                          "sharing a verbatim --decontam-span token window "
                          "with it is dropped (GPT-3 13-gram rule)")
     ap.add_argument("--decontam-span", type=int, default=13)
+    ap.add_argument("--remove-dup-spans", type=int, default=None,
+                    metavar="SPAN",
+                    help="excise cross-doc duplicated SPAN-token windows "
+                         "(kept once in their canonical owner) instead of "
+                         "only dropping whole near-dup docs")
     ap.add_argument("--cores", type=int, default=None,
                     help="local mode cores (ignored under spark-submit)")
     args = ap.parse_args(argv)
@@ -240,7 +266,8 @@ def main(argv: list[str] | None = None) -> dict:
         max_dup_line_frac=args.max_dup_line_frac,
         decontam_eval=(spark.read.parquet(args.decontam_eval)
                        if args.decontam_eval else None),
-        decontam_span=args.decontam_span)
+        decontam_span=args.decontam_span,
+        remove_dup_spans=args.remove_dup_spans)
     out.write.mode("overwrite").parquet(args.output)
     stats["output_docs"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))

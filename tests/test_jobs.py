@@ -210,3 +210,28 @@ def test_corpus_pipeline_decontamination(spark, tmp_path):
     kept = {r["doc_id"] for r in
             spark.read.parquet(dst).select("doc_id").collect()}
     assert kept == {1, 2}
+
+
+def test_corpus_pipeline_remove_dup_spans(spark, tmp_path):
+    """--remove-dup-spans excises cross-doc duplicated windows in place
+    (canonical owner keeps them) and reports the removed-token total."""
+    sys.path.insert(0, "jobs")
+    import corpus_pipeline
+
+    boiler = "copyright header all rights reserved forever"
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [
+        f"{boiler} real content of the first file",
+        f"{boiler} different body for the second file"]})
+    src = str(tmp_path / "docs3")
+    dst = str(tmp_path / "clean3")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stats = corpus_pipeline.main([
+        "--input", src, "--output", dst,
+        "--near-dup-threshold", "-1",
+        "--remove-dup-spans", "6"])
+    assert stats["dup_span_tokens_removed"] == 6  # doc 1 loses the header
+    out = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(dst).select("doc_id", "text").collect()}
+    assert out[0].startswith(boiler)              # owner keeps it
+    assert out[1] == "different body for the second file"
