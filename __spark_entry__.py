@@ -469,6 +469,16 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self frequency prior under the oracle gate (CCNet-bucket
+    shape without an external model): per doc, the negative log of its
+    mean relative token frequency, with a pure-integer (n_tokens,
+    sum_tf) backbone and one ln per doc."""
+    from data_text_search_spark.operators import textstats
+    return (textstats.unigram_rarity(_documents(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
 def q_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup REMOVAL under the oracle gate (Lee et al.
     2021 shape): every 8-token span occurring in >= 2 distinct docs is
@@ -765,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "contamination": q_contamination,
         "remove_dup_spans": q_remove_dup_spans,
+        "unigram_rarity": q_unigram_rarity,
         "hybrid_search": q_hybrid_search,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
@@ -838,6 +849,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": osql.duplicate_spans_sql(span=8),
         "contamination": osql.contamination_sql(span=13, eval_mod=37),
         "remove_dup_spans": osql.remove_dup_spans_sql(span=8),
+        "unigram_rarity": osql.unigram_rarity_sql(),
         "hybrid_search": osql.hybrid_search_sql(
             FLAGSHIP_QUERY, query_vec_id=0, n_lists=50, k=20,
             alpha=APP_CFG.alpha),

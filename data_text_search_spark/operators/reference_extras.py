@@ -268,8 +268,10 @@ def expand_zips(file_list: list[str],
 
 
 def detect_file_type(path: str) -> str:
-    """S1 (helper_functions.py:204-217)."""
-    for ext in ("csv", "xlsx", "parquet"):
+    """S1 (helper_functions.py:204-217). jsonl/json are a
+    beyond-reference extension: the lingua franca of LLM training
+    corpora (one JSON object per line)."""
+    for ext in ("csv", "xlsx", "parquet", "jsonl", "json"):
         if path.lower().endswith(ext):
             return ext
     if path.lower().endswith("pkl.gz"):
@@ -288,6 +290,10 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     elif kind == "csv":
         df = spark.read.csv(path, header=True, inferSchema=True,
                             multiLine=True, escape='"')
+    elif kind in ("jsonl", "json"):
+        # line-delimited JSON (Spark's native json layout) — distributed
+        # scan with schema inference, splittable like csv/parquet
+        df = spark.read.json(path)
     elif kind == "xlsx":
         try:
             pdf = pd.read_excel(path)  # first sheet, like the reference

@@ -110,6 +110,55 @@ def quality(df: DataFrame, text_col: str = "text",
     )
 
 
+def unigram_rarity(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   vocab_max_terms: int | None = None) -> DataFrame:
+    """(doc_id, n_tokens, sum_tf, rarity): a CCNet-style frequency prior
+    computed from the corpus ITSELF (no external model). ``sum_tf`` is
+    the sum over the doc's token occurrences of each token's CORPUS
+    count; ``rarity`` = -ln(sum_tf / (n_tokens · total_tokens)) — the
+    negative log of the doc's mean relative token frequency. Stopword
+    soup and templated boilerplate sit at low rarity, lexically rich
+    prose in the middle, and hash dumps / minified blobs at the top:
+    both tails are curation candidates, which is how CCNet uses its LM
+    perplexity buckets.
+
+    Cross-engine exactness: the per-doc backbone (n_tokens, sum_tf) is
+    pure INTEGER arithmetic; exactly one ln per doc runs on an
+    identical double quotient in Spark and DuckDB, rounded to 6dp — the
+    same discipline as the engine's other ratio columns.
+
+    Scale shape: one (token → corpus count) hash aggregate (map-side
+    combine; Zipf: result is vocab-sized), broadcast-joined back to the
+    exploded occurrences, one per-doc aggregate. ``vocab_max_terms``
+    optionally caps the broadcast to the top-N terms by count —
+    beyond-cap tokens fall back to count 1 (their true count is >= 1) —
+    for corpora whose long tail outgrows the driver; the oracle-gated
+    contract row runs uncapped."""
+    t = df.select(F.col(id_col), _tokens(text_col).alias("toks"))
+    occ = t.select(id_col, F.explode("toks").alias("tok"))
+    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    if vocab_max_terms is not None:
+        counts = (counts.orderBy(F.desc("c"), F.asc("tok"))
+                  .limit(vocab_max_terms))
+    total = counts.agg(F.sum("c")).first()[0] or 0
+    # totals from the pre-tokenized projection so empty docs keep a row
+    base = t.select(id_col, F.size("toks").cast("long").alias("n_tokens"))
+    per = (occ.join(F.broadcast(counts), on="tok", how="left")
+           .groupBy(id_col)
+           .agg(F.sum(F.coalesce(F.col("c"), F.lit(1))).alias("sum_tf")))
+    quot = (F.col("sum_tf").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(total))))
+    return (base.join(per, on=id_col, how="left")
+            .select(id_col, "n_tokens",
+                    F.coalesce("sum_tf", F.lit(0)).cast("long")
+                    .alias("sum_tf"))
+            .withColumn("rarity",
+                        F.when(F.col("n_tokens") > 0,
+                               F.round(-F.log(quot), 6))
+                        .otherwise(F.lit(0.0))))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, fp): content fingerprint = sha256 of whitespace-normalized

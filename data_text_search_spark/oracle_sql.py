@@ -582,6 +582,28 @@ FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 ORDER BY t.doc_id"""
 
 
+def unigram_rarity_sql() -> str:
+    """unigram_rarity twin (operators/textstats.unigram_rarity):
+    identical integer backbone (corpus unigram counts, per-doc sum of
+    occurrence counts) and exactly one ln on the identical double
+    quotient, rounded to 6dp."""
+    return f"""WITH docs AS ({_TOK_DOCS}),
+tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tt AS (SELECT cast(sum(c) AS DOUBLE) AS total FROM c),
+per AS (SELECT doc_id, sum(c.c) AS s FROM tok JOIN c USING (tok)
+        GROUP BY doc_id),
+base AS (SELECT doc_id, cast(len(toks) AS BIGINT) AS n_tokens FROM docs)
+SELECT b.doc_id, b.n_tokens,
+  cast(coalesce(p.s, 0) AS BIGINT) AS sum_tf,
+  CASE WHEN b.n_tokens > 0 THEN
+    round(-ln(cast(coalesce(p.s, 0) AS DOUBLE)
+              / (cast(b.n_tokens AS DOUBLE) * tt.total)), 6)
+  ELSE 0.0 END AS rarity
+FROM base b LEFT JOIN per p USING (doc_id), tt
+ORDER BY b.doc_id"""
+
+
 def remove_dup_spans_sql(span: int = 8) -> str:
     """remove_duplicate_spans twin (operators/curation): identical span
     keys and min-doc_id canonical-owner rule, spelled relationally —

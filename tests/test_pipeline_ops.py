@@ -953,3 +953,27 @@ def test_build_ivf_index_empty_input_raises(spark, tmp_path):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="training sample is empty"):
         similarity.build_ivf_index(empty, str(tmp_path / "ivf_empty"))
+
+
+def test_unigram_rarity_semantics(spark):
+    """Boilerplate built from hot tokens scores LOW rarity; a doc of
+    corpus-rare tokens scores HIGH; empty docs keep a (0, 0, 0.0) row;
+    a non-binding vocab cap changes nothing."""
+    from data_text_search_spark.operators import textstats
+    hot = "the the the and and of"
+    df = spark.createDataFrame(
+        [(1, f"{hot} {hot} {hot}"),
+         (2, "zyzzyva quokka obelisk xylophone"),
+         (3, hot),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textstats.unigram_rarity(df).collect()}
+    assert out[1]["rarity"] < out[2]["rarity"]
+    assert out[3]["rarity"] < out[2]["rarity"]
+    assert out[4]["n_tokens"] == 0 and out[4]["sum_tf"] == 0
+    assert out[4]["rarity"] == 0.0
+    # integer backbone: doc 2's four singletons sum to 4
+    assert out[2]["sum_tf"] == 4
+    capped = {r["doc_id"]: r for r in
+              textstats.unigram_rarity(df, vocab_max_terms=100).collect()}
+    assert all(tuple(capped[d]) == tuple(out[d]) for d in out)

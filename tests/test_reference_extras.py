@@ -156,3 +156,16 @@ def test_expand_zips_recursive_and_invalid(tmp_path):
     assert names == ["deep.csv", "plain.csv", "top.parquet"]
     assert all(not p.endswith(".zip") for p in out)
     assert all(os.path.exists(p) for p in out)
+
+
+def test_read_table_jsonl(spark, tmp_path):
+    """jsonl (one JSON object per line — the LLM-corpus lingua franca)
+    goes through the distributed spark.read.json scan."""
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 7, "text": "hello spark"}\n'
+                '{"doc_id": 8, "text": "hello duckdb"}\n')
+    df = rx.read_table(spark, p)
+    rows = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert rows == {7: "hello spark", 8: "hello duckdb"}
+    assert rx.detect_file_type("a/b/c.JSONL") == "jsonl"
