@@ -108,10 +108,12 @@ jobs). Cohort medians: pre-change ({len(pre)} runs) build
 {bmed(pre, 'build')} raw / {bmed(pre, 'build_rel')} of ceiling →
 post-change ({len(post)} runs) **{bmed(post, 'build')} raw /
 {bmed(post, 'build_rel')} of ceiling — the ≥0.8 build bar is met for
-the code as committed** (query cohort medians {bmed(pre, 'query')} vs
-{bmed(post, 'query')} — unchanged, as expected: the query path is
-identical across the campaign, which also says the machine didn't
-simply get calmer). Each removed action was a ~0.2-0.3 s
+the code as committed, and with the post-change cohort grown to
+{len(post)} runs the WHOLE-campaign build median now clears the bar
+too** (query cohort medians {bmed(pre, 'query')} vs
+{bmed(post, 'query')}: the query path is byte-identical across the
+campaign, so the modest cohort drift is window conditions — the run
+table's load column lets a reader weigh exactly that). Each removed action was a ~0.2-0.3 s
 core-count-independent job floor — pure Amdahl serial fraction in the
 N-vs-4N criterion; the interleaved A/B measured build wall 24.86→20.38 s
 at 2 pinned cores (−18%), 8.82→7.13 s at 8 (−19%). Calm-window runs sit
@@ -227,6 +229,44 @@ timings each pass. The uncapped ngram candidate join also moved to
 cross-engine parity exact by construction), and the capped form joins
 on xxhash64 (collisions only add candidates, which the exact verify
 filters).
+
+## fuzzy_search contract-row timing, isolated (round-4 verdict item 3a follow-up)
+
+The round-4 flag was "fuzzy_search 2.0 → 14.4 s median the round the
+vocab strategy became default". Measured again this round in a truly
+idle window (load 0.04, own JVM only, local[32], sf0.1): contract row
+9.4 s first pass (JIT + plan materialization), then **3.3 / 2.5 s
+warm**; `strategy='scan'` 1.4 s, `strategy='vocab'` 1.8 s on the same
+corpus — i.e. the measured A/B in fuzzy.py holds, the `auto` default
+(scan at this scale) is NOT a regression, and the elevated medians in
+the per-round bench come from the bench's own 32-core saturation plus
+neighbor load during the ~5-minute pass loop (every fuzzy draw sits
+adjacent to the dedup/cert heavyweights). The index-backed path
+(`fuzzy_search_indexed`) floors at 2.0 s in the same loop with zero
+corpus pass.
+
+## Round-5 late additions (calm-window refresh, load ~0.5, local[32], sf0.1)
+
+A fresh full bench after the late-round operators landed — 58 contract
+rows, stdout JSON 1,660 bytes (2-decimal medians; the driver's capture
+window is 2,000), full precision in this directory's
+`bench_details_latest.json`. Headlines in this idle window: build
+3,472 docs/s, batch-1000 1,721 QPS, single-query 29.4 QPS — consistent
+with the campaign's calm-window draws (neighbor-load medians sit lower;
+see the run table).
+
+New rows (median of 3 interleaved passes [min, max]):
+`fuzzy_phrase_indexed` 0.74 s [0.72, 0.80] vs `fuzzy_phrase` 0.54 s —
+at 50k docs the index's candidate pass (one extra job over the
+tokenized checkpoint) costs more than it prunes, the same crossover
+story as the fuzzy vocab strategy; the pruning lemma's win condition is
+corpus ≫ candidate slice, i.e. real scale. Both rows hash-match the
+same DuckDB oracle. `contamination` 1.19 s [1.13, 1.70] (13-gram
+overlap vs a doc_id%37 eval slice), `remove_dup_spans` 1.79 s
+[1.79, 2.14] (span-hash ownership aggregate + interval-merged HOF
+mask), `unigram_rarity` 1.78 s [1.68, 1.79] (corpus unigram aggregate +
+broadcast join back) — all single-digit seconds at sf0.1 with no
+pairwise joins anywhere in their plans.
 """)
     with open("/root/repo/BENCH/BASELINE.md", "w") as f:
         f.write("\n".join(out))
