@@ -469,6 +469,19 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language content-addressed sampling under the oracle gate
+    (training-mixture construction): keep 50% of en, all of zh, 25% of
+    everything else — deterministic across runs/engines/cluster sizes,
+    hash-matched against the DuckDB twin computing the identical
+    'strata|'-domain md5 range expression."""
+    from data_text_search_spark.operators import sampling
+    docs = _documents(spark, sf_dir).select("doc_id", "lang")
+    return (sampling.stratified_sample(
+        docs, {"en": 0.5, "zh": 1.0}, group_col="lang",
+        default_fraction=0.25).orderBy("doc_id"))
+
+
 def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self frequency prior under the oracle gate (CCNet-bucket
     shape without an external model): per doc, the negative log of its
@@ -776,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "remove_dup_spans": q_remove_dup_spans,
         "unigram_rarity": q_unigram_rarity,
+        "stratified_sample": q_stratified_sample,
         "hybrid_search": q_hybrid_search,
         "dup_clusters": q_dup_clusters,
         "knn_join": q_knn_join,
@@ -850,6 +864,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": osql.contamination_sql(span=13, eval_mod=37),
         "remove_dup_spans": osql.remove_dup_spans_sql(span=8),
         "unigram_rarity": osql.unigram_rarity_sql(),
+        "stratified_sample": osql.stratified_sample_sql(
+            {"en": 0.5, "zh": 1.0}, default_fraction=0.25),
         "hybrid_search": osql.hybrid_search_sql(
             FLAGSHIP_QUERY, query_vec_id=0, n_lists=50, k=20,
             alpha=APP_CFG.alpha),

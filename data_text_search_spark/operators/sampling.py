@@ -62,6 +62,44 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
                      < F.lit(_hex_threshold(fraction)))
 
 
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      group_col: str, id_col: str = "doc_id",
+                      salt: str = "",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-group content-addressed sampling — the training-mixture
+    primitive (keep 10% of English, 100% of a low-resource language,
+    drop everything unlisted): each row keeps iff its id hash falls
+    under ITS group's threshold. Same md5 mechanism as hash_sample
+    under a third 'strata|' domain (decorrelated from both sample| and
+    split|), so per-group samples are deterministic, engine-portable,
+    stable under corpus growth, and a later hash_split of the result
+    stays unbiased. Groups absent from ``fractions`` use
+    ``default_fraction`` (0.0 = drop, 1.0 = keep all). Pure JVM CASE
+    expression over the hash — no shuffle, no UDF."""
+    for k, v in fractions.items():
+        if not (0.0 <= float(v) <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not (0.0 <= float(default_fraction) <= 1.0):
+        raise ValueError(f"default_fraction must be in [0, 1]")
+    b = _bucket_expr(id_col, "strata|" + salt)
+
+    def _keep(frac: float) -> Column:
+        if frac >= 1.0:
+            return F.lit(True)
+        if frac <= 0.0:
+            return F.lit(False)
+        return b < F.lit(_hex_threshold(frac))
+
+    expr = None
+    for k, v in fractions.items():
+        cond = F.col(group_col) == F.lit(k)
+        expr = (F.when(cond, _keep(v)) if expr is None
+                else expr.when(cond, _keep(v)))
+    expr = (_keep(default_fraction) if expr is None
+            else expr.otherwise(_keep(default_fraction)))
+    return df.filter(expr)
+
+
 def hash_split(df: DataFrame, fractions: dict[str, float],
                id_col: str = "doc_id", salt: str = "",
                split_col: str = "split") -> DataFrame:

@@ -582,6 +582,34 @@ FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
 ORDER BY t.doc_id"""
 
 
+def stratified_sample_sql(fractions: dict[str, float],
+                          default_fraction: float = 0.0,
+                          salt: str = "") -> str:
+    """stratified_sample twin: identical md5-hex-prefix comparison under
+    the 'strata|' domain, per-group thresholds via CASE."""
+    span = 16 ** 8
+
+    def thr(frac: float) -> str:
+        return format(min(int(frac * span), span - 1), "08x")
+
+    def keep(frac: float) -> str:
+        if frac >= 1.0:
+            return "TRUE"
+        if frac <= 0.0:
+            return "FALSE"
+        return f"b < '{thr(frac)}'"
+
+    cases = " ".join(
+        f"WHEN lang = '{k}' THEN {keep(v)}" for k, v in fractions.items())
+    return f"""WITH h AS (
+  SELECT doc_id, lang,
+         substring(md5(cast(doc_id AS varchar) || 'strata|{salt}'), 1, 8) AS b
+  FROM documents)
+SELECT doc_id, lang FROM h
+WHERE CASE {cases} ELSE {keep(default_fraction)} END
+ORDER BY doc_id"""
+
+
 def unigram_rarity_sql() -> str:
     """unigram_rarity twin (operators/textstats.unigram_rarity):
     identical integer backbone (corpus unigram counts, per-doc sum of

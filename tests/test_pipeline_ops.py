@@ -977,3 +977,33 @@ def test_unigram_rarity_semantics(spark):
     capped = {r["doc_id"]: r for r in
               textstats.unigram_rarity(df, vocab_max_terms=100).collect()}
     assert all(tuple(capped[d]) == tuple(out[d]) for d in out)
+
+
+def test_stratified_sample(spark):
+    """Per-group fractions honored (1.0 keeps all of its group, 0.0 and
+    the default drop), samples are deterministic and decorrelated from
+    hash_sample, and the plan stays a pure projection filter."""
+    from data_text_search_spark.operators import sampling
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else ("zh" if i % 3 == 1 else "de"))
+         for i in range(900)], "doc_id long, lang string")
+    out = sampling.stratified_sample(
+        df, {"en": 0.5, "zh": 1.0}, group_col="lang")
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by.get("zh", set())) == 300          # fraction 1.0: all
+    assert "de" not in by                           # default 0.0: none
+    assert 100 < len(by.get("en", set())) < 200     # ~50% of 300
+    again = {r["doc_id"] for r in sampling.stratified_sample(
+        df, {"en": 0.5, "zh": 1.0}, group_col="lang").collect()}
+    assert again == {r["doc_id"] for r in rows}     # deterministic
+    # decorrelated from the sample| domain at the same fraction
+    s = {r["doc_id"] for r in
+         sampling.hash_sample(df.filter("lang = 'en'"), 0.5).collect()}
+    assert s != by["en"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(df, {"en": 1.5}, group_col="lang")
