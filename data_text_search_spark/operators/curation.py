@@ -258,6 +258,20 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                     .alias("top_gram_count")))
 
 
+def _span_hash_expr(span: int):
+    """Content-addressed span keys over the standard (_toks, _n)
+    projection: 1-based position i owns the 64-bit md5 prefix of the
+    space-joined ``span``-token window starting there. The SAME
+    expression feeds duplicate_spans, remove_duplicate_spans, and
+    contamination_stats — and is mirrored byte-for-byte by their DuckDB
+    twins (oracle_sql.py); change all of them together or none."""
+    return F.transform(
+        F.sequence(F.lit(1), F.col("_n") - (span - 1)),
+        lambda i: F.substring(
+            F.md5(F.array_join(F.slice(F.col("_toks"), i, span), " ")),
+            1, 16))
+
+
 def remove_duplicate_spans(df: DataFrame, span: int = 8,
                            text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
@@ -291,16 +305,15 @@ def remove_duplicate_spans(df: DataFrame, span: int = 8,
     """
     if span < 2:
         raise ValueError(f"span must be >= 2, got {span}")
-    toks = tokenize_expr(text_col)
+    # NULL text must come through as ('', 0, 0), not a NULL row — the
+    # same tokenize(NULL) hazard chunk_documents guards against
+    toks = tokenize_expr(F.coalesce(F.col(text_col).cast("string"),
+                                    F.lit("")))
     base = df.select(F.col(id_col), toks.alias("_toks"),
                      F.size(toks).alias("_n"))
-    spans = F.transform(
-        F.sequence(F.lit(1), F.col("_n") - (span - 1)),
-        lambda i: F.substring(
-            F.md5(F.array_join(F.slice(F.col("_toks"), i, span), " ")),
-            1, 16))
     pos = (base.filter(F.col("_n") >= span)
-           .select(id_col, F.posexplode(spans).alias("_p0", "h")))
+           .select(id_col, F.posexplode(_span_hash_expr(span))
+                   .alias("_p0", "h")))
     owners = (pos.groupBy("h")
               .agg(F.countDistinct(id_col).alias("_nd"),
                    F.min(id_col).alias("_owner"))
@@ -383,15 +396,13 @@ def contamination_stats(corpus: DataFrame, eval_df: DataFrame,
         head = [F.col(id_col)] if keep_id else []  # eval may lack the id col
         base = df.select(*head, toks.alias("_toks"),
                          F.size(toks).alias("_n"))
-        spans = F.transform(
-            F.sequence(F.lit(1), F.col("_n") - (span - 1)),
-            lambda i: F.substring(
-                F.md5(F.array_join(F.slice(F.col("_toks"), i, span), " ")),
-                1, 16))
         return (base.filter(F.col("_n") >= span)
-                .select(*head, F.explode(spans).alias("h")))
+                .select(*head, F.explode(_span_hash_expr(span)).alias("h")))
 
-    eval_h = _positions(eval_df, etc, keep_id=False).distinct()
+    # persisted: the gate count and the semi-join both read the eval
+    # hash set — without it the eval tokenize+explode+distinct runs
+    # twice (the set is eval-suite-sized, tiny next to the corpus)
+    eval_h = _positions(eval_df, etc, keep_id=False).distinct().persist()
     if eval_h.count() <= broadcast_max_spans:
         eval_h = F.broadcast(eval_h)
     pos = _positions(corpus, text_col, keep_id=True)
@@ -452,13 +463,8 @@ def duplicate_spans(df: DataFrame, span: int = 8, text_col: str = "text",
     toks = tokenize_expr(text_col)
     base = df.select(F.col(id_col), toks.alias("_toks"),
                      F.size(toks).alias("_n"))
-    spans = F.transform(
-        F.sequence(F.lit(1), F.col("_n") - (span - 1)),
-        lambda i: F.substring(
-            F.md5(F.array_join(F.slice(F.col("_toks"), i, span), " ")),
-            1, 16))
     pos = (base.filter(F.col("_n") >= span)
-           .select(id_col, F.explode(spans).alias("h")))
+           .select(id_col, F.explode(_span_hash_expr(span)).alias("h")))
     dup_h = (pos.select(id_col, "h").distinct()
              .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
              .filter(F.col("nd") >= 2).select("h"))

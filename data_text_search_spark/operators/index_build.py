@@ -158,10 +158,20 @@ def load_manifest(root: str) -> dict | None:
     # file we tried really vanished (anything else is a genuine fault);
     # every retry implies a newer complete manifest exists, so this
     # terminates immediately in practice.
+    saw_versions = False
     for _ in range(8):
         versions = _manifest_versions(p)
         if not versions:
+            if saw_versions:
+                # versions existed a moment ago and ALL vanished — a
+                # committed index looking suddenly absent must be loud
+                # (returning None would read as "no index, rebuild over
+                # a live dir"), not a silent legacy-path fallthrough
+                raise RuntimeError(
+                    f"manifest at {p}: every version vanished between "
+                    "reads — concurrent wipe or filesystem fault")
             break
+        saw_versions = True
         try:
             return json.loads(fsio.read_text(versions[-1][1]))
         except Exception:

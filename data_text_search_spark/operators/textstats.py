@@ -141,10 +141,20 @@ def unigram_rarity(df: DataFrame, text_col: str = "text",
     if vocab_max_terms is not None:
         counts = (counts.orderBy(F.desc("c"), F.asc("tok"))
                   .limit(vocab_max_terms))
-    total = counts.agg(F.sum("c")).first()[0] or 0
+    # persisted: the total/size gate and the join back both read the
+    # count table — without it the corpus-wide explode+aggregate runs
+    # twice (the table is vocab-sized, Zipf-small next to occurrences)
+    counts = counts.persist()
+    row = counts.agg(F.sum("c").alias("s"),
+                     F.count(F.lit(1)).alias("v")).first()
+    total, n_terms = (row["s"] or 0), row["v"]
+    # a web-scale long-tail vocabulary can outgrow the driver: only
+    # force the broadcast when the term table is bounded (same gate
+    # pattern as dedup_keep_canonical); above it, a plain shuffle join
+    lookup = (F.broadcast(counts) if n_terms <= 5_000_000 else counts)
     # totals from the pre-tokenized projection so empty docs keep a row
     base = t.select(id_col, F.size("toks").cast("long").alias("n_tokens"))
-    per = (occ.join(F.broadcast(counts), on="tok", how="left")
+    per = (occ.join(lookup, on="tok", how="left")
            .groupBy(id_col)
            .agg(F.sum(F.coalesce(F.col("c"), F.lit(1))).alias("sum_tf")))
     quot = (F.col("sum_tf").cast("double")

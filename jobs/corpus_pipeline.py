@@ -130,6 +130,12 @@ def run_pipeline(spark, corpus, text_col: str = "text",
     #     duplicated across >= 2 docs, keeping each passage once in its
     #     canonical owner (Lee et al. exact-substring dedup); rewrites
     #     text_col in place on the tokenized view
+    # code-shaped gates (step 4.5) must read the ORIGINAL line
+    # structure: the span-removal rewrite below re-joins kept tokens
+    # with spaces, so post-rewrite text is one long line — code_quality
+    # would then drop almost everything (avg-line-length rule) and the
+    # Gopher dup-line gate would pass everything (no repeated lines)
+    structure_df = df
     if remove_dup_spans is not None:
         from data_text_search_spark.operators import curation
         # persisted: the stats aggregate and the rewrite join both read
@@ -168,13 +174,14 @@ def run_pipeline(spark, corpus, text_col: str = "text",
     if code_quality_gate or max_dup_line_frac is not None:
         from data_text_search_spark.operators import curation
         if code_quality_gate:
-            cq = (curation.code_quality(df, text_col=text_col,
+            cq = (curation.code_quality(structure_df, text_col=text_col,
                                         id_col=id_col)
                   .select(id_col, "keep", "max_line_len"))
             out = out.join(cq, id_col).filter(F.col("keep")).drop("keep")
             stats["after_code_quality"] = out.count()
         if max_dup_line_frac is not None:
-            rep = (curation.repetition_stats(df, text_col=text_col,
+            rep = (curation.repetition_stats(structure_df,
+                                             text_col=text_col,
                                              id_col=id_col,
                                              include_bigrams=False)
                    .select(id_col, "line_chars", "dup_line_chars"))

@@ -403,3 +403,17 @@ def test_remove_duplicate_spans_overlap_merge(spark):
     assert out[1]["n_tokens_removed"] == 0
     assert out[2]["text_clean"] == "x y"
     assert out[2]["n_tokens_removed"] == 6
+
+
+def test_remove_duplicate_spans_null_text(spark):
+    """NULL text comes through as ('', 0, 0), not a NULL row."""
+    from data_text_search_spark.operators.curation import (
+        remove_duplicate_spans,
+    )
+    df = spark.createDataFrame([(1, "a b c d e"), (2, None)],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, span=4).collect()}
+    assert out[2]["text_clean"] == ""
+    assert out[2]["n_tokens"] == 0
+    assert out[2]["n_tokens_removed"] == 0

@@ -513,3 +513,33 @@ def test_load_manifest_survives_concurrent_gc(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(fsio, "read_text", faulty_read)
     with pytest.raises(IOError, match="disk on fire"):
         load_manifest(root)
+
+
+def test_load_manifest_raises_when_all_versions_vanish(spark, tmp_path,
+                                                       monkeypatch):
+    """If versions existed and then ALL vanish mid-retry, load_manifest
+    must raise (returning None would read as 'no index here — safe to
+    rebuild over a live dir')."""
+    import os
+
+    from data_text_search_spark.config import IndexPaths
+    from data_text_search_spark.operators.index_build import (
+        _write_manifest_atomic,
+        load_manifest,
+    )
+    from data_text_search_spark.sources import fsio
+
+    root = str(tmp_path / "wipe")
+    os.makedirs(root, exist_ok=True)
+    paths = IndexPaths(root)
+    _write_manifest_atomic(paths.manifest, {"probe": 1})
+
+    def wiping_read(path, spark_=None):
+        for f in os.listdir(root):
+            if f.startswith("manifest.json.v"):
+                os.remove(os.path.join(root, f))
+        raise FileNotFoundError(path)
+
+    monkeypatch.setattr(fsio, "read_text", wiping_read)
+    with pytest.raises(RuntimeError, match="vanished"):
+        load_manifest(root)

@@ -235,3 +235,35 @@ def test_corpus_pipeline_remove_dup_spans(spark, tmp_path):
            spark.read.parquet(dst).select("doc_id", "text").collect()}
     assert out[0].startswith(boiler)              # owner keeps it
     assert out[1] == "different body for the second file"
+
+
+def test_pipeline_gates_read_original_line_structure(spark, tmp_path):
+    """--remove-dup-spans rewrites text to one space-joined line; the
+    code-quality and dup-line gates must still evaluate the ORIGINAL
+    line structure (a healthy multi-line file must survive both gates
+    even when longer than the avg-line-length rule would allow as a
+    single line)."""
+    sys.path.insert(0, "jobs")
+    import corpus_pipeline
+
+    body = "\n".join(f"def fn_{i}(): return value_{i} + other_{i}"
+                     for i in range(20))  # 20 short lines, ~700 chars
+    boiler = "generated header common to both files exactly"
+    pdf = pd.DataFrame({"doc_id": [0, 1], "text": [
+        f"{boiler}\n{body}",
+        f"{boiler}\nsomething else entirely here"]})
+    src = str(tmp_path / "docs4")
+    dst = str(tmp_path / "clean4")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stats = corpus_pipeline.main([
+        "--input", src, "--output", dst,
+        "--near-dup-threshold", "-1",
+        "--remove-dup-spans", "6",
+        "--code-quality-gate", "--max-dup-line-frac", "0.9"])
+    assert stats["dup_span_tokens_removed"] > 0
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(dst).select("doc_id").collect()}
+    # before the fix, doc 0 (now one ~700-char line) failed the
+    # avg-line-length <= 100 rule and was silently dropped
+    assert 0 in kept
