@@ -714,6 +714,69 @@ def q_fuzzy_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"), "score_abs")
 
 
+PHRASE_QUERY = "hash join"  # 2-token phrase present in the corpus
+DELETE_MOD = 7  # docs with doc_id % 7 == 3 get tombstoned
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search, full-scan form (operators/fuzzy.phrase_search):
+    overlapping sliding-window occurrence counts via one JVM HOF pass —
+    hash-checked against a DuckDB lateral-unnest + list-slice oracle."""
+    from data_text_search_spark.operators import fuzzy
+    return fuzzy.phrase_search(spark, _documents(spark, sf_dir),
+                               PHRASE_QUERY)
+
+
+def q_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search answered through the PERSISTED index: the
+    tokenized checkpoint's (term, tf) pairs prune candidates (every
+    distinct phrase term present with tf >= multiplicity) before the
+    window verify — same DuckDB oracle as phrase_search."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.phrase_search(_documents(spark, sf_dir), PHRASE_QUERY)
+
+
+def _deleted_searcher(spark: SparkSession, sf_dir: str):
+    """Build (once) a physical index with tombstoned deletions: full
+    corpus build, then delete_documents on doc_id % DELETE_MOD == 3 —
+    the searcher must mask them at decode time with UNCHANGED stats
+    (streaming/incremental.delete_documents's stale-stats contract)."""
+    key = ("delidx", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.index_build import build_index
+        from data_text_search_spark.operators.index_query import IndexSearcher
+        from data_text_search_spark.streaming.incremental import (
+            delete_documents,
+        )
+
+        root = tempfile.mkdtemp(prefix="dts_delidx_") + "/idx"
+        docs = _documents(spark, sf_dir)
+        build_index(spark, docs, root, BM25Config(alpha=APP_CFG.alpha),
+                    text_col="text", id_col="doc_id")
+        delete_documents(
+            spark, root,
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(DELETE_MOD)) == 3)
+            .select("doc_id"))
+        s = IndexSearcher(spark, root)
+        s.warm()
+        _CACHE[key] = (None, s)
+    return _CACHE[key][1]
+
+
+def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query over an index with one seventh of the corpus
+    TOMBSTONED — deleted docs must vanish from the top-k while surviving
+    scores keep the frozen full-corpus statistics; hash-checked against
+    a DuckDB oracle that scores only surviving docs under full-corpus
+    stats (exactly the stale-stats deletion contract)."""
+    s = _deleted_searcher(spark, sf_dir)
+    res = s.search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 def q_bm25_topk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with the F1 clean pipeline ON (Clean=Yes path of the reference,
     bm25_functions.py:322-336) — exercises clean+tokenize+score end to end."""
@@ -804,6 +867,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_search_indexed": q_fuzzy_search_indexed,
         "fuzzy_phrase": q_fuzzy_phrase,
         "fuzzy_phrase_indexed": q_fuzzy_phrase_indexed,
+        "phrase_search": q_phrase_search,
+        "phrase_search_indexed": q_phrase_search_indexed,
+        "bm25_topk_deleted": q_bm25_topk_deleted,
     }
 
 
@@ -879,4 +945,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_phrase": osql.fuzzy_phrase_sql(FUZZY_PHRASE, max_mistakes=1),
         "fuzzy_phrase_indexed": osql.fuzzy_phrase_sql(FUZZY_PHRASE3,
                                                       max_mistakes=1),
+        "phrase_search": osql.phrase_search_sql(PHRASE_QUERY),
+        "phrase_search_indexed": osql.phrase_search_sql(PHRASE_QUERY),
+        "bm25_topk_deleted": osql.bm25_topk_sql(
+            FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha,
+            doc_filter=f"tf.doc_id % {DELETE_MOD} != 3"),
     }

@@ -125,6 +125,9 @@ def main() -> None:
     entrymod._incremental_searcher(spark, sf_dir)
     results["incremental_pipeline_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    entrymod._deleted_searcher(spark, sf_dir)
+    results["deleted_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     entrymod._ann_index_root(spark, sf_dir)
     results["ann_index_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()

@@ -77,6 +77,14 @@ class IndexPaths:
     def term_stats_seg(self, seg_id: int) -> str:
         return f"{self.root}/term_stats_segs/seg{seg_id}"
 
+    # --- tombstones: each delete_documents call owns one directory of
+    # deleted doc_ids (Lucene's live-docs model restated for an
+    # object-store index); ids are monotonic and the manifest lists the
+    # committed ones, so a crashed delete leaves an invisible orphan the
+    # next delete simply overwrites — no pending marker needed ----------
+    def tombstones_del(self, del_id: int) -> str:
+        return f"{self.root}/tombstones/del{del_id}"
+
     @property
     def manifest(self) -> str:
         return f"{self.root}/manifest.json"

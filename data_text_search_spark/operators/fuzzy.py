@@ -83,6 +83,39 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
     )
 
 
+def phrase_search(spark: SparkSession, df: DataFrame, query: str,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search: docs whose token sequence contains the
+    query's token sequence VERBATIM, with the number of (overlapping)
+    sliding-window occurrences — the m=0 specialization of Z2's window
+    machinery (spacy_search_funcs.py:58-92), where the levenshtein
+    verify collapses to array equality.
+
+    Scale shape: one narrow map-only pass — tokenize, then count window
+    matches with a single JVM higher-order filter over the position
+    range (no explode: a doc contributes ONE row and never materializes
+    its windows). Zero shuffle, zero UDF; the orderBy is presentation
+    only. For index-pruned candidates use IndexSearcher.phrase_search.
+
+    Returns (id_col, phrase_count) with phrase_count >= 1, ordered
+    count desc, id asc."""
+    qtokens = tokenize_py(query)
+    n = len(qtokens)
+    if n == 0:
+        return spark.createDataFrame([], f"{id_col} long, phrase_count long")
+    qarr = F.array(*[F.lit(t) for t in qtokens])
+    toks = F.col("_toks")
+    hits = F.size(F.filter(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.slice(toks, i, n) == qarr))
+    return (df.withColumn("_toks", tokenize_expr(text_col))
+            .filter(F.size("_toks") >= n)
+            .select(F.col(id_col), hits.cast("long").alias("phrase_count"))
+            .filter(F.col("phrase_count") > 0)
+            .orderBy(F.desc("phrase_count"), F.asc(id_col)))
+
+
 # auto-strategy gate: Catalyst's optimized-plan size estimate for the
 # corpus below this → 'scan', above → 'vocab'. Measured A/B at sf0.1
 # (50k docs, ~30 MB parquet, 5 interleaved passes, warm JVM, local[32]):

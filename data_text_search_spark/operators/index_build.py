@@ -219,6 +219,14 @@ def committed_tokenized_paths(root: str, manifest: dict) -> list[str]:
                                 for s in manifest.get("segments", [])]
 
 
+def committed_tombstone_paths(root: str, manifest: dict) -> list[str]:
+    """Parquet dirs of deleted doc_ids, one per committed
+    delete_documents call (empty list = no deletions)."""
+    paths = IndexPaths(root)
+    return [paths.tombstones_del(t["del"])
+            for t in manifest.get("tombstones", [])]
+
+
 def doc_stats_df(pairs_df: DataFrame, complete_n_chars: bool = False) -> DataFrame:
     """doc_stats columns derived from the tokenized checkpoint, including
     n_chars = len(' '.join(tokens)) = Σ tf·len(term) + max(doc_len−1, 0)

@@ -81,9 +81,32 @@ WAND_COLS = BATCH_COLS + ["last_doc_id", "block_max", "block_min"]
 FUZZY_COLS = ["term", "first_doc_id", "n_docs", "doc_deltas", "tfs"]
 
 
+def _tomb_filter(tomb):
+    """Resolve a tombstone handle (sorted int64 array, Spark Broadcast of
+    one, or None) into a docs-mask function. Deleted docs are dropped at
+    posting-DECODE time — before any accumulation or top-k selection —
+    so surviving ranks are exact; WAND's block maxima stay valid upper
+    bounds (removing docs only lowers achievable scores)."""
+    tarr = getattr(tomb, "value", tomb)
+    if tarr is None or not len(tarr):
+        return None
+
+    def keep(docs: np.ndarray) -> np.ndarray | None:
+        """Boolean keep-mask, or None when nothing is deleted here."""
+        pos = np.searchsorted(tarr, docs)
+        pos_c = np.minimum(pos, tarr.size - 1)
+        dead = (pos < tarr.size) & (tarr[pos_c] == docs)
+        return ~dead if dead.any() else None
+
+    return keep
+
+
 def _term_decoder(codec: str, qidf: dict[str, float] | None,
-                  avgdl: float, k1: float, b: float):
+                  avgdl: float, k1: float, b: float, tomb=None):
     """Per-term posting decode, shared by both kernels.
+
+    `tomb`: tombstone handle (see _tomb_filter) — deleted docs never
+    leave the decoder.
 
     codec "compact": the impacts buffer holds doc_len varints; the exact
     f64 impact is recomputed with the BUILD expression's operand order
@@ -102,6 +125,7 @@ def _term_decoder(codec: str, qidf: dict[str, float] | None,
 
     one_minus_b = 1 - b
     k1p1 = k1 + 1
+    tkeep = _tomb_filter(tomb)
 
     def decode(term: str, rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         fd = rows["first_doc_id"].to_numpy(dtype=np.int64)
@@ -118,6 +142,10 @@ def _term_decoder(codec: str, qidf: dict[str, float] | None,
                     / (tfs + k1 * (one_minus_b + (b * dls) / avgdl)))
         else:
             imps = np.frombuffer(b"".join(rows["impacts"]), dtype="<f8")
+        if tkeep is not None and docs.size:
+            m = tkeep(docs)
+            if m is not None:
+                docs, imps = docs[m], imps[m]
         return docs, imps
 
     return decode
@@ -272,7 +300,7 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
                           codec: str = "f64",
                           qidf: dict[str, float] | None = None,
                           avgdl: float = 1.0, k1: float = 1.5,
-                          b: float = 0.75):
+                          b: float = 0.75, tomb=None):
     """Partition-level kernel for search_batch: decode each term once,
     score all queries from the shared arrays (exhaustive within the
     partition — the read was already pruned to the union of query
@@ -287,10 +315,14 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
                               "score": pd.Series([], dtype="float64")})
         if pdf.empty:
             return empty
-        decode = _term_decoder(codec, qidf, avgdl, k1, b)
+        decode = _term_decoder(codec, qidf, avgdl, k1, b, tomb)
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, rows in pdf.groupby("term", sort=True):
-            decoded[term] = decode(term, rows)
+            d = decode(term, rows)
+            if d[0].size:
+                decoded[term] = d
+        if not decoded:
+            return empty
         # dense shard-local doc space, built ONCE: per query the old path
         # re-sorted its candidate postings (concatenate+unique, O(nnz log
         # nnz)); with term posting indices precomputed via searchsorted,
@@ -385,7 +417,7 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
     return kernel
 
 
-def _fuzzy_tf_kernel_factory(weights: dict[str, int]):
+def _fuzzy_tf_kernel_factory(weights: dict[str, int], tomb=None):
     """Partition kernel for IndexSearcher.fuzzy_search: per doc,
     Σ over matched terms of tf · (number of query tokens the term
     fuzzy-matches) — the reference's per-occurrence match count (a corpus
@@ -402,6 +434,7 @@ def _fuzzy_tf_kernel_factory(weights: dict[str, int]):
         if pdf.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "match_count": pd.Series([], dtype="int64")})
+        tkeep = _tomb_filter(tomb)
         out_d, out_c = [], []
         for term, rows in pdf.groupby("term", sort=False):
             fd = rows["first_doc_id"].to_numpy(dtype=np.int64)
@@ -409,6 +442,10 @@ def _fuzzy_tf_kernel_factory(weights: dict[str, int]):
             docs = decode_doc_blocks_batch(fd, nd, rows["doc_deltas"].tolist())
             tfs = varint_decode(b"".join(rows["tfs"]),
                                 int(nd.sum())).astype(np.int64)
+            if tkeep is not None and docs.size:
+                m = tkeep(docs)
+                if m is not None:
+                    docs, tfs = docs[m], tfs[m]
             out_d.append(docs)
             out_c.append(tfs * weights[term])
         docs = np.concatenate(out_d)
@@ -424,12 +461,12 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int,
                                codec: str = "f64",
                                qidf: dict[str, float] | None = None,
                                avgdl: float = 1.0, k1: float = 1.5,
-                               b: float = 0.75):
+                               b: float = 0.75, tomb=None):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
-        decode = _term_decoder(codec, qidf, avgdl, k1, b)
+        decode = _term_decoder(codec, qidf, avgdl, k1, b, tomb)
 
         # per-term bounds: gain = best possible contribution to one doc,
         # loss = worst possible (negative IDF → impacts may be < 0, so
@@ -609,6 +646,27 @@ class IndexSearcher:
         self.k1 = cfg.get("k1", 1.5)
         self.b = cfg.get("b", 0.75)
         self.avgdl = m.get("avgdl", 1.0)
+        # tombstones (delete_documents): sorted int64 array of deleted
+        # doc_ids, masked at posting-decode time in every kernel. Driver
+        # RAM cost is 8 B/id (Lucene holds the analogous live-docs bitset
+        # in RAM per segment); the array is bounded by merge cadence —
+        # merge_segments purges it to zero. Shipped to executors via a
+        # Spark broadcast above 1M ids (one transfer per executor, not
+        # per task); below that the task-closure pickle is cheaper.
+        self._tombstones: np.ndarray | None = None
+        self._tomb_handle = None
+        from data_text_search_spark.operators.index_build import (
+            committed_tombstone_paths,
+        )
+        tpaths = committed_tombstone_paths(root, m)
+        if tpaths:
+            tomb_pdf = spark.read.parquet(*tpaths).select("doc_id").toPandas()
+            arr = np.sort(tomb_pdf["doc_id"].to_numpy(dtype=np.int64))
+            if arr.size:
+                self._tombstones = arr
+                self._tomb_handle = (
+                    spark.sparkContext.broadcast(arr) if arr.size > 1_000_000
+                    else arr)
         self._term_map: dict[str, tuple[int, float, int]] | None = None
         # search_local's driver-side LRU of decoded-ready posting blocks
         # (term -> pandas rows) + its postings budget; rebuilt on refresh()
@@ -643,10 +701,13 @@ class IndexSearcher:
         return int(min(self.manifest["shards"], base))
 
     def refresh(self) -> None:
-        """Re-list index files — pick up segments appended by
-        streaming.incremental.add_documents since this searcher opened
-        (Spark snapshots the file listing at DataFrame creation)."""
+        """Re-list index files — pick up segments appended (and
+        tombstones committed) since this searcher opened (Spark
+        snapshots the file listing at DataFrame creation)."""
+        old_bc = self._tomb_handle
         self.__init__(self.spark, self.paths.root)
+        if old_bc is not None and hasattr(old_bc, "unpersist"):
+            old_bc.unpersist()
 
     def _colocated_run(self, terms: list[str], kernel,
                        columns: list[str], schema: str,
@@ -917,7 +978,8 @@ class IndexSearcher:
         # per original position: its effective query id (-1 = no results)
         orig_eff = str_eff[inv_str]
         kernel = _batch_kernel_factory(qterms, n, self.codec, qidf,
-                                       self.avgdl, self.k1, self.b)
+                                       self.avgdl, self.k1, self.b,
+                                       tomb=self._tomb_handle)
         kschema = "query_id int, doc_id long, score double"
         if self._units is not None:
             local, tasks = self._colocated_batch_grid(qterms, kernel,
@@ -992,7 +1054,8 @@ class IndexSearcher:
         if not qcounts:
             return spark.createDataFrame([], RESULT_SCHEMA + ", rank int, score_abs double")
         kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
-                                            self.avgdl, self.k1, self.b)
+                                            self.avgdl, self.k1, self.b,
+                                            tomb=self._tomb_handle)
         if self._units is not None:
             tasks = min(len(self._units),
                         spark.sparkContext.defaultParallelism)
@@ -1057,7 +1120,8 @@ class IndexSearcher:
         parts: list[DataFrame] = []
         mc_schema = "doc_id long, match_count long"
         if weights:
-            kernel = _fuzzy_tf_kernel_factory(weights)
+            kernel = _fuzzy_tf_kernel_factory(weights,
+                                              tomb=self._tomb_handle)
             if self._units is not None:
                 parts.append(self._colocated_run(sorted(weights), kernel,
                                                  FUZZY_COLS, mc_schema))
@@ -1079,6 +1143,9 @@ class IndexSearcher:
             )
             tok = spark.read.parquet(
                 *committed_tokenized_paths(self.paths.root, self.manifest))
+            tdf = self._tombstone_df()
+            if tdf is not None:
+                tok = tok.join(tdf, "doc_id", "left_anti")
             wmap = F.create_map(*[x for t, w in sorted(pruned_w.items())
                                   for x in (F.lit(t), F.lit(w))])
             parts.append(
@@ -1124,6 +1191,21 @@ class IndexSearcher:
                 .filter(F.col("score") > 0)
                 .orderBy(F.desc("score_abs"), F.asc("doc_id")))
 
+    def _tombstone_df(self) -> "DataFrame | None":
+        """Deleted doc_ids as a (broadcastable) DataFrame for plan-side
+        anti-joins, or None when nothing is deleted."""
+        if self._tombstones is None:
+            return None
+        from data_text_search_spark.operators.index_build import (
+            committed_tombstone_paths,
+        )
+        tdf = self.spark.read.parquet(
+            *committed_tombstone_paths(self.paths.root, self.manifest)) \
+            .select("doc_id")
+        # size is known exactly (the sorted array is on the driver):
+        # broadcast the anti-join side while it comfortably fits
+        return F.broadcast(tdf) if self._tombstones.size <= 10_000_000 else tdf
+
     def fuzzy_phrase_search(self, df: DataFrame, query: str,
                             max_mistakes: int = 1, text_col: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
@@ -1155,10 +1237,20 @@ class IndexSearcher:
         still a parameter because phrase windows need token ORDER, which
         the pre-aggregated checkpoint (deliberately) does not keep."""
         from data_text_search_spark.operators import fuzzy
+        tdf = self._tombstone_df()
+        if tdf is not None:
+            # the index considers tombstoned docs gone — exclude them
+            # from the caller's corpus view on every branch
+            df = df.join(tdf.withColumnRenamed("doc_id", id_col),
+                         id_col, "left_anti")
         qtokens = tokenize_py(query)
         distinct = sorted(set(qtokens))
         required = len(distinct) - 2 * max_mistakes
-        if not qtokens or required <= 0:
+        if (not qtokens or required <= 0
+                or self.manifest["config"].get("clean")):
+            # clean=True indexes tokenized CLEANED text, but the verify
+            # re-tokenizes the caller's raw text — checkpoint-derived
+            # candidates would be unsound there, so scan everything
             return fuzzy.fuzzy_phrase_search(
                 self.spark, df, query, max_mistakes,
                 text_col=text_col, id_col=id_col)
@@ -1176,6 +1268,52 @@ class IndexSearcher:
         return fuzzy.fuzzy_phrase_search(
             self.spark, df.join(cand, id_col, "left_semi"), query,
             max_mistakes, text_col=text_col, id_col=id_col)
+
+    def phrase_search(self, df: DataFrame, query: str,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+        """Index-pruned EXACT phrase search: rows identical to
+        operators.fuzzy.phrase_search over the same corpus, with
+        candidates cut from the tokenized checkpoint first.
+
+        Candidate condition (exact, not just sound): a doc can contain
+        the phrase only if EVERY distinct query term appears with tf >=
+        its multiplicity in the phrase — one JVM `exists` per distinct
+        term over the checkpoint's per-doc (term, tf) pairs column, no
+        explode, no shuffle. The window-equality verify then touches
+        only the semi-joined survivors. Tombstoned docs are excluded on
+        every branch. Falls back to the full scan on clean=True indexes
+        (same prep-mismatch reason as fuzzy_phrase_search)."""
+        from collections import Counter as _Counter
+
+        from data_text_search_spark.operators import fuzzy
+        tdf = self._tombstone_df()
+        if tdf is not None:
+            df = df.join(tdf.withColumnRenamed("doc_id", id_col),
+                         id_col, "left_anti")
+        qtokens = tokenize_py(query)
+        if not qtokens or self.manifest["config"].get("clean"):
+            return fuzzy.phrase_search(self.spark, df, query,
+                                       text_col=text_col, id_col=id_col)
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
+        tok = self.spark.read.parquet(
+            *committed_tokenized_paths(self.paths.root, self.manifest))
+        def term_cond(t: str, c: int):
+            # pyspark HOFs infer arity from the python signature, so the
+            # usual default-arg loop-capture idiom breaks — close over a
+            # factory instead
+            return lambda p: (p["term"] == t) & (p["tf"] >= c)
+
+        cond = None
+        for t, c in sorted(_Counter(qtokens).items()):
+            e = F.exists("pairs", term_cond(t, c))
+            cond = e if cond is None else cond & e
+        cand = tok.filter(cond).select(F.col("doc_id").alias(id_col))
+        return fuzzy.phrase_search(
+            self.spark, df.join(cand, id_col, "left_semi"), query,
+            text_col=text_col, id_col=id_col)
 
     # interactive fast path: posting volume gate + driver term-block LRU
     LOCAL_MAX_POSTINGS = 5_000_000
@@ -1234,7 +1372,8 @@ class IndexSearcher:
         blocks = pd.concat([self._local_blocks[t] for t in sorted(qcounts)],
                            ignore_index=True)
         kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
-                                            self.avgdl, self.k1, self.b)
+                                            self.avgdl, self.k1, self.b,
+                                            tomb=self._tomb_handle)
         res = kernel(blocks).reset_index(drop=True)
         res["rank"] = np.arange(1, len(res) + 1, dtype=np.int32)
         res["score_abs"] = _score_abs_half_up(res["score"].to_numpy())

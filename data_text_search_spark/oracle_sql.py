@@ -79,7 +79,14 @@ SELECT term, doc_id, tf FROM tf WHERE tf >= {min_tf} ORDER BY term, doc_id"""
 
 
 def bm25_topk_sql(query: str, k: int = 10, k1: float = 1.5, b: float = 0.75,
-                  alpha: float = -5.0, clean: bool = False) -> str:
+                  alpha: float = -5.0, clean: bool = False,
+                  doc_filter: str | None = None) -> str:
+    """`doc_filter`: optional predicate over `tf.doc_id` applied to the
+    SCORED docs only — corpus statistics (N, avgdl, df/idf) stay computed
+    over the FULL corpus. This is exactly delete_documents' stale-stats
+    tombstone semantics: deleted docs vanish from results, surviving
+    scores unchanged until a merge refreshes the stats."""
+    extra = f"\n    AND ({doc_filter})" if doc_filter else ""
     return f"""WITH {_base_ctes(clean=clean)},
 q(term, qcount) AS (VALUES {_values_for_query(query)}),
 contrib AS (
@@ -91,7 +98,7 @@ contrib AS (
   JOIN stats s USING (term)
   JOIN q USING (term)
   JOIN doc_stats ds USING (doc_id)
-  WHERE s.idf > {alpha}
+  WHERE s.idf > {alpha}{extra}
 )
 SELECT doc_id, round(sum(c), 4) AS score,
        abs(round(sum(c), 2)) AS score_abs
@@ -399,6 +406,27 @@ SELECT t.doc_id,
   d.lang, d.source
 FROM topk t LEFT JOIN documents d ON d.doc_id = t.doc_id
 ORDER BY search_score_abs DESC, search_text DESC"""
+
+
+def phrase_search_sql(query: str) -> str:
+    """Exact phrase occurrences: the identical tokenizer fragment, then
+    one lateral position unnest with a list-slice equality — overlapping
+    windows counted, same as the engine's sliding-window HOF."""
+    qtokens = tokenize_py(query)
+    m = len(qtokens)
+    qlist = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in qtokens) + "]"
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKENIZE.format(col="text")} AS toks FROM documents),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {m - 1})) AS i
+  FROM docs WHERE len(toks) >= {m}
+)
+SELECT doc_id, count(*)::bigint AS phrase_count
+FROM pos WHERE toks[i:i+{m - 1}] = {qlist}
+GROUP BY doc_id
+ORDER BY phrase_count DESC, doc_id ASC"""
 
 
 def fuzzy_phrase_sql(query: str, max_mistakes: int = 1) -> str:

@@ -40,6 +40,7 @@ from data_text_search_spark.operators.index_build import (
     _write_manifest_atomic,
     committed_doc_stats_paths,
     committed_term_stats_paths,
+    committed_tombstone_paths,
     load_manifest,
 )
 from data_text_search_spark.functions.text import tokenize_tf_pandas_udf
@@ -133,9 +134,21 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
         *committed_doc_stats_paths(root, manifest)).select("doc_id")
     n_dup = pairs_df.join(existing, "doc_id").count()
     if n_dup:
+        # a tombstoned id is still physically present (postings + stats)
+        # until merge_segments purges it — re-adding before the purge
+        # would strand TWO posting sets behind one doc_id
+        tpaths = committed_tombstone_paths(root, manifest)
+        n_tomb = 0
+        if tpaths:
+            n_tomb = pairs_df.join(
+                spark.read.parquet(*tpaths).select("doc_id"),
+                "doc_id").count()
+        hint = (f" ({n_tomb} of them are tombstoned — run merge_segments "
+                "to purge deletions, then re-add)" if n_tomb else
+                "; dedup upstream or rebuild")
         _abort(
             f"{n_dup} delta doc_ids already exist in the index — re-adding "
-            "would double their postings; dedup upstream or rebuild")
+            f"would double their postings{hint}")
     n_total = n_old + n_new
 
     new_terms = _encode_segment(
@@ -156,6 +169,84 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
     if batch_key is not None:
         manifest.setdefault("applied_batches", []).append(batch_key)
     manifest.pop("pending", None)
+    _write_manifest_atomic(paths.manifest, manifest)
+    return manifest
+
+
+def delete_documents(spark: SparkSession, root: str, doc_ids,
+                     rebuild_threshold: float = 0.2) -> dict:
+    """Tombstone deletion — Lucene's live-docs model restated for a
+    persisted, object-store-friendly index.
+
+    `doc_ids`: a DataFrame whose first column is the doc_id, or an
+    iterable of ints. Ids not present in the index (or already
+    tombstoned) are ignored; if nothing remains the call is a no-op.
+
+    Semantics (the honesty budget, same as add_documents'):
+    - Deleted docs vanish from every query path immediately (BM25
+      single/batch/local, index-backed fuzzy, fuzzy-phrase, phrase) —
+      the searcher masks them at posting-decode time, BEFORE any top-k
+      selection, so surviving ranks are exact.
+    - Global statistics (N, avgdl, df/idf) are NOT recomputed — scores
+      of surviving docs are unchanged, exactly the staleness long-lived
+      engines accept between merges. `drift` grows by n_deleted/N and
+      past `rebuild_threshold` the manifest flags `needs_rebuild`.
+    - merge_segments PURGES tombstones: it rebuilds from the tokenized
+      checkpoints minus the deleted docs under refreshed stats —
+      bit-identical to a fresh build over the surviving corpus.
+      merge_tier deliberately does not purge (its contract is
+      delta-proportional cost; purging base postings needs the full
+      rewrite merge_segments does).
+    - Re-adding a tombstoned id is rejected until a purge (the id is
+      still physically present); add_documents' error says so.
+
+    Crash safety needs no pending marker: the tombstone parquet lands in
+    its own monotonic `tombstones/del<N>/` dir, invisible until the ONE
+    atomic manifest write commits it; a crash before the commit leaves
+    an orphan dir the next delete overwrites (mode=overwrite, same id).
+
+    Scale shape: tombstones are doc_id-sorted parquet; the searcher
+    loads them once into a sorted int64 array (8 B/id — Lucene keeps the
+    analogous live-docs bitset in RAM per segment) and ships it to
+    kernels via a Spark broadcast above 1M ids. The array is bounded by
+    merge cadence, not corpus size: merge_segments resets it to zero."""
+    paths = IndexPaths(root)
+    manifest = load_manifest(root)
+    if not manifest or not manifest.get("complete"):
+        raise ValueError(f"no complete index at {root}")
+    if isinstance(doc_ids, DataFrame):
+        ids = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    else:
+        ids = spark.createDataFrame([(int(i),) for i in doc_ids],
+                                    "doc_id long")
+    ids = ids.dropDuplicates(["doc_id"])
+    existing = spark.read.parquet(
+        *committed_doc_stats_paths(root, manifest)).select("doc_id")
+    live = ids.join(existing, "doc_id", "left_semi")
+    tpaths = committed_tombstone_paths(root, manifest)
+    if tpaths:
+        live = live.join(
+            spark.read.parquet(*tpaths).select("doc_id"),
+            "doc_id", "left_anti")
+    del_id = manifest.get("next_del_id", 0)
+    out = paths.tombstones_del(del_id)
+    (live.repartition(1).sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(out))
+    n_del = spark.read.parquet(out).count()  # metadata-only count
+    if n_del == 0:
+        from data_text_search_spark.sources import fsio
+        fsio.delete(out)
+        return manifest
+    # COMMIT POINT: one atomic manifest write makes the tombstones live
+    manifest.setdefault("tombstones", []).append(
+        {"del": del_id, "n_docs": int(n_del)})
+    manifest["next_del_id"] = del_id + 1
+    manifest["deleted_docs"] = manifest.get("deleted_docs", 0) + int(n_del)
+    drift = (manifest.get("drift", 0.0)
+             + n_del / max(manifest.get("n_docs", 1), 1))
+    manifest["drift"] = round(drift, 6)
+    manifest["needs_rebuild"] = drift > rebuild_threshold
     _write_manifest_atomic(paths.manifest, manifest)
     return manifest
 
@@ -264,6 +355,10 @@ def merge_tier(spark: SparkSession, root: str) -> dict:
     N_total of its own append time) — a bounded, documented divergence.
     For exact global-stat parity use merge_segments (full re-score).
 
+    Tombstones are NOT purged here (they may hit base postings, whose
+    rewrite is exactly what this tier avoids); they keep masking at
+    query time and merge_segments purges them.
+
     Crash safety: same pending-intent protocol as add_documents — the
     merged segment is written invisibly, ONE atomic manifest write swaps
     the segments list, and the old segment dirs are deleted only after
@@ -343,7 +438,7 @@ def merge_segments(spark: SparkSession, root: str) -> dict:
     manifest = load_manifest(root)
     if not manifest or not manifest.get("complete"):
         raise ValueError(f"no complete index at {root}")
-    if not manifest.get("segments"):
+    if not manifest.get("segments") and not manifest.get("tombstones"):
         return manifest
     from urllib.parse import urlparse
     scheme = urlparse(root).scheme
@@ -363,6 +458,15 @@ def merge_segments(spark: SparkSession, root: str) -> dict:
                      term_partitions=manifest["term_buckets"],
                      impact_codec=c.get("impact_codec", "f64"))
     pairs = spark.read.parquet(*committed_tokenized_paths(root, manifest))
+    tpaths = committed_tombstone_paths(root, manifest)
+    if tpaths:
+        # PURGE tombstones: deleted docs are dropped from the re-scored
+        # corpus, so the merged index is bit-identical to a fresh build
+        # over the surviving documents (refreshed N/avgdl/idf include
+        # the deletions); the rebuilt manifest starts with no tombstones
+        pairs = pairs.join(
+            spark.read.parquet(*tpaths).select("doc_id"),
+            "doc_id", "left_anti")
     tmp = f"{root}.merge"
     fsio.delete(tmp, spark)
     build_index(spark, corpus=None, root=tmp, config=cfg,
