@@ -777,6 +777,32 @@ def q_bm25_topk_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+TERM_PREFIX = "st"  # matches stream/... in the synthetic vocabulary
+
+
+def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED search (Lucene/ES filter context): only lang='en' docs
+    may appear, corpus statistics and surviving scores untouched —
+    the allow set masks at posting-decode time inside the same kernels
+    (IndexSearcher.search(keep=...)); hash-checked against a DuckDB
+    oracle scoring every doc under full stats and filtering the scored
+    set (exactly filter-context semantics)."""
+    s = _physical_searcher(spark, sf_dir)
+    keep = _documents(spark, sf_dir).filter(
+        F.col("lang") == "en").select("doc_id")
+    res = s.search(FLAGSHIP_QUERY, 10, keep=keep)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      "score_abs")
+
+
+def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery answered entirely from the persisted index (term
+    dictionary scan -> tf varints, no corpus scan in the plan) —
+    hash-checked against a DuckDB brute-force tokenize + LIKE twin."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.prefix_search(TERM_PREFIX)
+
+
 def q_bm25_topk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with the F1 clean pipeline ON (Clean=Yes path of the reference,
     bm25_functions.py:322-336) — exercises clean+tokenize+score end to end."""
@@ -870,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "phrase_search_indexed": q_phrase_search_indexed,
         "bm25_topk_deleted": q_bm25_topk_deleted,
+        "bm25_topk_filtered": q_bm25_topk_filtered,
+        "prefix_search": q_prefix_search,
     }
 
 
@@ -950,4 +978,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_deleted": osql.bm25_topk_sql(
             FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha,
             doc_filter=f"tf.doc_id % {DELETE_MOD} != 3"),
+        "bm25_topk_filtered": osql.bm25_topk_sql(
+            FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha,
+            doc_filter="tf.doc_id IN (SELECT doc_id FROM documents "
+                       "WHERE lang = 'en')"),
+        "prefix_search": osql.prefix_search_sql(TERM_PREFIX),
     }

@@ -101,12 +101,40 @@ def _tomb_filter(tomb):
     return keep
 
 
+def _doc_mask(tomb, allow):
+    """Compose the tombstone DENY set and an optional filtered-search
+    ALLOW set (both: sorted int64 array, Spark Broadcast of one, or
+    None) into a single docs-mask function, or None when unrestricted.
+    Filter-context semantics: the allow set restricts which docs may
+    appear in results but never touches the frozen corpus statistics —
+    same decode-time masking point as tombstones, so ranks among the
+    allowed docs are exact and block maxima stay valid upper bounds."""
+    tkeep = _tomb_filter(tomb)
+    aarr = getattr(allow, "value", allow)
+    if aarr is None:
+        return tkeep
+
+    def keep(docs: np.ndarray) -> np.ndarray | None:
+        pos = np.searchsorted(aarr, docs)
+        pos_c = np.minimum(pos, max(aarr.size - 1, 0))
+        hit = ((pos < aarr.size) & (aarr[pos_c] == docs)
+               if aarr.size else np.zeros(docs.shape, dtype=bool))
+        if tkeep is not None:
+            tm = tkeep(docs)
+            if tm is not None:
+                hit &= tm
+        return hit if not hit.all() else None
+
+    return keep
+
+
 def _term_decoder(codec: str, qidf: dict[str, float] | None,
-                  avgdl: float, k1: float, b: float, tomb=None):
+                  avgdl: float, k1: float, b: float, tomb=None,
+                  allow=None):
     """Per-term posting decode, shared by both kernels.
 
-    `tomb`: tombstone handle (see _tomb_filter) — deleted docs never
-    leave the decoder.
+    `tomb` / `allow`: deny / allow doc-set handles (see _doc_mask) —
+    deleted or filtered-out docs never leave the decoder.
 
     codec "compact": the impacts buffer holds doc_len varints; the exact
     f64 impact is recomputed with the BUILD expression's operand order
@@ -125,7 +153,7 @@ def _term_decoder(codec: str, qidf: dict[str, float] | None,
 
     one_minus_b = 1 - b
     k1p1 = k1 + 1
-    tkeep = _tomb_filter(tomb)
+    tkeep = _doc_mask(tomb, allow)
 
     def decode(term: str, rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
         fd = rows["first_doc_id"].to_numpy(dtype=np.int64)
@@ -300,7 +328,7 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
                           codec: str = "f64",
                           qidf: dict[str, float] | None = None,
                           avgdl: float = 1.0, k1: float = 1.5,
-                          b: float = 0.75, tomb=None):
+                          b: float = 0.75, tomb=None, allow=None):
     """Partition-level kernel for search_batch: decode each term once,
     score all queries from the shared arrays (exhaustive within the
     partition — the read was already pruned to the union of query
@@ -315,7 +343,7 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
                               "score": pd.Series([], dtype="float64")})
         if pdf.empty:
             return empty
-        decode = _term_decoder(codec, qidf, avgdl, k1, b, tomb)
+        decode = _term_decoder(codec, qidf, avgdl, k1, b, tomb, allow)
         decoded: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, rows in pdf.groupby("term", sort=True):
             d = decode(term, rows)
@@ -417,7 +445,8 @@ def _batch_kernel_factory(qterms: dict[int, dict[str, int]], k: int,
     return kernel
 
 
-def _fuzzy_tf_kernel_factory(weights: dict[str, int], tomb=None):
+def _fuzzy_tf_kernel_factory(weights: dict[str, int], tomb=None,
+                             allow=None):
     """Partition kernel for IndexSearcher.fuzzy_search: per doc,
     Σ over matched terms of tf · (number of query tokens the term
     fuzzy-matches) — the reference's per-occurrence match count (a corpus
@@ -434,7 +463,7 @@ def _fuzzy_tf_kernel_factory(weights: dict[str, int], tomb=None):
         if pdf.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "match_count": pd.Series([], dtype="int64")})
-        tkeep = _tomb_filter(tomb)
+        tkeep = _doc_mask(tomb, allow)
         out_d, out_c = [], []
         for term, rows in pdf.groupby("term", sort=False):
             fd = rows["first_doc_id"].to_numpy(dtype=np.int64)
@@ -461,12 +490,12 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int,
                                codec: str = "f64",
                                qidf: dict[str, float] | None = None,
                                avgdl: float = 1.0, k1: float = 1.5,
-                               b: float = 0.75, tomb=None):
+                               b: float = 0.75, tomb=None, allow=None):
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
-        decode = _term_decoder(codec, qidf, avgdl, k1, b, tomb)
+        decode = _term_decoder(codec, qidf, avgdl, k1, b, tomb, allow)
 
         # per-term bounds: gain = best possible contribution to one doc,
         # loss = worst possible (negative IDF → impacts may be < 0, so
@@ -1048,14 +1077,43 @@ class IndexSearcher:
         qidf = {r["term"]: r["idf"] for r in present}
         return qcounts, buckets, qidf
 
-    def search(self, query: str, n: int = 10) -> DataFrame:
+    # filtered search: an allow set at or below this many ids is
+    # collected to a sorted array and masked at decode time (the same
+    # transfer budget as the tombstone broadcast); above it the
+    # checkpoint-scoring path answers with a fully distributed semi-join
+    # so the filter never lands on the driver
+    FILTER_BROADCAST_MAX = 10_000_000
+
+    def search(self, query: str, n: int = 10, keep=None) -> DataFrame:
+        """BM25 top-n. `keep` (optional) = filtered search: a DataFrame
+        whose first column is a doc_id, or an iterable of ints — only
+        those docs may appear in results, under FILTER-CONTEXT semantics
+        (Lucene/Elasticsearch filters: corpus statistics and surviving
+        scores are unchanged; the filter only restricts the candidate
+        set). Ranks among allowed docs are exact: small sets mask at
+        posting-decode time inside the normal kernels, sets past
+        FILTER_BROADCAST_MAX switch to a distributed checkpoint-scoring
+        plan (shuffle semi-join — the filter never moves to the driver);
+        both paths return identical rows (pytest-pinned)."""
         qcounts, buckets, qidf = self._query_terms(query)
         spark = self.spark
+        empty = RESULT_SCHEMA + ", rank int, score_abs double"
         if not qcounts:
-            return spark.createDataFrame([], RESULT_SCHEMA + ", rank int, score_abs double")
+            return spark.createDataFrame([], empty)
+        allow = None
+        if keep is not None:
+            arr = self._resolve_keep(keep)
+            if arr is None:    # too large to collect: distributed path
+                return self._search_filtered_checkpoint(qcounts, qidf, n,
+                                                        keep)
+            if not arr.size:
+                return spark.createDataFrame([], empty)
+            allow = (spark.sparkContext.broadcast(arr)
+                     if arr.size > 1_000_000 else arr)
         kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
                                             self.avgdl, self.k1, self.b,
-                                            tomb=self._tomb_handle)
+                                            tomb=self._tomb_handle,
+                                            allow=allow)
         if self._units is not None:
             tasks = min(len(self._units),
                         spark.sparkContext.defaultParallelism)
@@ -1117,6 +1175,44 @@ class IndexSearcher:
                    .collect())
         weights = {r["term"]: int(r["w"]) for r in matched if not r["pruned"]}
         pruned_w = {r["term"]: int(r["w"]) for r in matched if r["pruned"]}
+        local = self._tf_weighted_counts(weights, pruned_w)
+        if local is None:
+            return spark.createDataFrame([], out_schema)
+        dstats = spark.read.parquet(
+            *committed_doc_stats_paths(self.paths.root, self.manifest))
+        if ("n_chars" not in dstats.columns
+                or dstats.filter(F.col("n_chars").isNull()).head(1)):
+            # index built before n_chars was stored — or a MIXED union
+            # (legacy base doc_stats + post-n_chars segments), where the
+            # missing parquet column surfaces as NULL for the legacy rows
+            # and would silently drop those docs from the score. Derive
+            # the column once from the tokenized checkpoint instead (same
+            # formula as doc_stats_df); the null probe is a column-pruned
+            # LIMIT 1 scan, ~free on the current all-non-null layout
+            from data_text_search_spark.operators.index_build import (
+                committed_tokenized_paths,
+                doc_stats_df,
+            )
+            dstats = doc_stats_df(spark.read.parquet(
+                *committed_tokenized_paths(self.paths.root, self.manifest)))
+        return (local.join(dstats.select("doc_id", "n_chars"), "doc_id")
+                .select("doc_id",
+                        F.col("n_chars").cast("int").alias("n_chars"),
+                        "match_count")
+                .withColumn("score",
+                            F.col("match_count") / F.col("n_chars") * 100.0)
+                .withColumn("score_abs", F.abs(F.round("score", 2)))
+                .filter(F.col("score") > 0)
+                .orderBy(F.desc("score_abs"), F.asc("doc_id")))
+
+    def _tf_weighted_counts(self, weights: dict[str, int],
+                            pruned_w: dict[str, int]) -> "DataFrame | None":
+        """Shared tf-sum core of fuzzy_search / prefix_search: per doc,
+        Σ over matched terms of tf · weight, live terms answered from
+        posting blocks (tombstone-masked in the kernel) and alpha-pruned
+        terms from the tokenized checkpoint (tombstone-anti-joined).
+        Returns (doc_id, match_count) or None when nothing matched."""
+        spark = self.spark
         parts: list[DataFrame] = []
         mc_schema = "doc_id long, match_count long"
         if weights:
@@ -1157,39 +1253,114 @@ class IndexSearcher:
                 .groupBy("doc_id")
                 .agg(F.sum("match_count").alias("match_count")))
         if not parts:
-            return spark.createDataFrame([], out_schema)
+            return None
         local = parts[0]
         for p in parts[1:]:
             local = local.unionByName(p)
         if len(parts) > 1:
             local = (local.groupBy("doc_id")
                      .agg(F.sum("match_count").alias("match_count")))
-        dstats = spark.read.parquet(
-            *committed_doc_stats_paths(self.paths.root, self.manifest))
-        if ("n_chars" not in dstats.columns
-                or dstats.filter(F.col("n_chars").isNull()).head(1)):
-            # index built before n_chars was stored — or a MIXED union
-            # (legacy base doc_stats + post-n_chars segments), where the
-            # missing parquet column surfaces as NULL for the legacy rows
-            # and would silently drop those docs from the score. Derive
-            # the column once from the tokenized checkpoint instead (same
-            # formula as doc_stats_df); the null probe is a column-pruned
-            # LIMIT 1 scan, ~free on the current all-non-null layout
-            from data_text_search_spark.operators.index_build import (
-                committed_tokenized_paths,
-                doc_stats_df,
-            )
-            dstats = doc_stats_df(spark.read.parquet(
-                *committed_tokenized_paths(self.paths.root, self.manifest)))
-        return (local.join(dstats.select("doc_id", "n_chars"), "doc_id")
-                .select("doc_id",
-                        F.col("n_chars").cast("int").alias("n_chars"),
-                        "match_count")
-                .withColumn("score",
-                            F.col("match_count") / F.col("n_chars") * 100.0)
-                .withColumn("score_abs", F.abs(F.round("score", 2)))
-                .filter(F.col("score") > 0)
-                .orderBy(F.desc("score_abs"), F.asc("doc_id")))
+        return local
+
+    def prefix_search(self, prefix: str,
+                      max_terms: int = 10_000) -> DataFrame:
+        """Lucene-style PrefixQuery restated for this index: per doc,
+        the number of token occurrences whose term starts with `prefix`
+        — answered ENTIRELY from the persisted index (term dictionary
+        scan → tf varints), no corpus scan in the plan.
+
+        Scale shape: the dictionary filter is vocab-sized (Zipf: vocab ≪
+        corpus); matched live terms run through the same shuffle-free
+        posting kernels as fuzzy_search, alpha-pruned matches fall back
+        to the tokenized checkpoint, tombstoned docs are masked on both
+        branches. `max_terms` guards the degenerate one-letter prefix
+        (a term-IN list and kernel weight dict that large means the
+        caller wants a dictionary scan, not a search — raise instead of
+        silently shipping it).
+
+        Returns (doc_id, match_count), match_count desc, doc_id asc."""
+        if not prefix:
+            raise ValueError("prefix_search: empty prefix")
+        spark = self.spark
+        ts = self._term_stats_all
+        if "pruned" not in ts.columns:
+            ts = ts.withColumn("pruned", F.lit(False))
+        matched = (ts.select("term", "pruned")
+                   .filter(F.col("term").startswith(prefix))
+                   .limit(max_terms + 1).collect())
+        if len(matched) > max_terms:
+            raise ValueError(
+                f"prefix_search: '{prefix}' matches more than {max_terms} "
+                "terms; lengthen the prefix or raise max_terms")
+        weights = {r["term"]: 1 for r in matched if not r["pruned"]}
+        pruned_w = {r["term"]: 1 for r in matched if r["pruned"]}
+        local = self._tf_weighted_counts(weights, pruned_w)
+        if local is None:
+            return spark.createDataFrame([], "doc_id long, match_count long")
+        return local.orderBy(F.desc("match_count"), F.asc("doc_id"))
+
+    def _resolve_keep(self, keep) -> "np.ndarray | None":
+        """Normalize a filtered-search allow set to a sorted int64 array;
+        None = too large to collect (count > FILTER_BROADCAST_MAX) — the
+        caller must use the distributed checkpoint path. Iterables are
+        driver-resident by construction and always materialize."""
+        if isinstance(keep, DataFrame):
+            ids = keep.select(
+                F.col(keep.columns[0]).cast("long").alias("doc_id"))
+            if ids.count() > self.FILTER_BROADCAST_MAX:
+                return None
+            arr = ids.toPandas()["doc_id"].to_numpy(dtype=np.int64)
+        else:
+            arr = np.fromiter((int(i) for i in keep), dtype=np.int64)
+        return np.unique(arr)
+
+    def _search_filtered_checkpoint(self, qcounts: dict[str, int],
+                                    qidf: dict[str, float], n: int,
+                                    keep: DataFrame) -> DataFrame:
+        """Filtered search, distributed form: score the query terms
+        straight from the tokenized checkpoint (tf · the SAME impact
+        expression the kernels evaluate, frozen full-corpus stats from
+        the manifest), with the allow set as a shuffle semi-join — the
+        filter never lands on the driver. Per-doc contributions sum in
+        sorted-term order (array_sort before the fold), the same
+        accumulation order the kernels pin, so rows match the mask path
+        bit-for-bit (pytest-pinned)."""
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
+        spark = self.spark
+        tok = spark.read.parquet(
+            *committed_tokenized_paths(self.paths.root, self.manifest))
+        tdf = self._tombstone_df()
+        if tdf is not None:
+            tok = tok.join(tdf, "doc_id", "left_anti")
+        keep_ids = keep.select(
+            F.col(keep.columns[0]).cast("long").alias("doc_id"))
+        tok = tok.join(keep_ids, "doc_id", "left_semi")
+        idf_m = F.create_map(*[x for t in sorted(qcounts)
+                               for x in (F.lit(t), F.lit(float(qidf[t])))])
+        cnt_m = F.create_map(*[x for t in sorted(qcounts)
+                               for x in (F.lit(t), F.lit(int(qcounts[t])))])
+        k1, b, avgdl = float(self.k1), float(self.b), float(self.avgdl)
+        tf = F.col("p.tf").cast("double")
+        dl = F.col("doc_len").cast("double")
+        imp = ((idf_m[F.col("p.term")] * tf) * F.lit(k1 + 1)
+               / (tf + F.lit(k1) * (F.lit(1 - b) + (F.lit(b) * dl)
+                                    / F.lit(avgdl))))
+        contrib = (tok
+                   .select("doc_id", "doc_len", F.explode("pairs").alias("p"))
+                   .filter(F.col("p.term").isin(sorted(qcounts)))
+                   .select("doc_id", F.col("p.term").alias("term"),
+                           (cnt_m[F.col("p.term")] * imp).alias("c")))
+        scored = (contrib.groupBy("doc_id")
+                  .agg(F.aggregate(
+                      F.array_sort(F.collect_list(F.struct("term", "c"))),
+                      F.lit(0.0), lambda acc, x: acc + x["c"])
+                      .alias("score")))
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
+                .withColumn("rank", F.row_number().over(w))
+                .withColumn("score_abs", F.abs(F.round("score", 2))))
 
     def _tombstone_df(self) -> "DataFrame | None":
         """Deleted doc_ids as a (broadcastable) DataFrame for plan-side

@@ -429,6 +429,21 @@ GROUP BY doc_id
 ORDER BY phrase_count DESC, doc_id ASC"""
 
 
+def prefix_search_sql(prefix: str) -> str:
+    """Per-doc occurrences of tokens starting with `prefix` — the
+    brute-force twin of IndexSearcher.prefix_search (which answers from
+    the term dictionary + tf varints without touching the corpus)."""
+    esc = prefix.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKENIZE.format(col="text")} AS toks FROM documents)
+SELECT doc_id,
+       len(list_filter(toks, t -> t LIKE '{esc}%' ESCAPE '\\'))::bigint
+         AS match_count
+FROM docs
+WHERE len(list_filter(toks, t -> t LIKE '{esc}%' ESCAPE '\\')) > 0
+ORDER BY match_count DESC, doc_id ASC"""
+
+
 def fuzzy_phrase_sql(query: str, max_mistakes: int = 1) -> str:
     from data_text_search_spark.functions.text import tokenize_py
     qtokens = tokenize_py(query)

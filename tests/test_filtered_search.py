@@ -1,0 +1,162 @@
+"""Filtered BM25 search (filter-context allow sets) + prefix search.
+
+Filter contract (IndexSearcher.search(keep=...)): only allowed docs may
+appear; corpus statistics and surviving scores are UNCHANGED (Lucene/ES
+filter-context). Two exact paths: decode-time mask (small sets) and the
+distributed checkpoint-scoring semi-join (sets past FILTER_BROADCAST_MAX)
+— identical rows.
+
+Prefix contract (IndexSearcher.prefix_search): per doc, occurrences of
+tokens starting with the prefix, answered from the term dictionary + tf
+varints with no corpus scan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from data_text_search_spark.config import BM25Config
+from data_text_search_spark.fixtures.corpus import corpus_pandas
+from data_text_search_spark.functions.text import tokenize_py
+from data_text_search_spark.operators.index_build import build_index
+from data_text_search_spark.operators.index_query import IndexSearcher
+from data_text_search_spark.streaming.incremental import delete_documents
+from tests.oracle_bm25 import OracleBM25
+
+QUERY = "def return import"
+N = 150
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf = corpus_pandas(N).reset_index().rename(columns={"index": "doc_id"})
+    return pdf, spark.createDataFrame(pdf)
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    _, df = corpus
+    root = str(tmp_path_factory.mktemp("fidx") / "idx")
+    build_index(spark, df, root, BM25Config(), id_col="doc_id",
+                shards=4, groups=1)
+    return root
+
+
+def _rows(df, nd=9):
+    return [(r["doc_id"], round(r["score"], nd)) for r in df.collect()]
+
+
+def _oracle_filtered(pdf, keep: set[int], n=10):
+    """Full-corpus stats, scored set restricted to `keep` — exactly the
+    filter-context contract."""
+    corpus = [tokenize_py(t.lower()) for t in pdf["content"]]
+    bm = OracleBM25(corpus, alpha=-math.inf)
+    scores = bm.scores(tokenize_py(QUERY.lower()))
+    hits = [(d, s) for d, s in scores.items() if d in keep]
+    hits.sort(key=lambda kv: (-kv[1], kv[0]))
+    return [(d, round(s, 9)) for d, s in hits[:n]]
+
+
+def test_filtered_matches_oracle_with_full_stats(spark, corpus, index):
+    pdf, df = corpus
+    keep = df.filter(df.doc_id % 3 == 0).select("doc_id")
+    s = IndexSearcher(spark, index)
+    got = _rows(s.search(QUERY, 10, keep=keep))
+    assert got == _oracle_filtered(pdf, {i for i in range(N) if i % 3 == 0})
+    # unfiltered ranks differ (the filter actually bit)
+    assert got != _rows(s.search(QUERY, 10))
+
+
+def test_filtered_iterable_and_empty_keep(spark, corpus, index):
+    pdf, _ = corpus
+    s = IndexSearcher(spark, index)
+    got = _rows(s.search(QUERY, 10, keep=range(0, N, 3)))
+    assert got == _oracle_filtered(pdf, set(range(0, N, 3)))
+    assert s.search(QUERY, 10, keep=[]).count() == 0
+    # keep of only-absent ids is empty too
+    assert s.search(QUERY, 10, keep=[10 ** 9]).count() == 0
+
+
+def test_checkpoint_path_identical_to_mask_path(spark, corpus, index):
+    _, df = corpus
+    keep = df.filter(df.doc_id % 3 == 0).select("doc_id")
+    s = IndexSearcher(spark, index)
+    mask = _rows(s.search(QUERY, 10, keep=keep), nd=12)
+    s.FILTER_BROADCAST_MAX = 0  # force the distributed semi-join path
+    ckpt = _rows(s.search(QUERY, 10, keep=keep), nd=12)
+    assert ckpt == mask
+
+
+def test_filter_composes_with_tombstones(spark, corpus, tmp_path):
+    pdf, df = corpus
+    root = str(tmp_path / "idx")
+    build_index(spark, df, root, BM25Config(), id_col="doc_id",
+                shards=2, groups=1)
+    dead = list(range(0, N, 10))
+    delete_documents(spark, root, dead)
+    s = IndexSearcher(spark, root)
+    keep = df.filter(df.doc_id % 2 == 0).select("doc_id")
+    want = _oracle_filtered(
+        pdf, {i for i in range(N) if i % 2 == 0 and i % 10 != 0})
+    assert _rows(s.search(QUERY, 10, keep=keep)) == want
+    s.FILTER_BROADCAST_MAX = 0
+    assert _rows(s.search(QUERY, 10, keep=keep)) == want
+
+
+# ---------------------------------------------------------------- prefix
+
+
+def _brute_prefix(pdf, prefix):
+    out = {}
+    for d, t in zip(pdf["doc_id"], pdf["content"]):
+        c = sum(1 for tok in tokenize_py(t.lower()) if tok.startswith(prefix))
+        if c:
+            out[int(d)] = c
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_prefix_search_matches_brute_force(spark, corpus, index):
+    pdf, _ = corpus
+    s = IndexSearcher(spark, index)
+    got = [(r["doc_id"], r["match_count"])
+           for r in s.prefix_search("re").collect()]
+    assert got == _brute_prefix(pdf, "re") and got
+    assert s.prefix_search("zzzznope").count() == 0
+
+
+def test_prefix_search_includes_alpha_pruned_terms(spark, corpus, tmp_path):
+    pdf, df = corpus
+    root = str(tmp_path / "idx")
+    # alpha=1.0 prunes hot terms from the postings; the checkpoint
+    # branch must still count them for prefix matching
+    build_index(spark, df, root, BM25Config(alpha=1.0), id_col="doc_id",
+                shards=2, groups=1)
+    s = IndexSearcher(spark, root)
+    got = [(r["doc_id"], r["match_count"])
+           for r in s.prefix_search("re").collect()]
+    assert got == _brute_prefix(pdf, "re")
+
+
+def test_prefix_search_guards(spark, corpus, index):
+    s = IndexSearcher(spark, index)
+    with pytest.raises(ValueError, match="empty prefix"):
+        s.prefix_search("")
+    with pytest.raises(ValueError, match="more than"):
+        s.prefix_search("r", max_terms=1)
+
+
+def test_prefix_search_masks_tombstones(spark, corpus, tmp_path):
+    pdf, df = corpus
+    root = str(tmp_path / "idx")
+    build_index(spark, df, root, BM25Config(), id_col="doc_id",
+                shards=2, groups=1)
+    dead = list(range(0, N, 4))
+    delete_documents(spark, root, dead)
+    s = IndexSearcher(spark, root)
+    got = [(r["doc_id"], r["match_count"])
+           for r in s.prefix_search("re").collect()]
+    want = [(d, c) for d, c in _brute_prefix(pdf, "re") if d % 4 != 0]
+    assert got == want
