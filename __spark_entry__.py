@@ -795,6 +795,22 @@ def q_bm25_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "score_abs")
 
 
+BOOL_MUST, BOOL_NOT = "window", "dup"
+
+
+def q_bm25_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-style boolean query: flagship SHOULD terms scored, one
+    required and one forbidden term as pure filters (clause doc sets
+    from the postings, composed through filtered search) — hash-checked
+    against a DuckDB oracle with IN / NOT IN doc-set subqueries over
+    full-corpus stats."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.boolean_search(FLAGSHIP_QUERY, must=[BOOL_MUST],
+                           must_not=[BOOL_NOT], n=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      "score_abs")
+
+
 def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrefixQuery answered entirely from the persisted index (term
     dictionary scan -> tf varints, no corpus scan in the plan) —
@@ -897,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_indexed": q_phrase_search_indexed,
         "bm25_topk_deleted": q_bm25_topk_deleted,
         "bm25_topk_filtered": q_bm25_topk_filtered,
+        "bm25_boolean": q_bm25_boolean,
         "prefix_search": q_prefix_search,
     }
 
@@ -983,4 +1000,10 @@ def oracle_sql() -> dict[str, str]:
             doc_filter="tf.doc_id IN (SELECT doc_id FROM documents "
                        "WHERE lang = 'en')"),
         "prefix_search": osql.prefix_search_sql(TERM_PREFIX),
+        "bm25_boolean": osql.bm25_topk_sql(
+            FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha,
+            doc_filter=(
+                f"tf.doc_id IN (SELECT doc_id FROM tf "
+                f"WHERE term = '{BOOL_MUST}') AND tf.doc_id NOT IN "
+                f"(SELECT doc_id FROM tf WHERE term = '{BOOL_NOT}')")),
     }

@@ -931,32 +931,35 @@ class IndexSearcher:
         T = Tq * Td
         return spark.range(0, T, 1, T).mapInPandas(run, schema=schema), Td
 
-    def search_batch(self, queries: list[str], n: int = 10) -> DataFrame:
-        """Top-n per query for a batch, one Spark job.
+    def search_batch(self, queries: list[str], n: int = 10,
+                     keep=None) -> DataFrame:
+        """Top-n per query for a batch, one Spark job. `keep` = the same
+        filter-context allow set as `search` (one set, applied to every
+        query in the batch).
 
         Returns (query_id int, doc_id long, score double, rank int,
         score_abs double); query_id is the position in `queries`.
         """
-        res = self._search_batch_impl(queries, n)
+        res = self._search_batch_impl(queries, n, keep)
         if isinstance(res, DataFrame):
             return res
         return self.spark.createDataFrame(res, schema=self.OUT_SCHEMA_BATCH)
 
     def search_batch_pandas(self, queries: list[str],
-                            n: int = 10) -> pd.DataFrame:
+                            n: int = 10, keep=None) -> pd.DataFrame:
         """Bulk-throughput surface: exactly search_batch's rows, returned
         as a pandas DataFrame. When the driver scatter-gather merge
         applies (it almost always does), this skips the
         pandas→Spark→Row round trip that `search_batch(...).collect()`
         pays just to satisfy the DataFrame signature — the reference
         returns pandas frames too (bm25_functions.py:619-640)."""
-        res = self._search_batch_impl(queries, n)
+        res = self._search_batch_impl(queries, n, keep)
         if isinstance(res, DataFrame):
             return res.toPandas()
         return res
 
-    def _search_batch_impl(self, queries: list[str],
-                           n: int) -> "pd.DataFrame | DataFrame":
+    def _search_batch_impl(self, queries: list[str], n: int,
+                           keep=None) -> "pd.DataFrame | DataFrame":
         """Batches are deduplicated DRIVER-SIDE before anything else runs:
         real query streams are Zipfian (hot queries repeat), and every
         serial per-query cost — tokenization, the kernel's per-termset
@@ -1006,9 +1009,20 @@ class IndexSearcher:
             str_eff[si] = e
         # per original position: its effective query id (-1 = no results)
         orig_eff = str_eff[inv_str]
+        allow = None
+        if keep is not None:
+            arr = self._resolve_keep(keep)
+            if arr is None:    # too large to collect: distributed path
+                per_eff = self._batch_filtered_checkpoint(qterms, qidf, n,
+                                                          keep)
+                return self._expand_eff_df(per_eff, orig_eff)
+            if not arr.size:
+                return _merge_topn_driver(empty, n)
+            allow = (spark.sparkContext.broadcast(arr)
+                     if arr.size > 1_000_000 else arr)
         kernel = _batch_kernel_factory(qterms, n, self.codec, qidf,
                                        self.avgdl, self.k1, self.b,
-                                       tomb=self._tomb_handle)
+                                       tomb=self._tomb_handle, allow=allow)
         kschema = "query_id int, doc_id long, score double"
         if self._units is not None:
             local, tasks = self._colocated_batch_grid(qterms, kernel,
@@ -1046,10 +1060,15 @@ class IndexSearcher:
                     (F.col("pos") + 1).cast("int").alias("rank"),
                     F.abs(F.round("it.score", 2)).alias("score_abs"))
         )
-        # fan back out to original positions: broadcast the tiny
-        # (position, effective-id) map and re-key (rank/scores are
-        # identical for duplicate queries by construction)
-        pos_map = spark.createDataFrame(
+        return self._expand_eff_df(per_eff, orig_eff)
+
+    def _expand_eff_df(self, per_eff: DataFrame,
+                       orig_eff: np.ndarray) -> DataFrame:
+        """Fan effective-query results back out to original positions:
+        broadcast the tiny (position, effective-id) map and re-key
+        (rank/scores are identical for duplicate queries by
+        construction)."""
+        pos_map = self.spark.createDataFrame(
             [(int(i), int(e)) for i, e in enumerate(orig_eff) if e >= 0],
             "pos int, eff int")
         return (per_eff.join(F.broadcast(pos_map),
@@ -1057,6 +1076,61 @@ class IndexSearcher:
                 .select(F.col("pos").alias("query_id"), "doc_id", "score",
                         "rank", "score_abs")
                 .orderBy("query_id", "rank"))
+
+    def _batch_filtered_checkpoint(self, qterms: dict[int, dict[str, int]],
+                                   qidf: dict[str, float], n: int,
+                                   keep: DataFrame) -> DataFrame:
+        """Batch form of _search_filtered_checkpoint — ONE distributed
+        plan for the whole batch: checkpoint pairs explode once over the
+        UNION of query terms, a broadcast (query, term, count) table
+        fans each posting into its queries' contributions, per-(query,
+        doc) sorted-term fold pins the accumulation order, and a
+        per-query window takes top-n. The allow set stays a shuffle
+        semi-join; it never lands on the driver."""
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
+        spark = self.spark
+        tok = spark.read.parquet(
+            *committed_tokenized_paths(self.paths.root, self.manifest))
+        tdf = self._tombstone_df()
+        if tdf is not None:
+            tok = tok.join(tdf, "doc_id", "left_anti")
+        keep_ids = keep.select(
+            F.col(keep.columns[0]).cast("long").alias("doc_id"))
+        tok = tok.join(keep_ids, "doc_id", "left_semi")
+        all_terms = sorted({t for c in qterms.values() for t in c})
+        qt = spark.createDataFrame(
+            [(int(q), t, int(c)) for q, counts in sorted(qterms.items())
+             for t, c in sorted(counts.items())],
+            "query_id int, term string, qcount int")
+        idf_m = F.create_map(*[x for t in all_terms
+                               for x in (F.lit(t), F.lit(float(qidf[t])))])
+        k1, b, avgdl = float(self.k1), float(self.b), float(self.avgdl)
+        tf = F.col("tf").cast("double")
+        dl = F.col("doc_len").cast("double")
+        imp = ((idf_m[F.col("term")] * tf) * F.lit(k1 + 1)
+               / (tf + F.lit(k1) * (F.lit(1 - b) + (F.lit(b) * dl)
+                                    / F.lit(avgdl))))
+        contrib = (tok
+                   .select("doc_id", "doc_len", F.explode("pairs").alias("p"))
+                   .filter(F.col("p.term").isin(all_terms))
+                   .select("doc_id", "doc_len",
+                           F.col("p.term").alias("term"),
+                           F.col("p.tf").alias("tf"))
+                   .join(F.broadcast(qt), "term")
+                   .select("query_id", "doc_id", "term",
+                           (F.col("qcount") * imp).alias("c")))
+        scored = (contrib.groupBy("query_id", "doc_id")
+                  .agg(F.aggregate(
+                      F.array_sort(F.collect_list(F.struct("term", "c"))),
+                      F.lit(0.0), lambda acc, x: acc + x["c"])
+                      .alias("score")))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                                   F.asc("doc_id"))
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= n)
+                .withColumn("score_abs", F.abs(F.round("score", 2))))
 
     def _query_terms(self, query: str) -> tuple[
             dict[str, int], list[int], dict[str, float]]:
@@ -1298,6 +1372,73 @@ class IndexSearcher:
         if local is None:
             return spark.createDataFrame([], "doc_id long, match_count long")
         return local.orderBy(F.desc("match_count"), F.asc("doc_id"))
+
+    def boolean_search(self, query: str, must=(), must_not=(),
+                       n: int = 10, keep=None) -> DataFrame:
+        """Lucene BooleanQuery restated for this index: `query` terms
+        SCORE (should-clauses), `must` entries are required and
+        `must_not` entries forbidden as PURE FILTERS — filter-context
+        semantics, they gate membership and never touch scoring or
+        corpus statistics (put a term in `query` too if it should also
+        score, exactly Lucene's should+must composition).
+
+        Each clause's doc set comes from the persisted index through
+        the same weighted-tf kernels as prefix/fuzzy search (term-pruned
+        posting scan; alpha-pruned terms via the checkpoint; no corpus
+        scan), must-sets intersect / must_not-sets subtract as DataFrame
+        semi/anti-joins, and the result runs through filtered search —
+        so both of its exact paths (decode mask / distributed checkpoint
+        semi-join) and tombstone composition apply unchanged. `keep`
+        intersects a further external allow set. A must term absent from
+        the corpus vocabulary returns the typed empty result."""
+        spark = self.spark
+        must_terms = sorted({t for m in must for t in tokenize_py(m)})
+        not_terms = sorted({t for m in must_not for t in tokenize_py(m)})
+        empty = RESULT_SCHEMA + ", rank int, score_abs double"
+        both = must_terms + not_terms
+        pr: dict[str, bool] = {}
+        if both:
+            ts = self._term_stats_all
+            if "pruned" not in ts.columns:
+                ts = ts.withColumn("pruned", F.lit(False))
+            pr = {r["term"]: bool(r["pruned"]) for r in
+                  ts.filter(F.col("term").isin(both))
+                  .select("term", "pruned").collect()}
+        if any(t not in pr for t in must_terms):
+            return spark.createDataFrame([], empty)
+
+        def docs_of(t: str) -> DataFrame:
+            w = {t: 1}
+            d = self._tf_weighted_counts({} if pr[t] else w,
+                                         w if pr[t] else {})
+            return d.select("doc_id")
+
+        if keep is None:
+            kdf = None
+        elif isinstance(keep, DataFrame):
+            kdf = keep.select(
+                F.col(keep.columns[0]).cast("long").alias("doc_id"))
+        else:
+            kdf = spark.createDataFrame([(int(i),) for i in keep],
+                                        "doc_id long")
+        for t in must_terms:
+            kdf = (docs_of(t) if kdf is None
+                   else kdf.join(docs_of(t), "doc_id", "left_semi"))
+        nots = [docs_of(t) for t in not_terms if t in pr]
+        if nots:
+            ndf = nots[0]
+            for d in nots[1:]:
+                ndf = ndf.unionByName(d)
+            if kdf is None:
+                # pure-NOT query: the allow universe is every live doc
+                kdf = spark.read.parquet(
+                    *committed_doc_stats_paths(self.paths.root,
+                                               self.manifest)
+                ).select("doc_id")
+            kdf = kdf.join(ndf, "doc_id", "left_anti")
+        if kdf is None:
+            return self.search(query, n)
+        return self.search(query, n, keep=kdf)
 
     def _resolve_keep(self, keep) -> "np.ndarray | None":
         """Normalize a filtered-search allow set to a sorted int64 array;

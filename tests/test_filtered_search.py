@@ -106,6 +106,76 @@ def test_filter_composes_with_tombstones(spark, corpus, tmp_path):
     assert _rows(s.search(QUERY, 10, keep=keep)) == want
 
 
+def test_batch_keep_matches_single_filtered(spark, corpus, index):
+    _, df = corpus
+    keep = df.filter(df.doc_id % 3 == 0).select("doc_id")
+    s = IndexSearcher(spark, index)
+    queries = [QUERY, "class self", QUERY]  # dup query exercises dedup
+    b = s.search_batch(queries, 5, keep=keep).collect()
+    by_q = {}
+    for r in b:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], round(r["score"], 9)))
+    for qi, q in enumerate(queries):
+        assert by_q.get(qi, []) == _rows(s.search(q, 5, keep=keep)), q
+    # forced distributed path: identical rows
+    s.FILTER_BROADCAST_MAX = 0
+    b2 = s.search_batch(queries, 5, keep=keep).collect()
+    assert sorted((r["query_id"], r["doc_id"], round(r["score"], 9),
+                   r["rank"]) for r in b2) \
+        == sorted((r["query_id"], r["doc_id"], round(r["score"], 9),
+                   r["rank"]) for r in b)
+    # empty keep
+    s.FILTER_BROADCAST_MAX = IndexSearcher.FILTER_BROADCAST_MAX
+    assert s.search_batch(queries, 5, keep=[]).count() == 0
+
+
+# --------------------------------------------------------------- boolean
+
+
+def _oracle_boolean(pdf, must, must_not, n=10):
+    toks = {int(d): set(tokenize_py(t.lower()))
+            for d, t in zip(pdf["doc_id"], pdf["content"])}
+    keep = {d for d, ts in toks.items()
+            if all(m in ts for m in must)
+            and not any(m in ts for m in must_not)}
+    return _oracle_filtered(pdf, keep, n)
+
+
+def test_boolean_search_matches_oracle(spark, corpus, index):
+    pdf, _ = corpus
+    s = IndexSearcher(spark, index)
+    got = _rows(s.boolean_search(QUERY, must=["class"],
+                                 must_not=["lambda"], n=10))
+    want = _oracle_boolean(pdf, ["class"], ["lambda"])
+    assert got == want and got
+    # pure-NOT: universe minus the forbidden docs
+    got2 = _rows(s.boolean_search(QUERY, must_not=["class"], n=10))
+    assert got2 == _oracle_boolean(pdf, [], ["class"])
+    # absent must term -> typed empty; absent must_not -> ignored
+    assert s.boolean_search(QUERY, must=["zzznope"]).count() == 0
+    assert _rows(s.boolean_search(QUERY, must_not=["zzznope"], n=10)) \
+        == _rows(s.search(QUERY, 10))
+
+
+def test_boolean_search_with_pruned_must_term(spark, corpus, tmp_path):
+    pdf, df = corpus
+    root = str(tmp_path / "idx")
+    # alpha=1.0 prunes hot terms from postings; must-clauses on them
+    # must still resolve exactly through the checkpoint branch
+    build_index(spark, df, root, BM25Config(alpha=1.0), id_col="doc_id",
+                shards=2, groups=1)
+    s = IndexSearcher(spark, root)
+    hot = "def"  # hot in the synthetic corpus -> pruned at alpha=1.0
+    # scoring terms must SURVIVE alpha=1.0 (df-rare), else nothing scores
+    got = {r["doc_id"] for r in
+           s.boolean_search("get_heap override", must=[hot],
+                            n=10 ** 6).collect()}
+    toks = {int(d): set(tokenize_py(t.lower()))
+            for d, t in zip(pdf["doc_id"], pdf["content"])}
+    assert got and got <= {d for d, ts in toks.items() if hot in ts}
+
+
 # ---------------------------------------------------------------- prefix
 
 
