@@ -1373,6 +1373,65 @@ class IndexSearcher:
             return spark.createDataFrame([], "doc_id long, match_count long")
         return local.orderBy(F.desc("match_count"), F.asc("doc_id"))
 
+    def explain(self, query: str, n: int = 10) -> dict:
+        """Query EXPLAIN without executing: per-term dictionary stats
+        (df, idf, query count) plus every execution decision search()
+        would take for this query — interactive-local eligibility,
+        distributed executor form (colocated units vs bucket-pruned
+        scan), task count, whether the scatter-gather driver merge
+        applies, buckets touched, posting volume to decode, and active
+        tombstone masking. Reads ONLY the term dictionary (vocab-sized);
+        never decodes a posting — safe to call per query at any index
+        size."""
+        counts = Counter(tokenize_py(query))
+        qcounts, buckets, qidf = self._query_terms(query)
+        if self._term_map is not None:
+            dfs = {t: int(self._term_map[t][2]) for t in qcounts}
+        else:
+            dfs = {r["term"]: int(r["df"]) for r in
+                   self.term_stats.filter(F.col("term").isin(list(qcounts)))
+                   .select("term", "df").collect()}
+        missing = sorted(set(counts) - set(qcounts))
+        pruned: list[str] = []
+        if missing and "pruned" in self._term_stats_all.columns:
+            pruned = sorted(r["term"] for r in self._term_stats_all
+                            .filter(F.col("term").isin(missing)
+                                    & F.col("pruned"))
+                            .select("term").collect())
+        total = sum(dfs.values())
+        n_terms = self.manifest.get("metrics", {}).get("n_terms")
+        local_ok = (bool(qcounts) and total <= self.LOCAL_MAX_POSTINGS
+                    and (self._term_map is not None
+                         or n_terms is None
+                         or n_terms <= self.DRIVER_TERM_CACHE_MAX))
+        if self._units is not None:
+            tasks = min(len(self._units),
+                        self.spark.sparkContext.defaultParallelism)
+            executor = "colocated-units"
+        else:
+            tasks = self._kernel_parts()
+            executor = "bucket-pruned-scan"
+        return {
+            "query": query,
+            "terms": [{"term": t, "qcount": int(c), "df": dfs[t],
+                       "idf": float(qidf[t])}
+                      for t, c in sorted(qcounts.items())],
+            "absent_terms": [t for t in missing if t not in pruned],
+            "alpha_pruned_terms": pruned,
+            "postings_to_decode": int(total),
+            "codec": self.codec,
+            "tombstones_masked": (int(self._tombstones.size)
+                                  if self._tombstones is not None else 0),
+            "plan": {
+                "interactive_local_eligible": local_ok,
+                "distributed_executor": executor,
+                "tasks": int(tasks),
+                "buckets_touched": len(buckets),
+                "term_buckets": int(self.manifest["term_buckets"]),
+                "driver_merge": tasks * n <= self.DRIVER_MERGE_MAX_ROWS,
+            },
+        }
+
     def boolean_search(self, query: str, must=(), must_not=(),
                        n: int = 10, keep=None) -> DataFrame:
         """Lucene BooleanQuery restated for this index: `query` terms

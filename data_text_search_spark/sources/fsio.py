@@ -176,6 +176,28 @@ def delete(path: str, spark: SparkSession | None = None) -> None:
     fs.delete(p, True)
 
 
+def du(path: str, spark: SparkSession | None = None) -> int:
+    """Recursive byte size of a file/dir; 0 when missing. Local: one
+    os.walk; remote: the namenode's getContentSummary (HDFS answers
+    from metadata; object stores list — fine for the inspection
+    call-sites, which run once per report, never per query)."""
+    if is_local(path):
+        lp = local_path(path)
+        if os.path.isfile(lp):
+            return os.path.getsize(lp)
+        total = 0
+        for root, _, files in os.walk(lp):
+            for f in files:
+                fp = os.path.join(root, f)
+                if os.path.exists(fp):
+                    total += os.path.getsize(fp)
+        return total
+    fs, p, _ = _jfs(path, spark)
+    if not fs.exists(p):
+        return 0
+    return int(fs.getContentSummary(p).getLength())
+
+
 def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
     """Directory/file move. Atomic on posix/HDFS; copy+delete on s3a."""
     if is_local(src) and is_local(dst):
