@@ -107,6 +107,20 @@ def q_bm25_topk_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion of the flagship query through
+    the physical index (IndexSearcher.search_expanded): initial top-10,
+    tf·idf term-mass over that feedback set picks 10 expansion terms
+    (each entering the exact scorer with integer count 1), re-scored.
+    The DuckDB oracle replays the whole two-stage protocol in SQL
+    (oracle_sql.bm25_expanded_sql) so the expanded ranking is
+    hash-checked end to end, not just the final scorer."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.search_expanded(FLAGSHIP_QUERY, 10, fb_docs=10, fb_terms=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 def q_bm25_topk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query through the COMPACT posting codec ((delta, tf,
     doc_len) varints, impacts recomputed exactly at decode) — same DuckDB
@@ -865,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
         "bm25_topk_physical": q_bm25_topk_physical,
+        "bm25_expanded": q_bm25_expanded,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_incremental": q_bm25_topk_incremental,
@@ -924,6 +939,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_physical": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                                  alpha=APP_CFG.alpha),
         "bm25_topk_compact": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                                alpha=APP_CFG.alpha),
+        "bm25_expanded": osql.bm25_expanded_sql(FLAGSHIP_QUERY, k=10,
+                                                fb_docs=10, fb_terms=10,
                                                 alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),

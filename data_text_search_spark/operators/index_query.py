@@ -1134,7 +1134,13 @@ class IndexSearcher:
 
     def _query_terms(self, query: str) -> tuple[
             dict[str, int], list[int], dict[str, float]]:
-        counts = Counter(tokenize_py(query))
+        return self._terms_from_counts(Counter(tokenize_py(query)))
+
+    def _terms_from_counts(self, counts) -> tuple[
+            dict[str, int], list[int], dict[str, float]]:
+        """Dictionary lookup for an explicit (term -> count) multiset —
+        the shared tail of _query_terms, also the entry point for
+        expanded queries whose counts are synthesized, not tokenized."""
         if not counts:
             return {}, [], {}
         if self._term_map is not None:
@@ -1169,7 +1175,13 @@ class IndexSearcher:
         FILTER_BROADCAST_MAX switch to a distributed checkpoint-scoring
         plan (shuffle semi-join — the filter never moves to the driver);
         both paths return identical rows (pytest-pinned)."""
-        qcounts, buckets, qidf = self._query_terms(query)
+        return self._search_counts(Counter(tokenize_py(query)), n, keep)
+
+    def _search_counts(self, counts, n: int = 10, keep=None) -> DataFrame:
+        """search() over an explicit (term -> count) multiset — the
+        whole execution path behind search, also driven directly by
+        search_expanded with synthesized counts."""
+        qcounts, buckets, qidf = self._terms_from_counts(counts)
         spark = self.spark
         empty = RESULT_SCHEMA + ", rank int, score_abs double"
         if not qcounts:
@@ -1372,6 +1384,59 @@ class IndexSearcher:
         if local is None:
             return spark.createDataFrame([], "doc_id long, match_count long")
         return local.orderBy(F.desc("match_count"), F.asc("doc_id"))
+
+    def feedback_terms(self, query: str, fb_docs: int = 10,
+                       fb_terms: int = 10) -> list[tuple[str, float]]:
+        """Pseudo-relevance-feedback term selection (the RM3 / Lucene
+        MoreLikeThis shape, deterministic): take the top `fb_docs` of
+        the initial query, rank the terms of those docs by tf·idf MASS
+        over the feedback set (Σ_{d∈R} tf(t,d) · idf(t), live terms
+        only — alpha-pruned terms can never score so they never expand),
+        return the top `fb_terms` as (term, mass), mass desc / term asc.
+
+        Scale shape: the feedback set is k docs, so the term-mass pass
+        is an isin-pruned checkpoint scan over fb_docs rows (partition-
+        prunable by doc hash) + one vocab-bounded aggregate — independent
+        of corpus size. No RM3 interpolation weights: expansion terms
+        enter the final query as integer count 1, keeping the engine's
+        exact integer count-multiplier machinery (and the DuckDB oracle)
+        bit-exact."""
+        base = [r["doc_id"] for r in self.search(query, fb_docs).collect()]
+        if not base:
+            return []
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
+        spark = self.spark
+        tok = (spark.read.parquet(
+            *committed_tokenized_paths(self.paths.root, self.manifest))
+            .filter(F.col("doc_id").isin([int(d) for d in base])))
+        ts = self.term_stats  # live (unpruned) terms only
+        mass = (tok.select(F.explode("pairs").alias("p"))
+                .select(F.col("p.term").alias("term"),
+                        F.col("p.tf").cast("long").alias("tf"))
+                .groupBy("term").agg(F.sum("tf").alias("sum_tf"))
+                .join(ts.select("term", "idf"), "term")
+                .select("term",
+                        (F.col("sum_tf") * F.col("idf")).alias("mass"))
+                .orderBy(F.desc("mass"), F.asc("term"))
+                .limit(fb_terms).collect())
+        return [(r["term"], float(r["mass"])) for r in mass]
+
+    def search_expanded(self, query: str, n: int = 10, fb_docs: int = 10,
+                        fb_terms: int = 10) -> DataFrame:
+        """Search with pseudo-relevance-feedback expansion: the original
+        query's term counts plus count 1 for each feedback_terms pick
+        (an original term re-picked just gains a count — Lucene's
+        should-clause stacking), executed through the unchanged exact
+        search path. Two searches total: the fb_docs probe and the
+        expanded query."""
+        counts = Counter(tokenize_py(query))
+        if not counts:
+            return self.search(query, n)
+        for t, _ in self.feedback_terms(query, fb_docs, fb_terms):
+            counts[t] += 1
+        return self._search_counts(counts, n)
 
     def explain(self, query: str, n: int = 10) -> dict:
         """Query EXPLAIN without executing: per-term dictionary stats

@@ -106,6 +106,52 @@ FROM contrib GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
 
 
+def bm25_expanded_sql(query: str, k: int = 10, fb_docs: int = 10,
+                      fb_terms: int = 10, k1: float = 1.5, b: float = 0.75,
+                      alpha: float = -5.0) -> str:
+    """Pseudo-relevance-feedback twin of IndexSearcher.search_expanded:
+    initial top-fb_docs (same tie-break), term tf·idf mass over the
+    feedback set restricted to live (idf > alpha) terms, top-fb_terms
+    (mass desc, term asc), each adding qcount 1 to the original counts,
+    re-scored with the standard contribution."""
+    contrib = (f"s.idf * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + "
+               f"{b} * ds.doc_len / (SELECT avgdl FROM corpus)))")
+    return f"""WITH {_base_ctes()},
+q0(term, qcount) AS (VALUES {_values_for_query(query)}),
+contrib0 AS (
+  SELECT tf.doc_id, {contrib} * q0.qcount AS c
+  FROM tf JOIN stats s USING (term) JOIN q0 USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+),
+fb AS (
+  SELECT doc_id FROM contrib0 GROUP BY doc_id
+  ORDER BY sum(c) DESC, doc_id ASC LIMIT {fb_docs}
+),
+mass AS (
+  SELECT tf.term FROM tf JOIN fb USING (doc_id) JOIN stats s USING (term)
+  WHERE s.idf > {alpha}
+  GROUP BY tf.term, s.idf
+  ORDER BY sum(tf.tf) * s.idf DESC, tf.term ASC LIMIT {fb_terms}
+),
+q(term, qcount) AS (
+  SELECT term, sum(qcount) FROM (
+    SELECT term, qcount FROM q0
+    UNION ALL SELECT term, 1 FROM mass
+  ) GROUP BY term
+),
+contrib AS (
+  SELECT tf.doc_id, {contrib} * q.qcount AS c
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
 def bm25_batch_sql(queries: list[str], k: int = 10, k1: float = 1.5,
                    b: float = 0.75, alpha: float = -5.0) -> str:
     """Batch oracle: UNION ALL of per-query top-k, tagged with query_id

@@ -91,3 +91,17 @@ def oracle_search(texts: list[str], query: str, n: int = 10, k1: float = 1.5,
     bm = OracleBM25(corpus, k1=k1, b=b, alpha=alpha)
     qtokens = tokenize_py(str(query).lower())           # bm25_functions.py:529-540
     return bm.top_n(qtokens, n)
+
+
+def oracle_search_counts(texts: list[str], counts: dict[str, int],
+                         n: int = 10, k1: float = 1.5, b: float = 0.75,
+                         alpha: float = -math.inf) -> list[tuple[int, float]]:
+    """oracle_search over an explicit (term -> occurrence count) multiset
+    — the oracle twin of IndexSearcher._search_counts (expanded queries).
+    Occurrences are replayed term-sorted; the engine's count-multiplier
+    summation differs from per-occurrence order only by float
+    re-association, absorbed by the callers' 1e-9 tolerance."""
+    corpus = [tokenize_py(str(t).lower()) for t in texts]
+    bm = OracleBM25(corpus, k1=k1, b=b, alpha=alpha)
+    qtokens = [t for t in sorted(counts) for _ in range(counts[t])]
+    return bm.top_n(qtokens, n)

@@ -366,3 +366,36 @@ def test_index_backed_fuzzy_phrase_prunes_corpus(spark, corpus, searcher):
         F.col("pairs"), lambda p: p["term"].isin(distinct))).alias("c"))
         .filter(F.col("c") >= 1).count())
     assert 0 < n_cand < corpus.count() / 2, n_cand
+
+
+def test_search_expanded_prf_semantics(spark, searcher, corpus_pdf):
+    """Pseudo-relevance-feedback expansion (search_expanded):
+    - feedback_terms returns <= fb_terms live terms ordered by
+      (mass desc, term asc), every mass > 0;
+    - the expanded result equals running the exact scorer over the
+      original counts + 1 per expansion term (protocol replayed here
+      via the python oracle);
+    - an empty / no-op query falls back to plain search."""
+    import collections
+
+    from data_text_search_spark.functions.text import tokenize_py
+    from tests.oracle_bm25 import oracle_search_counts
+
+    q = QUERIES[0]["query_text"]
+    fb = searcher.feedback_terms(q, fb_docs=5, fb_terms=8)
+    assert 0 < len(fb) <= 8
+    masses = [m for _, m in fb]
+    assert masses == sorted(masses, reverse=True)
+    assert all(m > 0 for m in masses)
+    live = {r["term"] for r in searcher.term_stats.select("term").collect()}
+    assert {t for t, _ in fb} <= live
+
+    counts = collections.Counter(tokenize_py(q))
+    for t, _ in fb:
+        counts[t] += 1
+    want = oracle_search_counts(corpus_pdf["content"].tolist(), counts, n=10)
+    got = searcher.search_expanded(q, 10, fb_docs=5, fb_terms=8).collect()
+    _assert_parity(got, want)
+
+    # no-op fallback: an empty query expands to itself
+    assert searcher.search_expanded("   ", 10).count() == 0
