@@ -121,6 +121,41 @@ def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+MLT_SEED_DOC = 7  # exists at every sf (doc_ids are 0..N-1)
+
+
+def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis through the physical index: the seed doc's
+    top tf·idf terms become a count-1 query, seed excluded from hits.
+    The DuckDB oracle replays seed-term selection + scoring end to end
+    (oracle_sql.more_like_this_sql)."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.more_like_this(MLT_SEED_DOC, 10, m_terms=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
+def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts (Elasticsearch terms-aggregation shape) over the
+    flagship query's full match set, bucketed by documents.lang."""
+    from data_text_search_spark.operators.search_analytics import (
+        search_facets,
+    )
+    idx = _logical_index(spark, sf_dir)
+    return search_facets(idx, spark, FLAGSHIP_QUERY,
+                         _documents(spark, sf_dir), "lang")
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """significant_terms (lift heuristic) for the flagship query's
+    match set vs the whole corpus."""
+    from data_text_search_spark.operators.search_analytics import (
+        significant_terms,
+    )
+    idx = _logical_index(spark, sf_dir)
+    return significant_terms(idx, spark, FLAGSHIP_QUERY, n=20, min_fg_df=2)
+
+
 def q_bm25_topk_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship query through the COMPACT posting codec ((delta, tf,
     doc_len) varints, impacts recomputed exactly at decode) — same DuckDB
@@ -880,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_physical": q_bm25_topk_physical,
         "bm25_expanded": q_bm25_expanded,
+        "more_like_this": q_more_like_this,
+        "search_facets": q_search_facets,
+        "significant_terms": q_significant_terms,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_incremental": q_bm25_topk_incremental,
@@ -943,6 +981,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_expanded": osql.bm25_expanded_sql(FLAGSHIP_QUERY, k=10,
                                                 fb_docs=10, fb_terms=10,
                                                 alpha=APP_CFG.alpha),
+        "more_like_this": osql.more_like_this_sql(MLT_SEED_DOC, k=10,
+                                                  m_terms=10,
+                                                  alpha=APP_CFG.alpha),
+        "search_facets": osql.search_facets_sql(FLAGSHIP_QUERY, "lang",
+                                                alpha=APP_CFG.alpha),
+        "significant_terms": osql.significant_terms_sql(
+            FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

@@ -1438,6 +1438,47 @@ class IndexSearcher:
             counts[t] += 1
         return self._search_counts(counts, n)
 
+    def more_like_this(self, doc_id: int, n: int = 10,
+                       m_terms: int = 10) -> DataFrame:
+        """Lucene MoreLikeThis: find documents similar to a given one by
+        turning its most characteristic terms into a query. The seed
+        doc's live terms are ranked by tf·idf (tf from the doc itself),
+        the top `m_terms` (mass desc, term asc) form a count-1 query
+        through the unchanged exact search path, and the seed doc is
+        excluded from the hit list (over-fetch n+1, drop, re-rank —
+        cheaper than threading an exclude set through the kernels).
+
+        Scale shape: the seed-term pass reads ONE doc's row from the
+        tokenized checkpoint (partition-prunable by doc hash) + a
+        dictionary join; the query itself is a normal m_terms-term
+        search. Returns the standard (doc_id, score, rank, score_abs)
+        rows; empty if the doc is absent or has no live terms."""
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
+        spark = self.spark
+        empty = RESULT_SCHEMA + ", rank int, score_abs double"
+        tok = (spark.read.parquet(
+            *committed_tokenized_paths(self.paths.root, self.manifest))
+            .filter(F.col("doc_id") == int(doc_id)))
+        seed = (tok.select(F.explode("pairs").alias("p"))
+                .select(F.col("p.term").alias("term"),
+                        F.col("p.tf").cast("long").alias("tf"))
+                .join(self.term_stats.select("term", "idf"), "term")
+                .select("term", (F.col("tf") * F.col("idf")).alias("mass"))
+                .orderBy(F.desc("mass"), F.asc("term"))
+                .limit(m_terms).collect())
+        if not seed:
+            return spark.createDataFrame([], empty)
+        counts = Counter({r["term"]: 1 for r in seed})
+        hits = (self._search_counts(counts, n + 1)
+                .filter(F.col("doc_id") != int(doc_id))
+                .drop("rank", "score_abs"))
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
+                .withColumn("rank", F.row_number().over(w))
+                .withColumn("score_abs", F.abs(F.round("score", 2))))
+
     def explain(self, query: str, n: int = 10) -> dict:
         """Query EXPLAIN without executing: per-term dictionary stats
         (df, idf, query count) plus every execution decision search()

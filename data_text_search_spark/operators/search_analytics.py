@@ -1,0 +1,113 @@
+"""Search-analytics operators over the logical index: facet counts and
+significant terms — the Lucene/Elasticsearch aggregations a search UI
+runs NEXT TO the hit list (the reference exposes only the hit list; these
+are the standard companions, reference app.py:150-210 renders per-result
+metadata that a facet pass would aggregate).
+
+Both operators are pure declarative DataFrame pipelines over the same
+LogicalIndex tables the exhaustive scorer uses (bm25_exhaustive.py), so
+Catalyst keeps them whole-stage-codegen'd and the only wide exchanges are
+the vocab- or facet-bounded aggregates:
+
+- MATCH SET semantics: a document matches iff it contains >= 1 live
+  (post-alpha) query term — Lucene's boolean SHOULD recall set, which is
+  exactly the set of docs the BM25 scorer assigns a score. Scores are
+  never recomputed here; the per-doc sum is the same `bm25_contribution`
+  column the scorer uses.
+- 100-TB shape: the query-term table is tiny and broadcast; the match
+  set stays distributed (no driver collect); facet aggregation shuffles
+  |facet values| rows, significant-terms shuffles <= vocab rows — both
+  bounded by dictionary-scale, not corpus-scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_text_search_spark.operators.bm25_exhaustive import (
+    LogicalIndex,
+    bm25_contribution,
+    query_terms_df,
+)
+
+
+def _doc_scores(index: LogicalIndex, spark: SparkSession,
+                query: str) -> DataFrame:
+    """(doc_id, score) for EVERY matching doc (no top-k) — the scorer's
+    aggregation with the TakeOrderedAndProject lopped off."""
+    qt = query_terms_df(spark, query)
+    matched = F.broadcast(
+        qt.join(index.term_stats, "term").select("term", "qcount", "idf"))
+    return (index.term_doc.join(matched, "term")
+            .withColumn("_avgdl", F.lit(index.avgdl))
+            .withColumn("contrib", bm25_contribution(index.config))
+            .groupBy("doc_id")
+            .agg(F.sum("contrib").alias("score")))
+
+
+def search_facets(index: LogicalIndex, spark: SparkSession, query: str,
+                  meta: DataFrame, facet_col: str = "lang") -> DataFrame:
+    """Facet counts over the full match set: for each value of
+    `facet_col` in `meta` (doc_id + attribute columns), the number of
+    matching documents and the best BM25 score inside that bucket —
+    Elasticsearch's `terms` aggregation run in filter-less query context.
+
+    Returns (facet, n_docs, top_score) ordered n_docs desc, facet asc.
+    Plan: match-set scores (above) hash-joined to meta on doc_id, then a
+    facet-bounded hash aggregate — the join is doc-partitioned on both
+    sides at scale (meta bucketed by doc_id), and no row ever reaches
+    the driver."""
+    scored = _doc_scores(index, spark, query)
+    return (scored
+            .join(meta.select("doc_id", F.col(facet_col).alias("facet")),
+                  "doc_id")
+            .groupBy("facet")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.max("score"), 4).alias("top_score"))
+            .orderBy(F.desc("n_docs"), F.asc("facet")))
+
+
+def significant_terms(index: LogicalIndex, spark: SparkSession, query: str,
+                      n: int = 20, min_fg_df: int = 2) -> DataFrame:
+    """Significant-terms aggregation (Elasticsearch's significant_terms,
+    'lift' heuristic): terms overrepresented in the query's match set
+    relative to the whole corpus.
+
+        lift(t) = (fg_df / fg_n) / (bg_df / n_docs)
+
+    where fg_df = matching docs containing t, fg_n = |match set|,
+    bg_df = t's corpus document frequency. The query's own terms are
+    excluded (they trivially maximize lift); `min_fg_df` drops
+    one-document noise terms. Live (post-alpha) vocabulary only — the
+    same dictionary every scorer sees.
+
+    Returns (term, fg_df, bg_df, lift) ordered lift desc, term asc,
+    limited to `n`. Plan: the match set is doc-partitioned, the fg_df
+    aggregate shuffles <= vocab rows, the bg join is against the (already
+    aggregated, dictionary-scale) term_stats — corpus bytes are touched
+    exactly once, in the term_doc scan."""
+    qt = query_terms_df(spark, query)
+    qterms = [r["term"] for r in qt.select("term").collect()]
+    matched = F.broadcast(qt.join(index.term_stats, "term").select("term"))
+    fg_docs = (index.term_doc.join(matched, "term")
+               .select("doc_id").distinct())
+    fg_n = fg_docs.count()
+    if fg_n == 0:
+        return spark.createDataFrame(
+            [], "term string, fg_df long, bg_df long, lift double")
+    fg_df = (index.term_doc.join(fg_docs, "doc_id")
+             .groupBy("term").agg(F.count("*").alias("fg_df")))
+    out = (fg_df
+           .filter(~F.col("term").isin(qterms) if qterms else F.lit(True))
+           .filter(F.col("fg_df") >= min_fg_df)
+           .join(index.term_stats.select("term",
+                                         F.col("df").alias("bg_df")),
+                 "term")
+           .withColumn(
+               "lift",
+               (F.col("fg_df") / F.lit(float(fg_n)))
+               / (F.col("bg_df") / F.lit(float(index.n_docs)))))
+    return (out.orderBy(F.desc("lift"), F.asc("term")).limit(n)
+            .withColumn("lift", F.round("lift", 4))
+            .select("term", "fg_df", "bg_df", "lift"))

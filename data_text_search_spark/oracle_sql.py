@@ -152,6 +152,90 @@ FROM contrib GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
 
 
+def more_like_this_sql(seed_doc: int, k: int = 10, m_terms: int = 10,
+                       k1: float = 1.5, b: float = 0.75,
+                       alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.more_like_this: the seed doc's live terms
+    ranked by tf*idf (mass desc, term asc), top m_terms as a count-1
+    query, standard scoring, seed doc excluded."""
+    contrib = (f"s.idf * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + "
+               f"{b} * ds.doc_len / (SELECT avgdl FROM corpus)))")
+    return f"""WITH {_base_ctes()},
+seed AS (
+  SELECT tf.term FROM tf JOIN stats s USING (term)
+  WHERE tf.doc_id = {seed_doc} AND s.idf > {alpha}
+  ORDER BY tf.tf * s.idf DESC, tf.term ASC LIMIT {m_terms}
+),
+contrib AS (
+  SELECT tf.doc_id, {contrib} AS c
+  FROM tf JOIN stats s USING (term) JOIN seed USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha} AND tf.doc_id != {seed_doc}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
+def search_facets_sql(query: str, facet_col: str = "lang",
+                      k1: float = 1.5, b: float = 0.75,
+                      alpha: float = -5.0) -> str:
+    """Twin of search_analytics.search_facets: per-facet matching-doc
+    count + best BM25 score over the FULL match set (docs containing
+    >= 1 live query term)."""
+    contrib = (f"s.idf * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + "
+               f"{b} * ds.doc_len / (SELECT avgdl FROM corpus)))"
+               f" * q.qcount")
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+doc_scores AS (
+  SELECT tf.doc_id, sum({contrib}) AS score
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+  GROUP BY tf.doc_id
+)
+SELECT d.{facet_col} AS facet, count(*) AS n_docs,
+       round(max(ds.score), 4) AS top_score
+FROM doc_scores ds JOIN documents d USING (doc_id)
+GROUP BY d.{facet_col}
+ORDER BY n_docs DESC, facet ASC"""
+
+
+def significant_terms_sql(query: str, n: int = 20, min_fg_df: int = 2,
+                          alpha: float = -5.0) -> str:
+    """Twin of search_analytics.significant_terms: lift of each live
+    non-query term in the match set vs the corpus, top-n by exact lift
+    (rounded only for display)."""
+    counts = Counter(tokenize_py(query))
+    qlist = ", ".join(f"'{t}'" for t in sorted(counts)) or "''"
+    return f"""WITH {_base_ctes()},
+q(term) AS (VALUES {', '.join(f"('{t}')" for t in sorted(counts))}),
+fg_docs AS (
+  SELECT DISTINCT tf.doc_id
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  WHERE s.idf > {alpha}
+),
+fg_n AS (SELECT count(*) AS n FROM fg_docs),
+fg AS (
+  SELECT tf.term, count(*) AS fg_df
+  FROM tf JOIN fg_docs USING (doc_id)
+  GROUP BY tf.term
+),
+lifted AS (
+  SELECT fg.term, fg.fg_df, s.df AS bg_df,
+         (fg.fg_df / (SELECT n FROM fg_n))
+           / (s.df / (SELECT n FROM corpus)) AS lift
+  FROM fg JOIN stats s ON fg.term = s.term
+  WHERE s.idf > {alpha} AND fg.fg_df >= {min_fg_df}
+    AND fg.term NOT IN ({qlist})
+  ORDER BY lift DESC, fg.term ASC LIMIT {n}
+)
+SELECT term, fg_df, bg_df, round(lift, 4) AS lift FROM lifted
+ORDER BY lift DESC, term ASC"""
+
+
 def bm25_batch_sql(queries: list[str], k: int = 10, k1: float = 1.5,
                    b: float = 0.75, alpha: float = -5.0) -> str:
     """Batch oracle: UNION ALL of per-query top-k, tagged with query_id

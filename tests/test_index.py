@@ -399,3 +399,32 @@ def test_search_expanded_prf_semantics(spark, searcher, corpus_pdf):
 
     # no-op fallback: an empty query expands to itself
     assert searcher.search_expanded("   ", 10).count() == 0
+
+
+def test_more_like_this_semantics(spark, searcher, corpus_pdf):
+    """MoreLikeThis: seed doc excluded, result equals the exact scorer
+    over the seed doc's top tf·idf terms as a count-1 query (protocol
+    replayed via the python oracle), absent doc -> empty."""
+    import collections
+
+    from data_text_search_spark.functions.text import tokenize_py
+    from tests.oracle_bm25 import OracleBM25, oracle_search_counts
+
+    seed = 7
+    got = searcher.more_like_this(seed, 10, m_terms=10).collect()
+    assert got and all(r["doc_id"] != seed for r in got)
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+    # replay seed-term selection: top-10 live terms of doc 7 by tf*idf
+    texts = corpus_pdf["content"].tolist()
+    corpus_toks = [tokenize_py(str(t).lower()) for t in texts]
+    bm = OracleBM25(corpus_toks)
+    tf7 = collections.Counter(corpus_toks[seed])
+    mass = sorted(((t, c * bm.idf[t]) for t, c in tf7.items()
+                   if t in bm.idf), key=lambda kv: (-kv[1], kv[0]))[:10]
+    counts = {t: 1 for t, _ in mass}
+    want = [(d, s) for d, s in
+            oracle_search_counts(texts, counts, n=11) if d != seed][:10]
+    _assert_parity(got, want)
+
+    assert searcher.more_like_this(10**9, 5).count() == 0

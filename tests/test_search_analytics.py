@@ -1,0 +1,110 @@
+"""Facet counts + significant terms over the logical index: semantics
+pinned against independently computed pure-Python truths on the fixture
+corpus (the DuckDB hash gate runs separately in test_entry_contract)."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_text_search_spark.config import BM25Config
+from data_text_search_spark.functions.text import tokenize_py
+from data_text_search_spark.operators import bm25_exhaustive as bx
+from data_text_search_spark.operators.search_analytics import (
+    search_facets,
+    significant_terms,
+)
+
+QUERY = "hash join table scan"
+
+
+@pytest.fixture(scope="module")
+def lidx(spark, corpus):
+    prep = bx.ingest(corpus, id_col="doc_id").persist()
+    return bx.build_logical(prep, BM25Config(alpha=-5.0), persist=True)
+
+
+def _py_match_set(corpus_pdf, query, alpha=-5.0):
+    """Docs containing >= 1 live query term, plus per-doc BM25 score."""
+    texts = corpus_pdf["content"].tolist()
+    toks = [tokenize_py(str(t).lower()) for t in texts]
+    n = len(toks)
+    df = Counter()
+    for t in toks:
+        df.update(set(t))
+    idf = {w: math.log(n - d + 0.5) - math.log(d + 0.5)
+           for w, d in df.items()}
+    live = {w for w, v in idf.items() if v > alpha}
+    avgdl = sum(len(t) for t in toks) / n
+    q = Counter(tokenize_py(query.lower()))
+    scores = {}
+    for i, t in enumerate(toks):
+        tf = Counter(t)
+        s = 0.0
+        hit = False
+        for w, qc in sorted(q.items()):
+            if w in tf and w in live:
+                hit = True
+                d = tf[w] + 1.5 * (1 - 0.75 + 0.75 * len(t) / avgdl)
+                s += idf[w] * tf[w] * 2.5 / d * qc
+        if hit:
+            scores[i] = s
+    return scores, toks, live, df, n
+
+
+def test_search_facets_counts_and_scores(spark, corpus, corpus_pdf, lidx):
+    got = {r["facet"]: (r["n_docs"], r["top_score"])
+           for r in search_facets(lidx, spark, QUERY, corpus, "lang").collect()}
+    scores, *_ = _py_match_set(corpus_pdf, QUERY)
+    langs = corpus_pdf["lang"].tolist()
+    want = defaultdict(list)
+    for i, s in scores.items():
+        want[langs[i]].append(s)
+    assert set(got) == set(want)
+    for lang, ss in want.items():
+        assert got[lang][0] == len(ss)
+        assert math.isclose(got[lang][1], round(max(ss), 4), abs_tol=1e-4)
+    # every matching doc is counted exactly once across facets
+    assert sum(nd for nd, _ in got.values()) == len(scores)
+
+
+def test_significant_terms_lift(spark, corpus_pdf, lidx):
+    rows = significant_terms(lidx, spark, QUERY, n=15, min_fg_df=2).collect()
+    assert 0 < len(rows) <= 15
+    scores, toks, live, df, n = _py_match_set(corpus_pdf, QUERY)
+    fg = set(scores)
+    fg_df = Counter()  # a term counts once per matching doc
+    for i in fg:
+        fg_df.update(set(toks[i]))
+    qterms = set(tokenize_py(QUERY.lower()))
+    lifts = {}
+    for t, fd in fg_df.items():
+        if t in qterms or t not in live or fd < 2:
+            continue
+        lifts[t] = (fd / len(fg)) / (df[t] / n)
+    want = sorted(lifts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [(r["term"], r["lift"]) for r in rows]
+    assert [t for t, _ in got] == [t for t, _ in want]
+    for (_, gl), (_, wl) in zip(got, want):
+        assert math.isclose(gl, round(wl, 4), abs_tol=1e-4)
+    # query terms never appear, fg_df/bg_df sane
+    for r in rows:
+        assert r["term"] not in qterms
+        assert 2 <= r["fg_df"] <= r["bg_df"]
+
+
+def test_significant_terms_empty_match(spark, lidx):
+    out = significant_terms(lidx, spark, "notinthecorpusatall zz", n=5)
+    assert out.count() == 0
+
+
+def test_search_facets_no_driver_collect_plan(spark, corpus, lidx):
+    """The facet plan must aggregate distributed: a broadcast of the tiny
+    query-term side, hash join to meta, hash aggregate — no Python UDFs,
+    no window over the whole corpus."""
+    plan = search_facets(lidx, spark, QUERY, corpus,
+                         "lang")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
