@@ -135,6 +135,16 @@ def q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+MISSPELLED = "tabel"  # 1 edit from the hot term 'table'
+
+
+def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Did you mean' from the index term dictionary (Lucene
+    DirectSpellChecker shape): distance asc, df desc, term asc."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.suggest(MISSPELLED, n=5, max_edits=2)
+
+
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet counts (Elasticsearch terms-aggregation shape) over the
     flagship query's full match set, bucketed by documents.lang."""
@@ -917,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_expanded": q_bm25_expanded,
         "more_like_this": q_more_like_this,
         "search_facets": q_search_facets,
+        "spell_suggest": q_spell_suggest,
         "significant_terms": q_significant_terms,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
@@ -986,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
                                                   alpha=APP_CFG.alpha),
         "search_facets": osql.search_facets_sql(FLAGSHIP_QUERY, "lang",
                                                 alpha=APP_CFG.alpha),
+        "spell_suggest": osql.suggest_sql(MISSPELLED, n=5, max_edits=2),
         "significant_terms": osql.significant_terms_sql(
             FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,

@@ -1479,6 +1479,41 @@ class IndexSearcher:
                 .withColumn("rank", F.row_number().over(w))
                 .withColumn("score_abs", F.abs(F.round("score", 2))))
 
+    def suggest(self, token: str, n: int = 5,
+                max_edits: int = 2) -> DataFrame:
+        """'Did you mean' spelling suggestion from the TERM DICTIONARY
+        (Lucene's DirectSpellChecker shape): dictionary terms within
+        `max_edits` of the (lowercased, first-token) input, ranked
+        distance asc → document frequency desc → term asc. The whole
+        dictionary participates — alpha-PRUNED terms too (a user most
+        often misspells a HOT term, and hot terms are exactly the
+        pruned ones), which is why this reads _term_stats_all.
+
+        Scale shape: vocab-sized scan only (never postings, never the
+        corpus), with the same length-band + thresholded-DP short-
+        circuit the fuzzy path uses; the output is n rows.
+
+        Returns (term, distance int, df long); the input term itself
+        (distance 0) is included when present — callers that only want
+        corrections filter distance > 0."""
+        from data_text_search_spark.operators.fuzzy import _fuzzy_match_cond
+        spark = self.spark
+        toks = tokenize_py(token)
+        if not toks:
+            return spark.createDataFrame(
+                [], "term string, distance int, df long")
+        q = toks[0]
+        ts = self._term_stats_all.select("term", F.col("df").cast("long")
+                                         .alias("df"))
+        return (ts.filter(_fuzzy_match_cond(F.col("term"), F.lit(q),
+                                            max_edits))
+                .withColumn("distance",
+                            F.levenshtein(F.col("term"), F.lit(q))
+                            .cast("int"))
+                .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+                .limit(n)
+                .select("term", "distance", "df"))
+
     def explain(self, query: str, n: int = 10) -> dict:
         """Query EXPLAIN without executing: per-term dictionary stats
         (df, idf, query count) plus every execution decision search()

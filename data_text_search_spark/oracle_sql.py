@@ -236,6 +236,21 @@ SELECT term, fg_df, bg_df, round(lift, 4) AS lift FROM lifted
 ORDER BY lift DESC, term ASC"""
 
 
+def suggest_sql(token: str, n: int = 5, max_edits: int = 2) -> str:
+    """Twin of IndexSearcher.suggest: dictionary terms (ALL terms —
+    pruned ones too, so no alpha filter) within max_edits, ranked
+    distance asc, df desc, term asc."""
+    toks = tokenize_py(token)
+    q = (toks[0] if toks else "").replace("'", "''")
+    return f"""WITH {_base_ctes()},
+dict AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT term, CAST(levenshtein(term, '{q}') AS INTEGER) AS distance,
+       df
+FROM dict
+WHERE levenshtein(term, '{q}') <= {max_edits}
+ORDER BY distance ASC, df DESC, term ASC LIMIT {n}"""
+
+
 def bm25_batch_sql(queries: list[str], k: int = 10, k1: float = 1.5,
                    b: float = 0.75, alpha: float = -5.0) -> str:
     """Batch oracle: UNION ALL of per-query top-k, tagged with query_id

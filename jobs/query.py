@@ -4,8 +4,18 @@
     spark-submit --py-files engine.zip jobs/query.py \
         --index s3a://bucket/index/ --query "hash join" --k 10
 
-Batch mode reads one query per line from --queries-file and answers the
-whole set in a single Spark job.
+Modes (mutually composable where sensible):
+- --query            one query, one job
+- --queries-file     one query per line, the whole set in a single job
+- --expand           pseudo-relevance-feedback expansion of --query
+                     (--fb-docs/--fb-terms tune the feedback pass)
+- --more-like DOC_ID similar documents to a seed doc (MoreLikeThis)
+- --stream-dir DIR   serve a STREAM of queries: parquet files of
+                     (query_id, query_text) appearing under DIR are
+                     answered micro-batch by micro-batch into
+                     --stream-sink (epoch-partitioned parquet;
+                     --continuous keeps serving until killed, default
+                     drains what's there and exits)
 """
 
 from __future__ import annotations
@@ -14,16 +24,32 @@ import argparse
 import json
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> list[dict]:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", default=None)
     ap.add_argument("--queries-file", default=None)
+    ap.add_argument("--more-like", type=int, default=None, metavar="DOC_ID")
+    ap.add_argument("--stream-dir", default=None)
+    ap.add_argument("--stream-sink", default=None)
+    ap.add_argument("--stream-checkpoint", default=None)
+    ap.add_argument("--continuous", action="store_true",
+                    help="with --stream-dir: keep serving (default: "
+                         "drain available input and exit)")
+    ap.add_argument("--expand", action="store_true",
+                    help="pseudo-relevance-feedback expansion of --query")
+    ap.add_argument("--fb-docs", type=int, default=10)
+    ap.add_argument("--fb-terms", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cores", type=int, default=None)
-    args = ap.parse_args()
-    if not args.query and not args.queries_file:
-        ap.error("need --query or --queries-file")
+    args = ap.parse_args(argv)
+    modes = [bool(args.query), bool(args.queries_file),
+             args.more_like is not None, bool(args.stream_dir)]
+    if sum(modes) != 1:
+        ap.error("need exactly one of --query / --queries-file / "
+                 "--more-like / --stream-dir")
+    if args.stream_dir and not args.stream_sink:
+        ap.error("--stream-dir needs --stream-sink")
 
     from pyspark.sql import SparkSession
 
@@ -38,17 +64,47 @@ def main() -> None:
 
     searcher = IndexSearcher(spark, args.index)
     if args.query:
-        rows = searcher.search(args.query, args.k).collect()
-        for r in rows:
-            print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
-                              "score": r["score"], "score_abs": r["score_abs"]}))
+        if args.expand:
+            res = searcher.search_expanded(args.query, args.k,
+                                           fb_docs=args.fb_docs,
+                                           fb_terms=args.fb_terms)
+        else:
+            res = searcher.search(args.query, args.k)
+        out = [{"rank": r["rank"], "doc_id": r["doc_id"],
+                "score": r["score"], "score_abs": r["score_abs"]}
+               for r in res.collect()]
+    elif args.more_like is not None:
+        out = [{"rank": r["rank"], "doc_id": r["doc_id"],
+                "score": r["score"], "score_abs": r["score_abs"]}
+               for r in searcher.more_like_this(args.more_like,
+                                                args.k).collect()]
+    elif args.stream_dir:
+        from data_text_search_spark.streaming.query_stream import (
+            start_query_stream,
+        )
+        ckpt = args.stream_checkpoint or (args.stream_sink.rstrip("/")
+                                          + "_checkpoint")
+        stream = (spark.readStream
+                  .schema("query_id long, query_text string")
+                  .parquet(args.stream_dir))
+        q = start_query_stream(searcher, stream, args.stream_sink, ckpt,
+                               n=args.k,
+                               trigger_available_now=not args.continuous)
+        q.awaitTermination()
+        out = [{"stream": "done", "sink": args.stream_sink}]
     else:
         with open(args.queries_file) as f:
             queries = [line.rstrip("\n") for line in f if line.strip()]
         rows = searcher.search_batch(queries, args.k).collect()
-        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
-            print(json.dumps({"query_id": r["query_id"], "rank": r["rank"],
-                              "doc_id": r["doc_id"], "score": r["score"]}))
+        out = [{"query_id": r["query_id"], "rank": r["rank"],
+                "doc_id": r["doc_id"], "score": r["score"]}
+               for r in sorted(rows, key=lambda r: (r["query_id"],
+                                                    r["rank"]))]
+
+
+    for rec in out:
+        print(json.dumps(rec))
+    return out
 
 
 if __name__ == "__main__":

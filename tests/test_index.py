@@ -428,3 +428,42 @@ def test_more_like_this_semantics(spark, searcher, corpus_pdf):
     _assert_parity(got, want)
 
     assert searcher.more_like_this(10**9, 5).count() == 0
+
+
+def test_suggest_did_you_mean(spark, searcher, corpus_pdf):
+    """Dictionary spell suggestion: ranked distance asc, df desc, term
+    asc; exact-match token comes back at distance 0; empty input ->
+    typed empty; results pinned against a brute-force python truth."""
+    import collections
+
+    from data_text_search_spark.functions.text import tokenize_py
+
+    def lev(a, b):
+        if abs(len(a) - len(b)) > 4:
+            return 99
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = collections.Counter()
+    for t in corpus_pdf["content"].tolist():
+        df.update(set(tokenize_py(str(t).lower())))
+
+    # NB: bare 'scan' is NOT in the fixture vocab (only compounds like
+    # scan_row) — it pins the no-near-match case
+    for q, me in [("tabel", 2), ("scan", 1), ("zyzzyva", 2)]:
+        got = [(r["term"], r["distance"], r["df"])
+               for r in searcher.suggest(q, n=5, max_edits=me).collect()]
+        cand = [(t, lev(t, q), c) for t, c in df.items()
+                if lev(t, q) <= me]
+        want = sorted(cand, key=lambda x: (x[1], -x[2], x[0]))[:5]
+        assert got == want, (q, got, want)
+    # exact token present -> itself first at distance 0
+    first = searcher.suggest("table", n=3).collect()[0]
+    assert first["term"] == "table" and first["distance"] == 0
+    assert searcher.suggest("   ", n=3).count() == 0

@@ -267,3 +267,56 @@ def test_pipeline_gates_read_original_line_structure(spark, tmp_path):
     # before the fix, doc 0 (now one ~700-char line) failed the
     # avg-line-length <= 100 rule and was silently dropped
     assert 0 in kept
+
+
+def test_query_cli_modes(spark, tmp_path):
+    """Query CLI smoke over every mode: single, expanded, more-like,
+    batch file, and stream-drain — each must agree with the library
+    surface it wraps."""
+    sys.path.insert(0, "jobs")
+    import query as query_cli
+
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.fixtures.corpus import corpus_pandas
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+
+    pdf = corpus_pandas(200).reset_index().rename(columns={"index": "doc_id"})
+    root = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), root, BM25Config(),
+                id_col="doc_id", shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    q = "hash join table scan"
+
+    got = query_cli.main(["--index", root, "--query", q, "--k", "5"])
+    want = s.search(q, 5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
+    got = query_cli.main(["--index", root, "--query", q, "--expand",
+                          "--fb-docs", "5", "--fb-terms", "5", "--k", "5"])
+    want = s.search_expanded(q, 5, fb_docs=5, fb_terms=5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
+    got = query_cli.main(["--index", root, "--more-like", "3", "--k", "5"])
+    want = s.more_like_this(3, 5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+    assert all(r["doc_id"] != 3 for r in got)
+
+    qf = tmp_path / "queries.txt"
+    qf.write_text("hash join\nzyzzyva\n")
+    got = query_cli.main(["--index", root, "--queries-file", str(qf),
+                          "--k", "3"])
+    assert {r["query_id"] for r in got} == {0, 1}
+
+    qdir, sink = str(tmp_path / "qstream"), str(tmp_path / "qsink")
+    spark.createDataFrame(
+        pd.DataFrame({"query_id": [0, 1], "query_text": [q, "zyzzyva"]})
+    ).write.parquet(qdir)
+    query_cli.main(["--index", root, "--stream-dir", qdir,
+                    "--stream-sink", sink, "--k", "3"])
+    streamed = spark.read.parquet(sink)
+    offline = s.search_batch([q, "zyzzyva"], 3).collect()
+    assert streamed.count() == len(offline)
