@@ -156,6 +156,20 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _documents(spark, sf_dir), "lang")
 
 
+FIELD_WEIGHTS = {"text": 1.0, "source": 0.5}
+
+
+def q_fielded_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field weighted search (Lucene per-field boosts): text^1.0 +
+    source^0.5, each field its own BM25 corpus, weighted-sum fused."""
+    from data_text_search_spark.operators.search_analytics import (
+        fielded_search,
+    )
+    return fielded_search(spark, _documents(spark, sf_dir),
+                          FLAGSHIP_QUERY, FIELD_WEIGHTS,
+                          config=APP_CFG, n=10)
+
+
 def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """significant_terms (lift heuristic) for the flagship query's
     match set vs the whole corpus."""
@@ -929,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": q_search_facets,
         "spell_suggest": q_spell_suggest,
         "significant_terms": q_significant_terms,
+        "fielded_search": q_fielded_search,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_incremental": q_bm25_topk_incremental,
@@ -1000,6 +1015,8 @@ def oracle_sql() -> dict[str, str]:
         "spell_suggest": osql.suggest_sql(MISSPELLED, n=5, max_edits=2),
         "significant_terms": osql.significant_terms_sql(
             FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
+        "fielded_search": osql.fielded_search_sql(
+            FLAGSHIP_QUERY, FIELD_WEIGHTS, k=10, alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

@@ -46,6 +46,45 @@ def _doc_scores(index: LogicalIndex, spark: SparkSession,
             .agg(F.sum("contrib").alias("score")))
 
 
+def fielded_search(spark: SparkSession, df: DataFrame, query: str,
+                   fields: dict[str, float], config=None,
+                   id_col: str = "doc_id", n: int = 10) -> DataFrame:
+    """Multi-field weighted search (Lucene's per-field boosts,
+    `text:q^1.0 title:q^2.0`): each field is scored as its OWN BM25
+    corpus — its own tokenization, doc lengths, avgdl, df/idf — and a
+    document's final score is the weighted sum of its per-field scores
+    (absent-in-field contributes 0). A doc matches if any field matches.
+
+    Returns top-n (doc_id, score, score_abs), score desc / doc_id asc.
+
+    Plan shape: one tokenize→tf/df/idf→score pipeline per field (the
+    unchanged exhaustive scorer), fused by a unionByName + one hash
+    aggregate keyed on doc_id — fusion input is |fields| × matching
+    docs rows, never corpus × fields. Per-field weights multiply the
+    per-field SUM once (not per contribution), keeping the float shape
+    identical to the DuckDB twin."""
+    from functools import reduce
+
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.operators.bm25_exhaustive import (
+        build_logical,
+        ingest,
+    )
+
+    cfg = config or BM25Config(alpha=-5.0)
+    parts = []
+    for col, w in sorted(fields.items()):
+        idx = build_logical(ingest(df, text_col=col, id_col=id_col), cfg)
+        scored = _doc_scores(idx, spark, query)
+        parts.append(scored.select(
+            "doc_id", (F.col("score") * F.lit(float(w))).alias("s")))
+    fused = (reduce(lambda a, b: a.unionByName(b), parts)
+             .groupBy("doc_id").agg(F.sum("s").alias("score")))
+    return (fused.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
+            .select("doc_id", F.round("score", 4).alias("score"),
+                    F.abs(F.round("score", 2)).alias("score_abs")))
+
+
 def search_facets(index: LogicalIndex, spark: SparkSession, query: str,
                   meta: DataFrame, facet_col: str = "lang") -> DataFrame:
     """Facet counts over the full match set: for each value of

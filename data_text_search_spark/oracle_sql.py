@@ -18,7 +18,7 @@ from collections import Counter
 
 from data_text_search_spark.functions.text import tokenize_py
 
-TOKENIZE = "regexp_extract_all(lower(cast({col} as varchar)), '[\pL\pN_]+|[^\pL\pN_ \t\n\r\f\x0b]')"
+TOKENIZE = "regexp_extract_all(lower(cast({col} as varchar)), '[\\pL\\pN_]+|[^\\pL\\pN_ \t\n\r\f\x0b]')"
 
 
 def _values_for_query(query: str) -> str:
@@ -46,7 +46,7 @@ def _clean_expr_sql(col: str) -> str:
 def _base_ctes(table: str = "documents", text_col: str = "text",
                clean: bool = False) -> str:
     src = _clean_expr_sql(text_col) if clean else f"cast({text_col} as varchar)"
-    tok = f"regexp_extract_all(lower({src}), '[\pL\pN_]+|[^\pL\pN_ \t\n\r\f\x0b]')"
+    tok = f"regexp_extract_all(lower({src}), '[\\pL\\pN_]+|[^\\pL\\pN_ \t\n\r\f\x0b]')"
     return f"""
 docs AS (
   SELECT doc_id, {tok} AS toks FROM {table}
@@ -236,6 +236,56 @@ SELECT term, fg_df, bg_df, round(lift, 4) AS lift FROM lifted
 ORDER BY lift DESC, term ASC"""
 
 
+def fielded_search_sql(query: str, fields: dict[str, float], k: int = 10,
+                       k1: float = 1.5, b: float = 0.75,
+                       alpha: float = -5.0) -> str:
+    """Twin of search_analytics.fielded_search: per-field BM25 corpora
+    (own tokenize/doc_len/avgdl/df/idf per field), weighted per-field
+    sums fused by one grouped sum per doc."""
+    blocks, selects = [], []
+    for i, (col, w) in enumerate(sorted(fields.items())):
+        p = f"f{i}"
+        tok = ("regexp_extract_all(lower(cast(" + col + " as varchar)), "
+               "'[\\pL\\pN_]+|[^\\pL\\pN_ \t\n\r\f\x0b]')")
+        blocks.append(f"""
+{p}_docs AS (SELECT doc_id, {tok} AS toks FROM documents),
+{p}_ds AS (SELECT doc_id, len(toks) AS doc_len FROM {p}_docs),
+{p}_corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM {p}_ds),
+{p}_tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM {p}_docs)
+  GROUP BY term, doc_id
+),
+{p}_stats AS (
+  SELECT term,
+         ln((SELECT n FROM {p}_corpus) - count(*) + 0.5)
+           - ln(count(*) + 0.5) AS idf
+  FROM {p}_tf GROUP BY term
+),
+{p}_scores AS (
+  SELECT tf.doc_id,
+         {float(w)} * sum(
+           s.idf * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len
+                / (SELECT avgdl FROM {p}_corpus)))
+           * q.qcount) AS s
+  FROM {p}_tf tf
+  JOIN {p}_stats s USING (term)
+  JOIN q USING (term)
+  JOIN {p}_ds ds USING (doc_id)
+  WHERE s.idf > {alpha}
+  GROUP BY tf.doc_id
+)""")
+        selects.append(f"SELECT doc_id, s FROM {p}_scores")
+    return f"""WITH
+q(term, qcount) AS (VALUES {_values_for_query(query)}),{','.join(blocks)}
+SELECT doc_id, round(sum(s), 4) AS score,
+       abs(round(sum(s), 2)) AS score_abs
+FROM ({' UNION ALL '.join(selects)})
+GROUP BY doc_id
+ORDER BY sum(s) DESC, doc_id ASC LIMIT {k}"""
+
+
 def suggest_sql(token: str, n: int = 5, max_edits: int = 2) -> str:
     """Twin of IndexSearcher.suggest: dictionary terms (ALL terms —
     pruned ones too, so no alpha filter) within max_edits, ranked
@@ -306,7 +356,7 @@ def quality_sql() -> str:
     return f"""WITH docs AS ({_TOK_DOCS})
 SELECT doc_id,
   len(toks) AS n_tokens,
-  coalesce(round(len(list_filter(toks, x -> regexp_matches(x, '^[^\pL\pN_]$')))
+  coalesce(round(len(list_filter(toks, x -> regexp_matches(x, '^[^\\pL\\pN_]$')))
     / nullif(cast(len(toks) AS double), 0), 6), 0.0) AS punct_ratio,
   coalesce(round(len(list_filter(toks, x -> list_contains({_SW['en']}, x)))
     / nullif(cast(len(toks) AS double), 0), 6), 0.0) AS stop_ratio,

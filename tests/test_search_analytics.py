@@ -108,3 +108,57 @@ def test_search_facets_no_driver_collect_plan(spark, corpus, lidx):
     plan = search_facets(lidx, spark, QUERY, corpus,
                          "lang")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_fielded_search_single_field_is_plain_bm25(spark, corpus, corpus_pdf):
+    from data_text_search_spark.operators.search_analytics import (
+        fielded_search,
+    )
+    from tests.oracle_bm25 import oracle_search
+
+    got = fielded_search(spark, corpus, QUERY, {"content": 1.0},
+                         config=BM25Config(alpha=-5.0), n=10).collect()
+    want = oracle_search(corpus_pdf["content"].tolist(), QUERY, n=10,
+                         alpha=-5.0)
+    assert [r["doc_id"] for r in got] == [d for d, _ in want]
+    for r, (_, s) in zip(got, want):
+        assert math.isclose(r["score"], round(s, 4), abs_tol=1e-4)
+
+
+def test_fielded_search_weight_linearity_and_fusion(spark, corpus,
+                                                    corpus_pdf):
+    from tests.oracle_bm25 import oracle_search
+    from data_text_search_spark.operators.search_analytics import (
+        fielded_search,
+    )
+
+    one = fielded_search(spark, corpus, QUERY, {"content": 1.0},
+                         config=BM25Config(alpha=-5.0), n=10).collect()
+    two = fielded_search(spark, corpus, QUERY, {"content": 2.0},
+                         config=BM25Config(alpha=-5.0), n=10).collect()
+    assert [r["doc_id"] for r in one] == [r["doc_id"] for r in two]
+    for a, b in zip(one, two):
+        assert math.isclose(b["score"], round(2 * a["score"], 4),
+                            abs_tol=2e-4)
+
+    # two fields fuse by weighted sum: replay per-field python oracles
+    # ('py' lives only in the path field, with useful idf — NOT 'src',
+    # which is in EVERY path and therefore alpha-pruned)
+    fused = fielded_search(spark, corpus, "py hash join",
+                           {"content": 1.0, "path": 0.5},
+                           config=BM25Config(alpha=-5.0), n=10).collect()
+    per_field = {}
+    for col, w in (("content", 1.0), ("path", 0.5)):
+        full = oracle_search(corpus_pdf[col].tolist(), "py hash join",
+                             n=10**9, alpha=-5.0)
+        for d, s in full:
+            per_field[d] = per_field.get(d, 0.0) + w * s
+    want = sorted(per_field.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [r["doc_id"] for r in fused] == [d for d, _ in want]
+    for r, (_, s) in zip(fused, want):
+        assert math.isclose(r["score"], round(s, 4), abs_tol=1e-4)
+    # a path-only query answers from the path corpus alone
+    path_only = fielded_search(spark, corpus, "py", {"path": 1.0},
+                               config=BM25Config(alpha=-5.0), n=5).collect()
+    assert path_only and all(
+        corpus_pdf["path"][r["doc_id"]].endswith(".py") for r in path_only)
