@@ -156,6 +156,15 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _documents(spark, sf_dir), "lang")
 
 
+def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _count: matching-doc count for the flagship query, no rank."""
+    from data_text_search_spark.operators.search_analytics import (
+        match_count,
+    )
+    idx = _logical_index(spark, sf_dir)
+    return match_count(idx, spark, FLAGSHIP_QUERY)
+
+
 FIELD_WEIGHTS = {"text": 1.0, "source": 0.5}
 
 
@@ -944,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell_suggest,
         "significant_terms": q_significant_terms,
         "fielded_search": q_fielded_search,
+        "match_count": q_match_count,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_incremental": q_bm25_topk_incremental,
@@ -1017,6 +1027,8 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
         "fielded_search": osql.fielded_search_sql(
             FLAGSHIP_QUERY, FIELD_WEIGHTS, k=10, alpha=APP_CFG.alpha),
+        "match_count": osql.match_count_sql(FLAGSHIP_QUERY,
+                                            alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

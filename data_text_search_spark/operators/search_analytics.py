@@ -46,6 +46,20 @@ def _doc_scores(index: LogicalIndex, spark: SparkSession,
             .agg(F.sum("contrib").alias("score")))
 
 
+def match_count(index: LogicalIndex, spark: SparkSession,
+                query: str) -> DataFrame:
+    """The ES `_count` API: how many documents match the query (contain
+    >= 1 live query term), without ranking anything. One broadcast of
+    the query-term table + a distinct-count over the semi-joined
+    term_doc — no score evaluation, no sort, no top-k.
+
+    Returns a single row (n_matching long)."""
+    qt = query_terms_df(spark, query)
+    matched = F.broadcast(qt.join(index.term_stats, "term").select("term"))
+    return (index.term_doc.join(matched, "term")
+            .agg(F.count_distinct("doc_id").alias("n_matching")))
+
+
 def fielded_search(spark: SparkSession, df: DataFrame, query: str,
                    fields: dict[str, float], config=None,
                    id_col: str = "doc_id", n: int = 10) -> DataFrame:
@@ -135,7 +149,11 @@ def significant_terms(index: LogicalIndex, spark: SparkSession, query: str,
     if fg_n == 0:
         return spark.createDataFrame(
             [], "term string, fg_df long, bg_df long, lift double")
-    fg_df = (index.term_doc.join(fg_docs, "doc_id")
+    # fg_n is already known: broadcast the match set under the usual id
+    # budget so term_doc (corpus-scale) never shuffles for this join;
+    # past it, fall back to a plain shuffle join
+    fg_side = F.broadcast(fg_docs) if fg_n <= 10_000_000 else fg_docs
+    fg_df = (index.term_doc.join(fg_side, "doc_id")
              .groupBy("term").agg(F.count("*").alias("fg_df")))
     out = (fg_df
            .filter(~F.col("term").isin(qterms) if qterms else F.lit(True))

@@ -286,6 +286,16 @@ GROUP BY doc_id
 ORDER BY sum(s) DESC, doc_id ASC LIMIT {k}"""
 
 
+def match_count_sql(query: str, alpha: float = -5.0) -> str:
+    """Twin of search_analytics.match_count: matching-doc count (>=1
+    live query term), no ranking."""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)})
+SELECT count(DISTINCT tf.doc_id) AS n_matching
+FROM tf JOIN stats s USING (term) JOIN q USING (term)
+WHERE s.idf > {alpha}"""
+
+
 def suggest_sql(token: str, n: int = 5, max_edits: int = 2) -> str:
     """Twin of IndexSearcher.suggest: dictionary terms (ALL terms —
     pruned ones too, so no alpha filter) within max_edits, ranked

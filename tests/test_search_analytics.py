@@ -162,3 +162,14 @@ def test_fielded_search_weight_linearity_and_fusion(spark, corpus,
                                config=BM25Config(alpha=-5.0), n=5).collect()
     assert path_only and all(
         corpus_pdf["path"][r["doc_id"]].endswith(".py") for r in path_only)
+
+
+def test_match_count(spark, corpus_pdf, lidx):
+    from data_text_search_spark.operators.search_analytics import (
+        match_count,
+    )
+    got = match_count(lidx, spark, QUERY).collect()[0]["n_matching"]
+    scores, *_ = _py_match_set(corpus_pdf, QUERY)
+    assert got == len(scores)
+    assert match_count(lidx, spark, "notinthecorpusatall").collect()[0][
+        "n_matching"] == 0
