@@ -60,9 +60,28 @@ def match_count(index: LogicalIndex, spark: SparkSession,
             .agg(F.count_distinct("doc_id").alias("n_matching")))
 
 
+def build_field_indexes(spark: SparkSession, df: DataFrame,
+                        fields: dict[str, float], config=None,
+                        id_col: str = "doc_id") -> dict:
+    """Build (and persist) one LogicalIndex per field for repeated
+    fielded_search calls — a query-per-call caller should not pay the
+    per-field tokenize/aggregate pipeline every time."""
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.operators.bm25_exhaustive import (
+        build_logical,
+        ingest,
+    )
+
+    cfg = config or BM25Config(alpha=-5.0)
+    return {col: build_logical(ingest(df, text_col=col, id_col=id_col),
+                               cfg, persist=True)
+            for col in fields}
+
+
 def fielded_search(spark: SparkSession, df: DataFrame, query: str,
                    fields: dict[str, float], config=None,
-                   id_col: str = "doc_id", n: int = 10) -> DataFrame:
+                   id_col: str = "doc_id", n: int = 10,
+                   indexes: dict | None = None) -> DataFrame:
     """Multi-field weighted search (Lucene's per-field boosts,
     `text:q^1.0 title:q^2.0`): each field is scored as its OWN BM25
     corpus — its own tokenization, doc lengths, avgdl, df/idf — and a
@@ -88,7 +107,11 @@ def fielded_search(spark: SparkSession, df: DataFrame, query: str,
     cfg = config or BM25Config(alpha=-5.0)
     parts = []
     for col, w in sorted(fields.items()):
-        idx = build_logical(ingest(df, text_col=col, id_col=id_col), cfg)
+        if indexes is not None and col in indexes:
+            idx = indexes[col]  # prebuilt (build_field_indexes)
+        else:
+            idx = build_logical(ingest(df, text_col=col, id_col=id_col),
+                                cfg)
         scored = _doc_scores(idx, spark, query)
         parts.append(scored.select(
             "doc_id", (F.col("score") * F.lit(float(w))).alias("s")))

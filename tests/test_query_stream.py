@@ -103,3 +103,38 @@ def test_epoch_sink_replay_idempotent(spark, qs_searcher, tmp_path):
     assert spark.read.parquet(sink).count() == n1
     run_epoch(1)  # a NEW epoch appends
     assert spark.read.parquet(sink).count() == 2 * n1
+
+
+def test_stream_snapshot_while_index_grows(spark, tmp_path):
+    """A serving searcher pins its manifest at construction: documents
+    added (and merged) AFTER the searcher was opened don't appear in
+    streamed answers until the serving layer reopens the index — the
+    snapshot-per-searcher contract that makes concurrent maintenance
+    safe."""
+    import pandas as pd
+
+    from data_text_search_spark.streaming.incremental import add_documents
+    from data_text_search_spark.streaming.query_stream import answer_batch
+
+    pdf = corpus_pandas(150).reset_index().rename(columns={"index": "doc_id"})
+    root = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), root, BM25Config(),
+                id_col="doc_id", shards=4, groups=1)
+    serving = IndexSearcher(spark, root)
+
+    batch = spark.createDataFrame(pd.DataFrame(
+        {"query_id": [1], "query_text": ["zyzzyva quokka"]}))
+    before = answer_batch(serving, batch, n=5)
+
+    # a maximally-relevant doc arrives AFTER the serving searcher opened
+    add_documents(spark, root, spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [10_000],
+         "text": ["zyzzyva quokka zyzzyva quokka zyzzyva"]})),
+        text_col="text", id_col="doc_id")
+    during = answer_batch(serving, batch, n=5)
+    pd.testing.assert_frame_equal(before, during)  # snapshot holds
+    assert 10_000 not in set(during["doc_id"])
+
+    reopened = IndexSearcher(spark, root)
+    after = answer_batch(reopened, batch, n=5)
+    assert 10_000 in set(after["doc_id"])  # visible on reopen
