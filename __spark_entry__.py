@@ -156,6 +156,17 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _documents(spark, sf_dir), "lang")
 
 
+PERCOLATE_QUERIES = ["hash join", "table scan filter", "zzz-absent-term",
+                     "merge sort join hash"]
+
+
+def q_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search (ES percolator): which registered queries match
+    each document (term-AND semantics)."""
+    from data_text_search_spark.operators.search_analytics import percolate
+    return percolate(spark, _documents(spark, sf_dir), PERCOLATE_QUERIES)
+
+
 def q_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES _count: matching-doc count for the flagship query, no rank."""
     from data_text_search_spark.operators.search_analytics import (
@@ -954,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms": q_significant_terms,
         "fielded_search": q_fielded_search,
         "match_count": q_match_count,
+        "percolate": q_percolate,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_incremental": q_bm25_topk_incremental,
@@ -1029,6 +1041,7 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_QUERY, FIELD_WEIGHTS, k=10, alpha=APP_CFG.alpha),
         "match_count": osql.match_count_sql(FLAGSHIP_QUERY,
                                             alpha=APP_CFG.alpha),
+        "percolate": osql.percolate_sql(PERCOLATE_QUERIES),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

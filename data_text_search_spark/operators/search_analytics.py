@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_text_search_spark.functions.text import tokenize_expr, tokenize_py
 from data_text_search_spark.operators.bm25_exhaustive import (
     LogicalIndex,
     bm25_contribution,
@@ -58,6 +59,46 @@ def match_count(index: LogicalIndex, spark: SparkSession,
     matched = F.broadcast(qt.join(index.term_stats, "term").select("term"))
     return (index.term_doc.join(matched, "term")
             .agg(F.count_distinct("doc_id").alias("n_matching")))
+
+
+def percolate(spark: SparkSession, docs: DataFrame,
+              queries: list[str], text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Reverse search (Elasticsearch's percolator, term-query AND
+    semantics): which REGISTERED QUERIES match each document? A query
+    matches iff every one of its distinct tokens appears in the
+    document — the alerting/saved-search primitive: docs stream in,
+    queries are the stored side.
+
+    Returns (doc_id, query_id) pairs, ordered doc_id asc, query_id asc;
+    query_id is the position in `queries`. Empty-token queries match
+    nothing.
+
+    Scale shape: the query table is tiny and BROADCAST; each doc is
+    tokenized once, deduped per doc (array_distinct — no per-occurrence
+    explosion), exploded only over DISTINCT tokens, semi-joined to query
+    terms before the (doc, query) aggregate — so the wide state is
+    (matching doc, query, matched-term) rows, bounded by hits, never
+    |docs| × |queries|."""
+    qrows = []
+    for qid, q in enumerate(queries):
+        terms = sorted(set(tokenize_py(q)))
+        for t in terms:
+            qrows.append((qid, t, len(terms)))
+    if not qrows:
+        return spark.createDataFrame([], "doc_id long, query_id int")
+    qt = F.broadcast(spark.createDataFrame(
+        qrows, "query_id int, term string, n_terms int"))
+    dt = (docs.select(F.col(id_col).alias("doc_id"),
+                      F.explode(F.array_distinct(
+                          tokenize_expr(F.col(text_col))))
+                      .alias("term")))
+    return (dt.join(qt, "term")
+            .groupBy("doc_id", "query_id", "n_terms")
+            .agg(F.count("*").alias("hit"))
+            .filter(F.col("hit") == F.col("n_terms"))
+            .select("doc_id", "query_id")
+            .orderBy("doc_id", "query_id"))
 
 
 def build_field_indexes(spark: SparkSession, df: DataFrame,

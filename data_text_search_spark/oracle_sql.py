@@ -286,6 +286,26 @@ GROUP BY doc_id
 ORDER BY sum(s) DESC, doc_id ASC LIMIT {k}"""
 
 
+def percolate_sql(queries: list[str]) -> str:
+    """Twin of search_analytics.percolate: (doc_id, query_id) pairs where
+    the doc contains EVERY distinct token of the query."""
+    rows = []
+    for qid, q in enumerate(queries):
+        terms = sorted(set(tokenize_py(q)))
+        for t in terms:
+            rows.append(f"({qid}, '{t.replace(chr(39), chr(39)*2)}', "
+                        f"{len(terms)})")
+    vals = ", ".join(rows) or "(0, '', 0)"
+    return f"""WITH {_base_ctes()},
+qt(query_id, term, n_terms) AS (VALUES {vals}),
+dt AS (SELECT DISTINCT doc_id, term FROM tf)
+SELECT doc_id, query_id
+FROM dt JOIN qt USING (term)
+GROUP BY doc_id, query_id, n_terms
+HAVING count(*) = n_terms
+ORDER BY doc_id ASC, query_id ASC"""
+
+
 def match_count_sql(query: str, alpha: float = -5.0) -> str:
     """Twin of search_analytics.match_count: matching-doc count (>=1
     live query term), no ranking."""

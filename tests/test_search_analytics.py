@@ -173,3 +173,37 @@ def test_match_count(spark, corpus_pdf, lidx):
     assert got == len(scores)
     assert match_count(lidx, spark, "notinthecorpusatall").collect()[0][
         "n_matching"] == 0
+
+
+def test_percolate_term_and_semantics(spark, corpus, corpus_pdf):
+    from data_text_search_spark.operators.search_analytics import percolate
+
+    queries = ["hash join", "zyzzyva", "quantum flux capacitor",
+               "absent-zz term"]
+    got = {(r["doc_id"], r["query_id"]) for r in
+           percolate(spark, corpus, queries, text_col="content").collect()}
+    toksets = [set(tokenize_py(str(t).lower()))
+               for t in corpus_pdf["content"]]
+    want = set()
+    for qid, q in enumerate(queries):
+        terms = set(tokenize_py(q))
+        if not terms:
+            continue
+        for i, ts in enumerate(toksets):
+            if terms <= ts:
+                want.add((i, qid))
+    assert got == want
+    assert all(qid != 3 for _, qid in got)  # absent term matches nothing
+    # empty query list and empty-token queries -> typed empty
+    assert percolate(spark, corpus, [], text_col="content").count() == 0
+    assert percolate(spark, corpus, ["   "],
+                     text_col="content").count() == 0
+
+
+def test_percolate_plan_broadcasts_queries(spark, corpus):
+    from data_text_search_spark.operators.search_analytics import percolate
+
+    plan = percolate(spark, corpus, ["hash join"], text_col="content"
+                     )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
