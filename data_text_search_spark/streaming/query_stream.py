@@ -56,6 +56,35 @@ def answer_batch(searcher, batch_df: DataFrame, n: int = 10,
     return out[RESULT_COLS]
 
 
+def start_percolate_stream(spark, docs_stream: DataFrame,
+                           queries: list[str], sink: str, checkpoint: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           trigger_available_now: bool = False,
+                           processing_time: str | None = None):
+    """The percolator run as its natural streaming self: DOCUMENTS
+    stream in, the registered queries are the stored side, and each
+    micro-batch appends its (doc_id, query_id) alert pairs to the
+    epoch-partitioned sink (same idempotent overwrite-per-epoch recipe
+    as start_query_stream). Unlike query serving there is no driver
+    collect at all — percolate is a pure DataFrame plan, so the batch
+    flows source→join→sink entirely distributed."""
+    from data_text_search_spark.operators.search_analytics import percolate
+
+    def _for_each(batch_df: DataFrame, epoch_id: int) -> None:
+        out = percolate(spark, batch_df, queries, text_col=text_col,
+                        id_col=id_col)
+        out.write.mode("overwrite").parquet(f"{sink}/epoch={epoch_id}")
+
+    writer = (docs_stream.writeStream
+              .foreachBatch(_for_each)
+              .option("checkpointLocation", checkpoint))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
 def start_query_stream(searcher, queries_stream: DataFrame, sink: str,
                        checkpoint: str, n: int = 10,
                        id_col: str = "query_id",

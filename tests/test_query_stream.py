@@ -138,3 +138,32 @@ def test_stream_snapshot_while_index_grows(spark, tmp_path):
     reopened = IndexSearcher(spark, root)
     after = answer_batch(reopened, batch, n=5)
     assert 10_000 in set(after["doc_id"])  # visible on reopen
+
+
+def test_percolate_stream_end_to_end(spark, tmp_path):
+    """Streaming percolation: a file stream of documents against
+    registered queries; union of epochs equals the batch percolation."""
+    from data_text_search_spark.operators.search_analytics import percolate
+    from data_text_search_spark.streaming.query_stream import (
+        start_percolate_stream,
+    )
+
+    pdf = corpus_pandas(120).reset_index().rename(columns={"index": "doc_id"})
+    ddir, sink, ckpt = (str(tmp_path / d) for d in ("docs", "hits", "ck"))
+    docs = spark.createDataFrame(pdf[["doc_id", "content"]])
+    docs.filter("doc_id < 60").write.parquet(ddir)
+    docs.filter("doc_id >= 60").write.mode("append").parquet(ddir)
+
+    queries = ["hash join", "zyzzyva", "quantum flux capacitor"]
+    stream = (spark.readStream.schema("doc_id long, content string")
+              .parquet(ddir))
+    q = start_percolate_stream(spark, stream, queries, sink, ckpt,
+                               text_col="content",
+                               trigger_available_now=True)
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["query_id"])
+           for r in spark.read.parquet(sink).collect()}
+    want = {(r["doc_id"], r["query_id"])
+            for r in percolate(spark, docs, queries,
+                               text_col="content").collect()}
+    assert got == want and got
