@@ -156,6 +156,20 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _documents(spark, sf_dir), "lang")
 
 
+def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 2 of the flagship query via cursor pagination
+    (IndexSearcher.search_after): the engine pages with the last row of
+    page 1 as the cursor; the DuckDB oracle pages the identical
+    deterministic ordering (round(score,4) desc, doc_id asc) with
+    OFFSET — equal iff the cursor semantics are exact."""
+    s = _physical_searcher(spark, sf_dir)
+    page1 = s.search_after(FLAGSHIP_QUERY, 10).collect()
+    last = page1[-1]
+    page2 = s.search_after(FLAGSHIP_QUERY, 10,
+                           after=(last["score"], last["doc_id"]))
+    return page2.select("doc_id", "score", "score_abs")
+
+
 PERCOLATE_QUERIES = ["hash join", "table scan filter", "zzz-absent-term",
                      "merge sort join hash"]
 
@@ -966,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_search": q_fielded_search,
         "match_count": q_match_count,
         "percolate": q_percolate,
+        "bm25_search_after": q_bm25_search_after,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_incremental": q_bm25_topk_incremental,
@@ -1042,6 +1057,9 @@ def oracle_sql() -> dict[str, str]:
         "match_count": osql.match_count_sql(FLAGSHIP_QUERY,
                                             alpha=APP_CFG.alpha),
         "percolate": osql.percolate_sql(PERCOLATE_QUERIES),
+        "bm25_search_after": osql.bm25_page_sql(FLAGSHIP_QUERY, k=10,
+                                                offset=10,
+                                                alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

@@ -1669,15 +1669,31 @@ class IndexSearcher:
         from data_text_search_spark.operators.index_build import (
             committed_tokenized_paths,
         )
+        scored = self._checkpoint_scores(qcounts, qidf, keep)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
+                .withColumn("rank", F.row_number().over(w))
+                .withColumn("score_abs", F.abs(F.round("score", 2))))
+
+    def _checkpoint_scores(self, qcounts: dict[str, int],
+                           qidf: dict[str, float],
+                           keep: "DataFrame | None" = None) -> DataFrame:
+        """(doc_id, score) for every matching doc, scored distributed
+        from the tokenized checkpoint — the scoring body shared by
+        filtered search's distributed branch and search_after."""
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
         spark = self.spark
         tok = spark.read.parquet(
             *committed_tokenized_paths(self.paths.root, self.manifest))
         tdf = self._tombstone_df()
         if tdf is not None:
             tok = tok.join(tdf, "doc_id", "left_anti")
-        keep_ids = keep.select(
-            F.col(keep.columns[0]).cast("long").alias("doc_id"))
-        tok = tok.join(keep_ids, "doc_id", "left_semi")
+        if keep is not None:
+            keep_ids = keep.select(
+                F.col(keep.columns[0]).cast("long").alias("doc_id"))
+            tok = tok.join(keep_ids, "doc_id", "left_semi")
         idf_m = F.create_map(*[x for t in sorted(qcounts)
                                for x in (F.lit(t), F.lit(float(qidf[t])))])
         cnt_m = F.create_map(*[x for t in sorted(qcounts)
@@ -1693,11 +1709,55 @@ class IndexSearcher:
                    .filter(F.col("p.term").isin(sorted(qcounts)))
                    .select("doc_id", F.col("p.term").alias("term"),
                            (cnt_m[F.col("p.term")] * imp).alias("c")))
-        scored = (contrib.groupBy("doc_id")
-                  .agg(F.aggregate(
-                      F.array_sort(F.collect_list(F.struct("term", "c"))),
-                      F.lit(0.0), lambda acc, x: acc + x["c"])
-                      .alias("score")))
+        return (contrib.groupBy("doc_id")
+                .agg(F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("term", "c"))),
+                    F.lit(0.0), lambda acc, x: acc + x["c"])
+                    .alias("score")))
+
+    def search_after(self, query: str, n: int = 10,
+                     after: "tuple[float, int] | None" = None,
+                     keep=None) -> DataFrame:
+        """Exact deep pagination (Elasticsearch's search_after — the
+        scalable alternative to from+size): return the next `n` results
+        strictly after the cursor `(score, doc_id)` taken from the last
+        row of the previous page.
+
+        PAGINATION ORDERING: (round(score, 4) DESC, doc_id ASC) — the
+        4-dp rounding the oracle gate already relies on. Raw-float
+        ordering would make page boundaries depend on summation order
+        (engine vs engine run vs SQL twin disagree in the last ulp);
+        rounding makes the total order deterministic and cross-engine
+        stable, so pages are disjoint and complete. The returned `score`
+        column IS the rounded value — feed the last row straight back
+        as the next cursor.
+
+        Execution: the full match set is scored distributed from the
+        tokenized checkpoint (deep pages need docs BELOW the top-k
+        threshold, which the block-max kernels soundly prune away —
+        pagination is a scan-bounded operation by nature), then the
+        cursor predicate + TakeOrderedAndProject. Composes with
+        tombstones and filter-context `keep` like every other path."""
+        qcounts, _, qidf = self._query_terms(query)
+        spark = self.spark
+        empty = "doc_id long, score double, rank int, score_abs double"
+        if not qcounts:
+            return spark.createDataFrame([], empty)
+        keep_df = None
+        if keep is not None:
+            arr = self._resolve_keep(keep)
+            if arr is not None and not arr.size:
+                return spark.createDataFrame([], empty)
+            keep_df = (keep if isinstance(keep, DataFrame) else
+                       spark.createDataFrame([(int(x),) for x in arr],
+                                             "doc_id long"))
+        scored = (self._checkpoint_scores(qcounts, qidf, keep_df)
+                  .select("doc_id", F.round("score", 4).alias("score")))
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            scored = scored.filter(
+                (F.col("score") < s)
+                | ((F.col("score") == s) & (F.col("doc_id") > d)))
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         return (scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
                 .withColumn("rank", F.row_number().over(w))

@@ -286,6 +286,31 @@ GROUP BY doc_id
 ORDER BY sum(s) DESC, doc_id ASC LIMIT {k}"""
 
 
+def bm25_page_sql(query: str, k: int = 10, offset: int = 0,
+                  k1: float = 1.5, b: float = 0.75,
+                  alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.search_after: the pagination ordering is
+    (round(score,4) DESC, doc_id ASC) — a deterministic total order —
+    so cursor paging in the engine equals OFFSET paging here."""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+contrib AS (
+  SELECT tf.doc_id,
+         s.idf * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len / (SELECT avgdl FROM corpus)))
+           * q.qcount AS c
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+),
+scores AS (
+  SELECT doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, score, abs(round(score, 2)) AS score_abs
+FROM scores
+ORDER BY score DESC, doc_id ASC LIMIT {k} OFFSET {offset}"""
+
+
 def percolate_sql(queries: list[str]) -> str:
     """Twin of search_analytics.percolate: (doc_id, query_id) pairs where
     the doc contains EVERY distinct token of the query."""

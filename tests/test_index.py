@@ -467,3 +467,37 @@ def test_suggest_did_you_mean(spark, searcher, corpus_pdf):
     first = searcher.suggest("table", n=3).collect()[0]
     assert first["term"] == "table" and first["distance"] == 0
     assert searcher.suggest("   ", n=3).count() == 0
+
+
+def test_search_after_pagination(spark, searcher, corpus_pdf):
+    """Cursor pagination: pages are disjoint, complete, and ordered by
+    (round(score,4) desc, doc_id asc); walking pages reconstructs the
+    whole match-set ranking; page 1 agrees with search() on rank set."""
+    from tests.oracle_bm25 import oracle_search
+
+    q = QUERIES[0]["query_text"]
+    # full truth under the pagination ordering
+    full = oracle_search(corpus_pdf["content"].tolist(), q, n=10**9)
+    full4 = sorted(((d, round(s, 4)) for d, s in full),
+                   key=lambda x: (-x[1], x[0]))
+
+    pages, cursor = [], None
+    while True:
+        rows = searcher.search_after(q, 7, after=cursor).collect()
+        if not rows:
+            break
+        pages.extend((r["doc_id"], r["score"]) for r in rows)
+        cursor = (rows[-1]["score"], rows[-1]["doc_id"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert [d for d, _ in pages] == [d for d, _ in full4]
+    for (gd, gs), (wd, ws) in zip(pages, full4):
+        assert math.isclose(gs, ws, abs_tol=1e-4), (gd, gs, wd, ws)
+    # disjoint (no doc repeats across pages)
+    assert len({d for d, _ in pages}) == len(pages)
+    # page 1 has the same doc set as search() top-7
+    top = {r["doc_id"] for r in searcher.search(q, 7).collect()}
+    assert {d for d, _ in pages[:7]} == top
+    # composes with filter-context keep
+    keep = [d for d, _ in full4][::2]
+    kept = searcher.search_after(q, 5, keep=keep).collect()
+    assert {r["doc_id"] for r in kept} <= set(keep)
