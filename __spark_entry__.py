@@ -156,6 +156,22 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _documents(spark, sf_dir), "lang")
 
 
+def q_search_facets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_facets answered from the PERSISTED index (tokenized
+    checkpoint, no corpus re-tokenize) — same oracle as the logical
+    operator."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.search_facets(FLAGSHIP_QUERY, _documents(spark, sf_dir),
+                           "lang")
+
+
+def q_significant_terms_indexed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """significant_terms from the persisted index — same oracle."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.significant_terms(FLAGSHIP_QUERY, n=20, min_fg_df=2)
+
+
 def q_bm25_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page 2 of the flagship query via cursor pagination
     (IndexSearcher.search_after): the engine pages with the last row of
@@ -981,6 +997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "match_count": q_match_count,
         "percolate": q_percolate,
         "bm25_search_after": q_bm25_search_after,
+        "search_facets_indexed": q_search_facets_indexed,
+        "significant_terms_indexed": q_significant_terms_indexed,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_incremental": q_bm25_topk_incremental,
@@ -1060,6 +1078,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_after": osql.bm25_page_sql(FLAGSHIP_QUERY, k=10,
                                                 offset=10,
                                                 alpha=APP_CFG.alpha),
+        "search_facets_indexed": osql.search_facets_sql(
+            FLAGSHIP_QUERY, "lang", alpha=APP_CFG.alpha),
+        "significant_terms_indexed": osql.significant_terms_sql(
+            FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

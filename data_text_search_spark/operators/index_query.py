@@ -675,6 +675,7 @@ class IndexSearcher:
         self.k1 = cfg.get("k1", 1.5)
         self.b = cfg.get("b", 0.75)
         self.avgdl = m.get("avgdl", 1.0)
+        self.n_docs = int(m.get("n_docs", 0))
         # tombstones (delete_documents): sorted int64 array of deleted
         # doc_ids, masked at posting-decode time in every kernel. Driver
         # RAM cost is 8 B/id (Lucene holds the analogous live-docs bitset
@@ -1478,6 +1479,81 @@ class IndexSearcher:
         return (hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(n)
                 .withColumn("rank", F.row_number().over(w))
                 .withColumn("score_abs", F.abs(F.round("score", 2))))
+
+    def search_facets(self, query: str, meta: DataFrame,
+                      facet_col: str = "lang") -> DataFrame:
+        """Facet counts over the full match set, answered from the
+        PERSISTED index (tokenized checkpoint — the corpus is never
+        re-tokenized): per facet value, matching-doc count + best BM25
+        score. Same semantics, output, and DuckDB oracle as
+        search_analytics.search_facets over the logical index; this is
+        the form a production user with an on-disk index calls.
+        Tombstoned docs are excluded (they are excluded from every
+        query path)."""
+        qcounts, _, qidf = self._query_terms(query)
+        spark = self.spark
+        if not qcounts:
+            return spark.createDataFrame(
+                [], "facet string, n_docs long, top_score double")
+        scored = self._checkpoint_scores(qcounts, qidf)
+        return (scored
+                .join(meta.select(F.col("doc_id"),
+                                  F.col(facet_col).alias("facet")),
+                      "doc_id")
+                .groupBy("facet")
+                .agg(F.count("*").alias("n_docs"),
+                     F.round(F.max("score"), 4).alias("top_score"))
+                .orderBy(F.desc("n_docs"), F.asc("facet")))
+
+    def significant_terms(self, query: str, n: int = 20,
+                          min_fg_df: int = 2) -> DataFrame:
+        """significant_terms answered from the PERSISTED index: the
+        match set and foreground term frequencies both come from the
+        tokenized checkpoint's pairs column (one explode over distinct
+        per-doc terms — the checkpoint stores (term, tf) pairs, so
+        fg_df needs no re-tokenize), background df from the live term
+        dictionary. Same lift semantics/oracle as the logical-index
+        operator."""
+        qcounts, _, qidf = self._query_terms(query)
+        spark = self.spark
+        empty = "term string, fg_df long, bg_df long, lift double"
+        if not qcounts:
+            return spark.createDataFrame([], empty)
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
+        tok = spark.read.parquet(
+            *committed_tokenized_paths(self.paths.root, self.manifest))
+        tdf = self._tombstone_df()
+        if tdf is not None:
+            tok = tok.join(tdf, "doc_id", "left_anti")
+        qterms = sorted(qcounts)
+        # match set: docs whose pairs contain >= 1 live query term
+        live_q = [t for t in qterms if t in qidf] if qidf else qterms
+        if not live_q:
+            return spark.createDataFrame([], empty)
+        fg_tok = tok.filter(F.exists(
+            "pairs", lambda p: p["term"].isin(live_q)))
+        fg_n = fg_tok.count()
+        if fg_n == 0:
+            return spark.createDataFrame([], empty)
+        fg_df = (fg_tok.select(F.explode("pairs").alias("p"))
+                 .groupBy(F.col("p.term").alias("term"))
+                 .agg(F.count("*").alias("fg_df")))
+        n_docs = int(self.n_docs)
+        out = (fg_df
+               .filter(~F.col("term").isin(qterms))
+               .filter(F.col("fg_df") >= min_fg_df)
+               .join(self.term_stats.select(
+                   "term", F.col("df").cast("long").alias("bg_df")),
+                   "term")
+               .withColumn(
+                   "lift",
+                   (F.col("fg_df") / F.lit(float(fg_n)))
+                   / (F.col("bg_df") / F.lit(float(n_docs)))))
+        return (out.orderBy(F.desc("lift"), F.asc("term")).limit(n)
+                .withColumn("lift", F.round("lift", 4))
+                .select("term", "fg_df", "bg_df", "lift"))
 
     def suggest(self, token: str, n: int = 5,
                 max_edits: int = 2) -> DataFrame:

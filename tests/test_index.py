@@ -501,3 +501,31 @@ def test_search_after_pagination(spark, searcher, corpus_pdf):
     keep = [d for d, _ in full4][::2]
     kept = searcher.search_after(q, 5, keep=keep).collect()
     assert {r["doc_id"] for r in kept} <= set(keep)
+
+
+def test_indexed_analytics_match_logical(spark, corpus, searcher):
+    """Index-backed facets / significant_terms must equal the
+    logical-index operators row-for-row (same oracle, two engines)."""
+    from data_text_search_spark.operators import bm25_exhaustive as bx
+    from data_text_search_spark.operators.search_analytics import (
+        search_facets,
+        significant_terms,
+    )
+
+    lidx = bx.build_logical(bx.ingest(corpus, id_col="doc_id"),
+                            BM25Config(alpha=searcher.manifest[
+                                "config"]["alpha"]))
+    q = "hash join table scan"
+    a = [(r["facet"], r["n_docs"], r["top_score"]) for r in
+         searcher.search_facets(q, corpus, "lang").collect()]
+    b = [(r["facet"], r["n_docs"], r["top_score"]) for r in
+         search_facets(lidx, spark, q, corpus, "lang").collect()]
+    assert a == b and a
+    a = [tuple(r) for r in searcher.significant_terms(q, n=12).collect()]
+    b = [tuple(r) for r in
+         significant_terms(lidx, spark, q, n=12).collect()]
+    assert a == b and a
+    # empty-query edges
+    assert searcher.search_facets("  ", corpus).count() == 0
+    # ('zzz-absent' would NOT be absent: '-' is a real punct token)
+    assert searcher.significant_terms("notinthecorpusatall").count() == 0
