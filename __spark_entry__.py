@@ -156,6 +156,31 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _documents(spark, sf_dir), "lang")
 
 
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG/MRR/recall@10 of the engine's batch top-10 against
+    deterministic arithmetic qrels (doc_id%7 relevant, %21 grade 2):
+    results re-ranked on the rounded deterministic order (same as
+    pagination) so ranks are engine/oracle-stable."""
+    from pyspark.sql import Window
+
+    from data_text_search_spark.operators.evaluation import ranking_metrics
+    s = _physical_searcher(spark, sf_dir)
+    raw = s.search_batch(BATCH_QUERIES, 10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 4)), F.asc("doc_id"))
+    results = raw.select("query_id", "doc_id",
+                         F.row_number().over(w).alias("rank"))
+    docs = _documents(spark, sf_dir)
+    qids = spark.createDataFrame([(i,) for i in range(len(BATCH_QUERIES))],
+                                 "query_id int")
+    qrels = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select("doc_id",
+                     F.when(F.col("doc_id") % 21 == 0, F.lit(2.0))
+                     .otherwise(F.lit(1.0)).alias("grade"))
+             .crossJoin(qids))
+    return ranking_metrics(spark, results, qrels, k=10)
+
+
 def q_search_facets_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """search_facets answered from the PERSISTED index (tokenized
     checkpoint, no corpus re-tokenize) — same oracle as the logical
@@ -998,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "bm25_search_after": q_bm25_search_after,
         "search_facets_indexed": q_search_facets_indexed,
+        "ranking_metrics": q_ranking_metrics,
         "significant_terms_indexed": q_significant_terms_indexed,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
@@ -1080,6 +1106,8 @@ def oracle_sql() -> dict[str, str]:
                                                 alpha=APP_CFG.alpha),
         "search_facets_indexed": osql.search_facets_sql(
             FLAGSHIP_QUERY, "lang", alpha=APP_CFG.alpha),
+        "ranking_metrics": osql.ranking_metrics_sql(
+            BATCH_QUERIES, k=10, alpha=APP_CFG.alpha),
         "significant_terms_indexed": osql.significant_terms_sql(
             FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,

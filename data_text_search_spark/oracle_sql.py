@@ -286,6 +286,64 @@ GROUP BY doc_id
 ORDER BY sum(s) DESC, doc_id ASC LIMIT {k}"""
 
 
+def ranking_metrics_sql(queries: list[str], k: int = 10,
+                        k1: float = 1.5, b: float = 0.75,
+                        alpha: float = -5.0, rel_mod: int = 7,
+                        hi_mod: int = 21) -> str:
+    """Twin of evaluation.ranking_metrics over the engine's batch top-k
+    (ranks on the deterministic (round(score,4) desc, doc_id asc)
+    order) against arithmetic qrels: every doc_id % rel_mod == 0 is
+    relevant (grade 1), % hi_mod == 0 highly so (grade 2)."""
+    qids = ", ".join(f"({i})" for i in range(len(queries)))
+    return f"""WITH raw AS (
+{bm25_batch_sql(queries, k=k, k1=k1, b=b, alpha=alpha)}
+),
+results AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM raw
+),
+qrels AS (
+  SELECT q.query_id, d.doc_id,
+         CASE WHEN d.doc_id % {hi_mod} = 0 THEN 2.0 ELSE 1.0 END AS grade
+  FROM (VALUES {qids}) q(query_id), documents d
+  WHERE d.doc_id % {rel_mod} = 0
+),
+hits AS (
+  SELECT r.query_id, r.rank, qr.grade
+  FROM results r JOIN qrels qr USING (query_id, doc_id)
+  WHERE r.rank <= {k}
+),
+perq AS (
+  SELECT query_id, sum(grade / log2(rank + 1.0)) AS dcg,
+         min(CASE WHEN grade > 0 THEN rank END) AS first_rel,
+         count(CASE WHEN grade > 0 THEN 1 END) AS rel_ret
+  FROM hits GROUP BY query_id
+),
+ideal AS (
+  SELECT query_id, sum(grade / log2(pos + 1.0)) AS idcg
+  FROM (SELECT query_id, grade,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY grade DESC, doc_id ASC) AS pos
+        FROM qrels)
+  WHERE pos <= {k} GROUP BY query_id
+),
+tot AS (
+  SELECT query_id, count(*) AS n_rel FROM qrels WHERE grade > 0
+  GROUP BY query_id
+)
+SELECT i.query_id,
+       round(CASE WHEN idcg > 0 THEN coalesce(dcg, 0) / idcg
+             ELSE 0 END, 4) AS ndcg,
+       round(coalesce(1.0 / first_rel, 0), 4) AS mrr,
+       round(CASE WHEN n_rel > 0
+             THEN coalesce(rel_ret, 0) * 1.0 / n_rel
+             ELSE 0 END, 4) AS recall
+FROM ideal i LEFT JOIN tot USING (query_id) LEFT JOIN perq USING (query_id)
+ORDER BY query_id"""
+
+
 def bm25_page_sql(query: str, k: int = 10, offset: int = 0,
                   k1: float = 1.5, b: float = 0.75,
                   alpha: float = -5.0) -> str:
