@@ -237,18 +237,23 @@ def main() -> None:
     bpp_c = s_c.manifest["groups_state"]["0"]["bytes_per_posting"]
 
     total = round(sum(results.values()), 3)
-    # the driver captures only a bounded TAIL of stdout — round 4's
-    # one-line JSON grew past it (queries_minmax) and the round's metrics
-    # were lost (parsed: null). Keep the stdout line COMPACT (headline
-    # numbers + per-row medians) and put every diagnostic in a side file.
+    # the driver captures only the last ~2,000 chars of output and
+    # parses the JSON line from that window — round 4's line grew past
+    # it (queries_minmax) and the round's metrics were lost
+    # (parsed: null). Budget discipline for stdout:
+    #  - CONTRACT rows only in "queries" (2-decimal medians); the
+    #    build/diagnostic timings ride their own headline fields and the
+    #    full-precision copy lives in the BENCH/ side file
+    #  - compact separators (no spaces) — ~2 bytes/element
+    #  - a hard assertion below fails the bench loudly if the line ever
+    #    approaches the window again, instead of silently losing a round
+    contract_names = set(contract)
     out = {
         "metric": "bm25_engine_total_sec",
         "value": total,
         "unit": "sec",
-        # 2-decimal medians on stdout: the driver captures only a
-        # bounded tail, and the contract-row count keeps growing — the
-        # full-precision copy lives in the BENCH/ side file
-        "queries": {k: round(v, 2) for k, v in results.items()},
+        "queries": {k: round(v, 2) for k, v in results.items()
+                    if k in contract_names},
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
         "corpus_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 1),
@@ -267,12 +272,25 @@ def main() -> None:
         "bytes_per_posting_compact": bpp_c,
         "ann_probed_fraction": ann_probed_fraction,
     })
-    side = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH", "bench_details_latest.json")
-    os.makedirs(os.path.dirname(side), exist_ok=True)
-    with open(side, "w") as f:
+    # side files are namespaced by SF; "latest" tracks only the headline
+    # sf0.1 runs (an sf0.001 smoke once clobbered the round's sf0.1
+    # details — commit 8b6c701)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    sf_name = os.path.basename(sf_dir.rstrip("/"))
+    with open(os.path.join(bench_dir,
+                           f"bench_details_{sf_name}.json"), "w") as f:
         json.dump(details, f, indent=1, sort_keys=True)
-    print(json.dumps(out))
+    if out["sf"] >= 0.1:
+        with open(os.path.join(bench_dir,
+                               "bench_details_latest.json"), "w") as f:
+            json.dump(details, f, indent=1, sort_keys=True)
+    line = json.dumps(out, separators=(",", ":"))
+    assert len(line) <= 1800, (
+        f"bench stdout line {len(line)} B — would overflow the driver's "
+        "~2000-char tail capture; trim queries or coarsen precision")
+    print(line)
 
 
 if __name__ == "__main__":
