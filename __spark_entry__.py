@@ -312,6 +312,55 @@ def q_bm25_topk_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+def _delta_searcher(spark: SparkSession, sf_dir: str):
+    """Exercise snapshot-diff reindexing under the oracle gate: build
+    over a STALE corpus state (10% of docs present only as perturbed old
+    versions under shifted ids, another 10% entirely absent), then
+    reindex_delta onto the true corpus snapshot (tombstones the stale
+    versions, appends the true ones) and merge_segments (tombstone purge
+    + stat refresh, bit-identical to a fresh build over the snapshot —
+    which is what makes the full-corpus DuckDB oracle exact for this
+    row). streaming/incremental.py:reindex_delta."""
+    key = ("deltaidx", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.index_build import build_index
+        from data_text_search_spark.operators.index_query import IndexSearcher
+        from data_text_search_spark.streaming.incremental import (
+            merge_segments,
+            reindex_delta,
+        )
+
+        root = tempfile.mkdtemp(prefix="dts_deltaidx_") + "/idx"
+        docs = _documents(spark, sf_dir)
+        part = F.pmod(F.col("doc_id"), F.lit(10))
+        stale = (docs.filter(part == 9)
+                 .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+                 .withColumn("text", F.concat(F.lit("stale draft revision "),
+                                              F.col("text"))))
+        v1 = docs.filter(part < 9).unionByName(stale)
+        cfg = BM25Config(alpha=APP_CFG.alpha)
+        build_index(spark, v1, root, cfg, text_col="text", id_col="doc_id")
+        reindex_delta(spark, root, docs, text_col="text", id_col="doc_id")
+        merge_segments(spark, root)
+        s = IndexSearcher(spark, root)
+        s.warm()
+        _CACHE[key] = (None, s)
+    return _CACHE[key][1]
+
+
+def q_bm25_topk_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query through an index converged onto the true corpus by
+    SNAPSHOT-DIFF reindexing (reindex_delta: tombstone vanished/changed
+    versions, append new ones, purge+refresh via merge) — hash-checked
+    against the identical full-corpus DuckDB oracle."""
+    s = _delta_searcher(spark, sf_dir)
+    res = s.search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 BATCH_QUERIES = [FLAGSHIP_QUERY, "sort merge window", "stream batch filter"]
 
 
@@ -1028,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_topk_incremental": q_bm25_topk_incremental,
+        "bm25_topk_delta": q_bm25_topk_delta,
         "bm25_topk_clean": q_bm25_topk_clean,
         "bm25_full_pipeline": q_bm25_full_pipeline,
         "doc_stats": q_doc_stats,
@@ -1114,6 +1164,8 @@ def oracle_sql() -> dict[str, str]:
                                                    alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                                     alpha=APP_CFG.alpha),
+        "bm25_topk_delta": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                              alpha=APP_CFG.alpha),
         "bm25_topk_clean": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                               alpha=APP_CFG.alpha, clean=True),
         "bm25_full_pipeline": osql.bm25_full_pipeline_sql(

@@ -39,6 +39,29 @@ from data_text_search_spark.functions.text import (
 )
 
 
+def assign_doc_id(corpus: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Document identity, shared by ingest and the snapshot differ
+    (streaming/incremental.reindex_delta): `id_col` if given, else
+    xxhash64(repo, path, commit). With the derived form, any content
+    change arrives as a new commit and therefore a NEW doc_id — which is
+    what makes a snapshot diff expressible as pure id set algebra.
+
+    Key-hash ids are stable and shuffle-free (a dense rank / row index
+    would serialize or full-sort); collisions are checked at build time.
+    """
+    df = corpus
+    if id_col is None:
+        if not {"repo", "path", "commit"}.issubset(set(df.columns)):
+            raise ValueError("need id_col or (repo, path, commit) columns")
+        return df.withColumn(
+            "doc_id",
+            F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")),
+        )
+    if id_col != "doc_id":
+        df = df.withColumnRenamed(id_col, "doc_id")
+    return df
+
+
 def ingest(corpus: DataFrame, text_col: str = "content",
            id_col: str | None = None, clean: bool = False,
            materialize_tokens: bool = True) -> DataFrame:
@@ -52,20 +75,7 @@ def ingest(corpus: DataFrame, text_col: str = "content",
     - content_sha256: ingest invariant — content is never mutated; clean and
       tokens are *derived* columns (BASELINE.json input_hint).
     """
-    df = corpus
-    if id_col is None:
-        if not {"repo", "path", "commit"}.issubset(set(df.columns)):
-            raise ValueError("need id_col or (repo, path, commit) columns")
-        # dense_rank over a single unpartitioned window would serialize; a
-        # sort-based zipWithIndex is also a full sort. Key-hash ids are
-        # stable and shuffle-free; collisions are checked at build time.
-        df = df.withColumn(
-            "doc_id",
-            F.xxhash64(F.col("repo"), F.col("path"), F.col("commit")),
-        )
-        id_col = "doc_id"
-    elif id_col != "doc_id":
-        df = df.withColumnRenamed(id_col, "doc_id")
+    df = assign_doc_id(corpus, id_col)
 
     prepared = lower_expr(text_col)          # P2: lowercase before everything
     if clean:

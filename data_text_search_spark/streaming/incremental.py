@@ -524,6 +524,99 @@ def recover_merge(spark: SparkSession, root: str) -> dict:
     return load_manifest(root)
 
 
+def reindex_delta(spark: SparkSession, root: str, snapshot: DataFrame,
+                  text_col: str = "content", id_col: str | None = None,
+                  batch_key: str | None = None,
+                  rebuild_threshold: float = 0.2) -> dict:
+    """Converge an existing index onto a new corpus SNAPSHOT by diffing
+    identity sets — the incremental form of the north rule's
+    checkpoint-resumable rebuild for a living source-code corpus.
+
+    `snapshot` is the FULL desired corpus state (e.g. the repo table at
+    new HEAD commits), not a delta. Identity follows ingest exactly
+    (bm25_exhaustive.assign_doc_id): `id_col` if given, else
+    xxhash64(repo, path, commit) — so a changed file surfaces as its old
+    doc_id vanishing and a new doc_id appearing, and the whole reindex
+    is pure id set algebra (content is never compared row-by-row; the
+    commit IS the content address, same invariant git relies on):
+
+        to_delete = live indexed ids  ∖  snapshot ids   → tombstones
+        to_add    = snapshot ids      ∖  live ids       → delta segment
+        unchanged = intersection                        → untouched
+
+    Resumable / idempotent: the diff is recomputed from COMMITTED state
+    each call, so re-running after a crash converges — ids whose delete
+    committed drop out of to_delete (delete_documents skips already-
+    tombstoned ids), and re-running with the same snapshot is a no-op
+    diff. With `batch_key`, the append leg is additionally exactly-once
+    under streaming redelivery (add_documents' manifest batch record).
+    Deletes commit BEFORE the append so a mid-run crash never leaves the
+    index claiming docs the snapshot removed while missing its adds.
+
+    Staleness contract is delete_documents' + add_documents' combined:
+    surviving docs keep their scores under the pre-diff global stats;
+    drift accumulates on the manifest and `merge_segments` restores
+    bit-exact parity with a fresh build over the snapshot.
+
+    A snapshot id that was previously tombstoned but not yet purged
+    cannot be re-added (its postings are still physically present) —
+    that resurrection case raises with the merge_segments hint rather
+    than half-applying the diff. No reference analog: the reference
+    rebuilds in RAM per session (app.py); this is the capability that
+    replaces those rebuilds at corpus scale.
+
+    Returns {"n_added", "n_deleted", "n_unchanged", "manifest"}."""
+    from data_text_search_spark.operators.bm25_exhaustive import (
+        assign_doc_id,
+    )
+
+    manifest = load_manifest(root)
+    if not manifest or not manifest.get("complete"):
+        raise ValueError(f"no complete index at {root}")
+
+    snap = assign_doc_id(snapshot, id_col)
+    # one column-pruned pass over the snapshot's key columns feeds the
+    # resurrection check, both anti-joins, and the final count (the
+    # to_add leg's full-row scan is the only other snapshot read)
+    snap_ids = (snap.select("doc_id").dropDuplicates(["doc_id"])
+                .persist())
+    indexed = spark.read.parquet(
+        *committed_doc_stats_paths(root, manifest)).select("doc_id")
+    tpaths = committed_tombstone_paths(root, manifest)
+    tomb = (spark.read.parquet(*tpaths).select("doc_id")
+            if tpaths else None)
+    live = indexed if tomb is None else indexed.join(
+        tomb, "doc_id", "left_anti")
+
+    if tomb is not None:
+        resurrect = snap_ids.join(tomb, "doc_id", "left_semi").count()
+        if resurrect:
+            raise ValueError(
+                f"reindex_delta: {resurrect} snapshot doc_ids are "
+                "tombstoned but not yet purged — run merge_segments "
+                "first, then re-apply the snapshot")
+
+    to_delete = live.join(snap_ids, "doc_id", "left_anti")
+    n_deleted = to_delete.count()
+    if n_deleted:
+        delete_documents(spark, root, to_delete,
+                         rebuild_threshold=rebuild_threshold)
+
+    to_add = snap.join(live, "doc_id", "left_anti")
+    n_added = to_add.count()
+    if n_added:
+        manifest = add_documents(
+            spark, root, to_add, text_col=text_col, id_col="doc_id",
+            batch_key=batch_key, rebuild_threshold=rebuild_threshold)
+    else:
+        manifest = load_manifest(root)
+    n_snapshot = snap_ids.count()
+    snap_ids.unpersist()
+    return {"n_added": int(n_added), "n_deleted": int(n_deleted),
+            "n_unchanged": int(n_snapshot - n_added),
+            "manifest": manifest}
+
+
 def stream_ingest(spark: SparkSession, root: str, source_dir: str,
                   schema: str, checkpoint: str, text_col: str = "content",
                   id_col: str | None = None):
