@@ -1016,6 +1016,17 @@ def q_prefix_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.prefix_search(TERM_PREFIX)
 
 
+TERM_REGEX = "(en|de)code_[a-z]+"  # encode_*/decode_* idents in the vocab
+
+
+def q_regex_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexpQuery (full-term match) answered entirely from the
+    persisted index, like prefix_search — hash-checked against a DuckDB
+    brute-force tokenize + regexp_full_match twin."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.regex_search(TERM_REGEX)
+
+
 def q_bm25_topk_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 with the F1 clean pipeline ON (Clean=Yes path of the reference,
     bm25_functions.py:322-336) — exercises clean+tokenize+score end to end."""
@@ -1125,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": q_bm25_topk_filtered,
         "bm25_boolean": q_bm25_boolean,
         "prefix_search": q_prefix_search,
+        "regex_search": q_regex_search,
     }
 
 
@@ -1237,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
             doc_filter="tf.doc_id IN (SELECT doc_id FROM documents "
                        "WHERE lang = 'en')"),
         "prefix_search": osql.prefix_search_sql(TERM_PREFIX),
+        "regex_search": osql.regex_search_sql(TERM_REGEX),
         "bm25_boolean": osql.bm25_topk_sql(
             FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha,
             doc_filter=(

@@ -1386,6 +1386,41 @@ class IndexSearcher:
             return spark.createDataFrame([], "doc_id long, match_count long")
         return local.orderBy(F.desc("match_count"), F.asc("doc_id"))
 
+    def regex_search(self, pattern: str,
+                     max_terms: int = 10_000) -> DataFrame:
+        """Lucene-style RegexpQuery: per doc, the number of token
+        occurrences whose term matches `pattern` in FULL (anchored, the
+        Lucene convention) — same index-only shape as prefix_search:
+        vocab-sized dictionary filter, then the shuffle-free tf kernels;
+        no corpus scan in the plan.
+
+        Dialect note: the dictionary filter is Java regex (Spark
+        `rlike`), the DuckDB oracle uses RE2 `regexp_full_match` —
+        identical on the common subset (alternation, classes,
+        quantifiers); patterns using lookaround or backrefs are
+        Java-only and simply have no oracle twin.
+
+        Returns (doc_id, match_count), match_count desc, doc_id asc."""
+        if not pattern:
+            raise ValueError("regex_search: empty pattern")
+        spark = self.spark
+        ts = self._term_stats_all
+        if "pruned" not in ts.columns:
+            ts = ts.withColumn("pruned", F.lit(False))
+        matched = (ts.select("term", "pruned")
+                   .filter(F.col("term").rlike(f"^(?:{pattern})$"))
+                   .limit(max_terms + 1).collect())
+        if len(matched) > max_terms:
+            raise ValueError(
+                f"regex_search: pattern matches more than {max_terms} "
+                "terms; tighten the pattern or raise max_terms")
+        weights = {r["term"]: 1 for r in matched if not r["pruned"]}
+        pruned_w = {r["term"]: 1 for r in matched if r["pruned"]}
+        local = self._tf_weighted_counts(weights, pruned_w)
+        if local is None:
+            return spark.createDataFrame([], "doc_id long, match_count long")
+        return local.orderBy(F.desc("match_count"), F.asc("doc_id"))
+
     def feedback_terms(self, query: str, fb_docs: int = 10,
                        fb_terms: int = 10) -> list[tuple[str, float]]:
         """Pseudo-relevance-feedback term selection (the RM3 / Lucene

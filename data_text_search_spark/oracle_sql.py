@@ -752,6 +752,22 @@ WHERE len(list_filter(toks, t -> t LIKE '{esc}%' ESCAPE '\\')) > 0
 ORDER BY match_count DESC, doc_id ASC"""
 
 
+def regex_search_sql(pattern: str) -> str:
+    """Per-doc occurrences of tokens fully matching `pattern` — the
+    brute-force twin of IndexSearcher.regex_search (term-dictionary
+    filter + tf varints, no corpus scan). Keep contract patterns in the
+    Java/RE2-common regex subset."""
+    esc = pattern.replace("'", "''")
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKENIZE.format(col="text")} AS toks FROM documents)
+SELECT doc_id,
+       len(list_filter(toks, t -> regexp_full_match(t, '{esc}')))::bigint
+         AS match_count
+FROM docs
+WHERE len(list_filter(toks, t -> regexp_full_match(t, '{esc}'))) > 0
+ORDER BY match_count DESC, doc_id ASC"""
+
+
 def fuzzy_phrase_sql(query: str, max_mistakes: int = 1) -> str:
     from data_text_search_spark.functions.text import tokenize_py
     qtokens = tokenize_py(query)

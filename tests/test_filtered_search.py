@@ -230,3 +230,44 @@ def test_prefix_search_masks_tombstones(spark, corpus, tmp_path):
            for r in s.prefix_search("re").collect()]
     want = [(d, c) for d, c in _brute_prefix(pdf, "re") if d % 4 != 0]
     assert got == want
+
+
+def _brute_regex(pdf, pattern):
+    import re
+    rx = re.compile(f"(?:{pattern})\\Z")
+    out = {}
+    for d, t in zip(pdf["doc_id"], pdf["content"]):
+        c = sum(1 for tok in tokenize_py(t.lower()) if rx.match(tok))
+        if c:
+            out[int(d)] = c
+    return sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+def test_regex_search_matches_brute_force(spark, corpus, index):
+    pdf, _ = corpus
+    s = IndexSearcher(spark, index)
+    pat = "(en|de)code_[a-z]+"
+    got = [(r["doc_id"], r["match_count"])
+           for r in s.regex_search(pat).collect()]
+    assert got == _brute_regex(pdf, pat) and got
+    # full-term anchoring: a bare substring pattern must not partial-match
+    assert s.regex_search("cod").count() == 0
+    assert s.regex_search("zzz(a|b)").count() == 0
+
+
+def test_regex_search_pruned_terms_and_guards(spark, corpus, tmp_path):
+    pdf, df = corpus
+    root = str(tmp_path / "ridx")
+    build_index(spark, df, root, BM25Config(alpha=1.0), id_col="doc_id",
+                shards=2, groups=1)
+    s = IndexSearcher(spark, root)
+    # alpha=1.0 prunes hot terms from postings; the checkpoint branch
+    # must still count them ('return' is a hot keyword)
+    got = [(r["doc_id"], r["match_count"])
+           for r in s.regex_search("re.*").collect()]
+    want = _brute_regex(pdf, "re.*")
+    assert got == want and got
+    with pytest.raises(ValueError, match="empty pattern"):
+        s.regex_search("")
+    with pytest.raises(ValueError, match="more than"):
+        s.regex_search(".*", max_terms=1)
