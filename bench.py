@@ -128,6 +128,9 @@ def main() -> None:
     entrymod._deleted_searcher(spark, sf_dir)
     results["deleted_index_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    entrymod._delta_searcher(spark, sf_dir)
+    results["delta_reindex_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     entrymod._ann_index_root(spark, sf_dir)
     results["ann_index_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
