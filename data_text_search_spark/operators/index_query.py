@@ -57,6 +57,7 @@ moves only tasks·k rows per query.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import numpy as np
@@ -1420,6 +1421,17 @@ class IndexSearcher:
         if local is None:
             return spark.createDataFrame([], "doc_id long, match_count long")
         return local.orderBy(F.desc("match_count"), F.asc("doc_id"))
+
+    def wildcard_search(self, pattern: str,
+                        max_terms: int = 10_000) -> DataFrame:
+        """Lucene WildcardQuery sugar: `*` = any run, `?` = one char,
+        everything else literal — translated to an anchored regex and
+        answered by regex_search (same index-only plan)."""
+        if not pattern:
+            raise ValueError("wildcard_search: empty pattern")
+        rx = "".join("[\\s\\S]*" if c == "*" else "[\\s\\S]" if c == "?"
+                     else re.escape(c) for c in pattern)
+        return self.regex_search(rx, max_terms=max_terms)
 
     def feedback_terms(self, query: str, fb_docs: int = 10,
                        fb_terms: int = 10) -> list[tuple[str, float]]:

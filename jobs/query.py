@@ -10,6 +10,9 @@ Modes (mutually composable where sensible):
 - --expand           pseudo-relevance-feedback expansion of --query
                      (--fb-docs/--fb-terms tune the feedback pass)
 - --more-like DOC_ID similar documents to a seed doc (MoreLikeThis)
+- --prefix P         docs by occurrences of terms starting with P
+- --regex RX         docs by occurrences of terms fully matching RX
+- --wildcard W       like --regex with * / ? wildcard syntax
 - --stream-dir DIR   serve a STREAM of queries: parquet files of
                      (query_id, query_text) appearing under DIR are
                      answered micro-batch by micro-batch into
@@ -30,6 +33,9 @@ def main(argv: list[str] | None = None) -> list[dict]:
     ap.add_argument("--query", default=None)
     ap.add_argument("--queries-file", default=None)
     ap.add_argument("--more-like", type=int, default=None, metavar="DOC_ID")
+    ap.add_argument("--prefix", default=None)
+    ap.add_argument("--regex", default=None)
+    ap.add_argument("--wildcard", default=None)
     ap.add_argument("--stream-dir", default=None)
     ap.add_argument("--stream-sink", default=None)
     ap.add_argument("--stream-checkpoint", default=None)
@@ -44,10 +50,12 @@ def main(argv: list[str] | None = None) -> list[dict]:
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
     modes = [bool(args.query), bool(args.queries_file),
-             args.more_like is not None, bool(args.stream_dir)]
+             args.more_like is not None, bool(args.stream_dir),
+             bool(args.prefix), bool(args.regex), bool(args.wildcard)]
     if sum(modes) != 1:
         ap.error("need exactly one of --query / --queries-file / "
-                 "--more-like / --stream-dir")
+                 "--more-like / --stream-dir / --prefix / --regex / "
+                 "--wildcard")
     if args.stream_dir and not args.stream_sink:
         ap.error("--stream-dir needs --stream-sink")
 
@@ -73,6 +81,15 @@ def main(argv: list[str] | None = None) -> list[dict]:
         out = [{"rank": r["rank"], "doc_id": r["doc_id"],
                 "score": r["score"], "score_abs": r["score_abs"]}
                for r in res.collect()]
+    elif args.prefix or args.regex or args.wildcard:
+        if args.prefix:
+            res = searcher.prefix_search(args.prefix)
+        elif args.regex:
+            res = searcher.regex_search(args.regex)
+        else:
+            res = searcher.wildcard_search(args.wildcard)
+        out = [{"doc_id": r["doc_id"], "match_count": r["match_count"]}
+               for r in res.limit(args.k).collect()]
     elif args.more_like is not None:
         out = [{"rank": r["rank"], "doc_id": r["doc_id"],
                 "score": r["score"], "score_abs": r["score_abs"]}

@@ -271,3 +271,18 @@ def test_regex_search_pruned_terms_and_guards(spark, corpus, tmp_path):
         s.regex_search("")
     with pytest.raises(ValueError, match="more than"):
         s.regex_search(".*", max_terms=1)
+
+
+def test_wildcard_search_translates_to_regex(spark, corpus, index):
+    pdf, _ = corpus
+    s = IndexSearcher(spark, index)
+    got = [(r["doc_id"], r["match_count"])
+           for r in s.wildcard_search("*code_*").collect()]
+    assert got == _brute_regex(pdf, "[\\s\\S]*code_[\\s\\S]*") and got
+    # ? = exactly one char; dot is LITERAL in wildcard syntax
+    assert [(r["doc_id"], r["match_count"])
+            for r in s.wildcard_search("?ncode_row").collect()] == \
+        _brute_regex(pdf, "[\\s\\S]ncode_row")
+    assert s.wildcard_search("z.z").count() == 0
+    with pytest.raises(ValueError, match="empty pattern"):
+        s.wildcard_search("")

@@ -320,3 +320,35 @@ def test_query_cli_modes(spark, tmp_path):
     streamed = spark.read.parquet(sink)
     offline = s.search_batch([q, "zyzzyva"], 3).collect()
     assert streamed.count() == len(offline)
+
+
+def test_query_cli_term_modes(spark, tmp_path):
+    """--prefix / --regex / --wildcard agree with the library surface."""
+    sys.path.insert(0, "jobs")
+    import query as query_cli
+
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.fixtures.corpus import corpus_pandas
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+
+    pdf = corpus_pandas(150).reset_index().rename(columns={"index": "doc_id"})
+    root = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(pdf), root, BM25Config(),
+                id_col="doc_id", shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+
+    for argv, lib in [
+        (["--prefix", "enc"], s.prefix_search("enc")),
+        (["--regex", "(en|de)code_[a-z]+"],
+         s.regex_search("(en|de)code_[a-z]+")),
+        (["--wildcard", "?ncode_*"], s.wildcard_search("?ncode_*")),
+    ]:
+        got = query_cli.main(["--index", root, "--k", "5"] + argv)
+        want = [(r["doc_id"], r["match_count"])
+                for r in lib.limit(5).collect()]
+        assert [(r["doc_id"], r["match_count"]) for r in got] == want
+        assert got
+    # wildcard is regex sugar: * / ? translate, regex metachars literal
+    assert query_cli.main(["--index", root, "--wildcard", "z.z", "--k",
+                           "3"]) == []
