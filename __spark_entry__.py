@@ -121,6 +121,28 @@ def q_bm25_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+# Query-time synonym map for the flagship query: one multi-synonym
+# entry, one in-vocabulary synonym ("merge"), and one synonym absent
+# from the corpus ("seek") to exercise the dictionary-drop path on both
+# sides of the oracle comparison.
+SYNONYM_MAP = {"join": ["merge"], "scan": ["filter", "seek"]}
+
+
+def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion through the physical index
+    (IndexSearcher.search_synonyms — ES synonym-filter analog,
+    expand=true): each query-token occurrence also contributes one
+    occurrence of each mapped synonym, then the exact scorer runs on
+    the expanded multiset. The DuckDB oracle replays the expansion and
+    the scoring (oracle_sql.synonym_search_sql); the map deliberately
+    includes an out-of-vocabulary synonym so the dictionary-drop
+    semantics are hash-checked too."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.search_synonyms(FLAGSHIP_QUERY, SYNONYM_MAP, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 MLT_SEED_DOC = 7  # exists at every sf (doc_ids are 0..N-1)
 
 
@@ -1074,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_physical": q_bm25_topk_physical,
         "bm25_expanded": q_bm25_expanded,
+        "bm25_synonyms": q_bm25_synonyms,
         "more_like_this": q_more_like_this,
         "search_facets": q_search_facets,
         "spell_suggest": q_spell_suggest,
@@ -1150,6 +1173,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_expanded": osql.bm25_expanded_sql(FLAGSHIP_QUERY, k=10,
                                                 fb_docs=10, fb_terms=10,
                                                 alpha=APP_CFG.alpha),
+        "bm25_synonyms": osql.synonym_search_sql(FLAGSHIP_QUERY,
+                                                 SYNONYM_MAP, k=10,
+                                                 alpha=APP_CFG.alpha),
         "more_like_this": osql.more_like_this_sql(MLT_SEED_DOC, k=10,
                                                   m_terms=10,
                                                   alpha=APP_CFG.alpha),

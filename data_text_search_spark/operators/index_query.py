@@ -1486,6 +1486,25 @@ class IndexSearcher:
             counts[t] += 1
         return self._search_counts(counts, n)
 
+    def search_synonyms(self, query: str, synonyms: dict[str, list[str]],
+                        n: int = 10) -> DataFrame:
+        """Query-time synonym expansion (Elasticsearch synonym-filter
+        analog, expand=true): every occurrence of a query token also
+        contributes one occurrence of each of its mapped synonyms, so a
+        token with count c adds count c to each synonym — the multiset
+        then runs through the unchanged exact search path. Synonyms
+        absent from the index dictionary are dropped by the normal
+        vocabulary lookup (they can never score); a synonym colliding
+        with another query term just stacks counts, exactly like
+        Lucene's should-clause stacking. Purely a driver-side count
+        rewrite: zero extra Spark jobs, zero index changes, identical
+        scale shape to search()."""
+        counts = Counter(tokenize_py(query))
+        for t, c in list(counts.items()):
+            for s in synonyms.get(t, ()):
+                counts[s] += c
+        return self._search_counts(counts, n)
+
     def more_like_this(self, doc_id: int, n: int = 10,
                        m_terms: int = 10) -> DataFrame:
         """Lucene MoreLikeThis: find documents similar to a given one by

@@ -22,7 +22,10 @@ TOKENIZE = "regexp_extract_all(lower(cast({col} as varchar)), '[\\pL\\pN_]+|[^\\
 
 
 def _values_for_query(query: str) -> str:
-    counts = Counter(tokenize_py(query))
+    return _values_for_counts(Counter(tokenize_py(query)))
+
+
+def _values_for_counts(counts) -> str:
     rows = ", ".join(f"('{t}', {c})" for t, c in sorted(counts.items()))
     return rows
 
@@ -143,6 +146,39 @@ q(term, qcount) AS (
 contrib AS (
   SELECT tf.doc_id, {contrib} * q.qcount AS c
   FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
+def synonym_search_sql(query: str, synonyms: dict[str, list[str]],
+                       k: int = 10, k1: float = 1.5, b: float = 0.75,
+                       alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.search_synonyms: the query's token counts
+    expanded with count-of-source occurrences per mapped synonym
+    (Elasticsearch synonym-filter, expand=true), then the standard BM25
+    contribution. The expansion itself is replayed here in Python —
+    query and map are both constants — and synonyms absent from the
+    corpus vanish in the `stats` join exactly as the engine's
+    dictionary lookup drops them."""
+    counts = Counter(tokenize_py(query))
+    for t, c in list(counts.items()):
+        for s in synonyms.get(t, ()):
+            counts[s] += c
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_counts(counts)}),
+contrib AS (
+  SELECT tf.doc_id,
+         s.idf * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len / (SELECT avgdl FROM corpus)))
+           * q.qcount AS c
+  FROM tf
+  JOIN stats s USING (term)
+  JOIN q USING (term)
   JOIN doc_stats ds USING (doc_id)
   WHERE s.idf > {alpha}
 )

@@ -9,6 +9,10 @@ Modes (mutually composable where sensible):
 - --queries-file     one query per line, the whole set in a single job
 - --expand           pseudo-relevance-feedback expansion of --query
                      (--fb-docs/--fb-terms tune the feedback pass)
+- --synonyms FILE    query-time synonym expansion of --query: FILE is
+                     a JSON object {token: [synonym, ...]}; each token
+                     occurrence also contributes one occurrence of each
+                     mapped synonym (ES synonym-filter, expand=true)
 - --more-like DOC_ID similar documents to a seed doc (MoreLikeThis)
 - --prefix P         docs by occurrences of terms starting with P
 - --regex RX         docs by occurrences of terms fully matching RX
@@ -44,6 +48,9 @@ def main(argv: list[str] | None = None) -> list[dict]:
                          "drain available input and exit)")
     ap.add_argument("--expand", action="store_true",
                     help="pseudo-relevance-feedback expansion of --query")
+    ap.add_argument("--synonyms", default=None, metavar="JSON_FILE",
+                    help="query-time synonym expansion of --query: JSON "
+                         "object {token: [synonym, ...]}")
     ap.add_argument("--fb-docs", type=int, default=10)
     ap.add_argument("--fb-terms", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
@@ -76,6 +83,10 @@ def main(argv: list[str] | None = None) -> list[dict]:
             res = searcher.search_expanded(args.query, args.k,
                                            fb_docs=args.fb_docs,
                                            fb_terms=args.fb_terms)
+        elif args.synonyms:
+            with open(args.synonyms) as f:
+                smap = json.load(f)
+            res = searcher.search_synonyms(args.query, smap, args.k)
         else:
             res = searcher.search(args.query, args.k)
         out = [{"rank": r["rank"], "doc_id": r["doc_id"],

@@ -401,6 +401,45 @@ def test_search_expanded_prf_semantics(spark, searcher, corpus_pdf):
     assert searcher.search_expanded("   ", 10).count() == 0
 
 
+def test_search_synonyms_semantics(spark, searcher, corpus_pdf):
+    """Query-time synonym expansion (search_synonyms, ES synonym-filter
+    expand=true semantics):
+    - each occurrence of a mapped token contributes that occurrence
+      count to every synonym (replayed via the python oracle);
+    - synonyms absent from the dictionary are dropped (result identical
+      with or without the bogus mapping);
+    - an empty map is a plain search."""
+    import collections
+
+    from data_text_search_spark.functions.text import tokenize_py
+    from tests.oracle_bm25 import oracle_search_counts
+
+    q = QUERIES[0]["query_text"] + " " + QUERIES[0]["query_text"]
+    tok = tokenize_py(QUERIES[0]["query_text"])[0]
+    live = sorted(r["term"] for r in
+                  searcher.term_stats.select("term").collect())
+    syn = next(t for t in live if t != tok)
+    smap = {tok: [syn, "zzz_not_in_vocab"]}
+
+    counts = collections.Counter(tokenize_py(q))
+    counts[syn] += counts[tok]          # occurrence-weighted expansion
+    want = oracle_search_counts(corpus_pdf["content"].tolist(), counts,
+                                n=10)
+    got = searcher.search_synonyms(q, smap, 10).collect()
+    _assert_parity(got, want)
+
+    # the out-of-vocab synonym must be a no-op: same rows without it
+    got2 = searcher.search_synonyms(q, {tok: [syn]}, 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == \
+        [(r["doc_id"], r["score"]) for r in got2]
+
+    # empty map == plain search
+    plain = searcher.search(q, 10).collect()
+    got3 = searcher.search_synonyms(q, {}, 10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got3] == \
+        [(r["doc_id"], r["score"]) for r in plain]
+
+
 def test_more_like_this_semantics(spark, searcher, corpus_pdf):
     """MoreLikeThis: seed doc excluded, result equals the exact scorer
     over the seed doc's top tf·idf terms as a count-1 query (protocol

@@ -299,6 +299,16 @@ def test_query_cli_modes(spark, tmp_path):
     assert [(r["doc_id"], r["rank"]) for r in got] == \
         [(r["doc_id"], r["rank"]) for r in want]
 
+    sf = tmp_path / "synonyms.json"
+    sf.write_text('{"join": ["merge"], "scan": ["sort", "zzz_absent"]}')
+    got = query_cli.main(["--index", root, "--query", q,
+                          "--synonyms", str(sf), "--k", "5"])
+    want = s.search_synonyms(q, {"join": ["merge"],
+                                 "scan": ["sort", "zzz_absent"]},
+                             5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
     got = query_cli.main(["--index", root, "--more-like", "3", "--k", "5"])
     want = s.more_like_this(3, 5).collect()
     assert [(r["doc_id"], r["rank"]) for r in got] == \
