@@ -143,6 +143,19 @@ def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match through the physical index
+    (IndexSearcher.search_msm): only docs matching >= 3 of the flagship
+    query's 4 distinct terms are candidates (occurrence-based matching,
+    pure filter-context — surviving scores are the unchanged full BM25
+    sums). The DuckDB oracle replays the distinct-term count gate and
+    the standard scoring (oracle_sql.msm_sql)."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.search_msm(FLAGSHIP_QUERY, 3, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 MLT_SEED_DOC = 7  # exists at every sf (doc_ids are 0..N-1)
 
 
@@ -1097,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_physical": q_bm25_topk_physical,
         "bm25_expanded": q_bm25_expanded,
         "bm25_synonyms": q_bm25_synonyms,
+        "bm25_msm": q_bm25_msm,
         "more_like_this": q_more_like_this,
         "search_facets": q_search_facets,
         "spell_suggest": q_spell_suggest,
@@ -1176,6 +1190,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_synonyms": osql.synonym_search_sql(FLAGSHIP_QUERY,
                                                  SYNONYM_MAP, k=10,
                                                  alpha=APP_CFG.alpha),
+        "bm25_msm": osql.msm_sql(FLAGSHIP_QUERY, m=3, k=10,
+                                 alpha=APP_CFG.alpha),
         "more_like_this": osql.more_like_this_sql(MLT_SEED_DOC, k=10,
                                                   m_terms=10,
                                                   alpha=APP_CFG.alpha),

@@ -1782,6 +1782,61 @@ class IndexSearcher:
             return self.search(query, n)
         return self.search(query, n, keep=kdf)
 
+    def search_msm(self, query: str, m: int, n: int = 10,
+                   keep=None) -> DataFrame:
+        """Lucene/ES minimum_should_match: only documents matching at
+        least `m` DISTINCT query terms are candidates; surviving scores
+        are the unchanged full BM25 sums (matching is a pure filter —
+        filter-context semantics, like boolean_search's clauses).
+        Matching is occurrence-based: an alpha-PRUNED term still counts
+        toward `m` (the clause matched) even though it contributes no
+        score, exactly the A5 flag-not-delete contract; a term absent
+        from the corpus can never match, lowering the highest reachable
+        count as in Lucene. m <= 1 degenerates to plain search (every
+        scored doc matches >= 1 term by construction).
+
+        Scale shape: one term-pruned doc-set pass per distinct query
+        term (the same posting/checkpoint kernels as boolean_search),
+        a doc-keyed count aggregate over <= sum(df) rows, then the
+        standard filtered-search paths. `keep` intersects a further
+        external allow set."""
+        spark = self.spark
+        terms = sorted(set(tokenize_py(query)))
+        empty = RESULT_SCHEMA + ", rank int, score_abs double"
+        if m <= 1:
+            return self.search(query, n, keep=keep)
+        if len(terms) < m:
+            return spark.createDataFrame([], empty)
+        ts = self._term_stats_all
+        if "pruned" not in ts.columns:
+            ts = ts.withColumn("pruned", F.lit(False))
+        pr = {r["term"]: bool(r["pruned"]) for r in
+              ts.filter(F.col("term").isin(terms))
+              .select("term", "pruned").collect()}
+        if len(pr) < m:       # not enough terms exist to ever reach m
+            return spark.createDataFrame([], empty)
+        sets = []
+        for t in sorted(pr):
+            w = {t: 1}
+            d = self._tf_weighted_counts({} if pr[t] else w,
+                                         w if pr[t] else {})
+            sets.append(d.select("doc_id"))
+        matched = sets[0]
+        for d in sets[1:]:
+            matched = matched.unionByName(d)
+        kdf = (matched.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_matched"))
+               .filter(F.col("n_matched") >= m)
+               .select("doc_id"))
+        if keep is not None:
+            ext = (keep.select(F.col(keep.columns[0]).cast("long")
+                               .alias("doc_id"))
+                   if isinstance(keep, DataFrame)
+                   else spark.createDataFrame([(int(i),) for i in keep],
+                                              "doc_id long"))
+            kdf = kdf.join(ext, "doc_id", "left_semi")
+        return self.search(query, n, keep=kdf)
+
     def _resolve_keep(self, keep) -> "np.ndarray | None":
         """Normalize a filtered-search allow set to a sorted int64 array;
         None = too large to collect (count > FILTER_BROADCAST_MAX) — the

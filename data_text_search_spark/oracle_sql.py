@@ -188,6 +188,37 @@ FROM contrib GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
 
 
+def msm_sql(query: str, m: int, k: int = 10, k1: float = 1.5,
+            b: float = 0.75, alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.search_msm (minimum_should_match): docs
+    matching at least m DISTINCT query terms (occurrence-based — no
+    alpha filter on the matching side, mirroring the engine's
+    pruned-terms-still-match contract), scored with the standard
+    alpha-filtered BM25 contribution."""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+matched AS (
+  SELECT tf.doc_id FROM tf JOIN q USING (term)
+  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) >= {m}
+),
+contrib AS (
+  SELECT tf.doc_id,
+         s.idf * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len / (SELECT avgdl FROM corpus)))
+           * q.qcount AS c
+  FROM tf
+  JOIN matched USING (doc_id)
+  JOIN stats s USING (term)
+  JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
 def more_like_this_sql(seed_doc: int, k: int = 10, m_terms: int = 10,
                        k1: float = 1.5, b: float = 0.75,
                        alpha: float = -5.0) -> str:

@@ -13,6 +13,9 @@ Modes (mutually composable where sensible):
                      a JSON object {token: [synonym, ...]}; each token
                      occurrence also contributes one occurrence of each
                      mapped synonym (ES synonym-filter, expand=true)
+- --msm M            minimum_should_match for --query: only docs
+                     matching at least M distinct query terms are
+                     candidates (scores unchanged — pure filter)
 - --more-like DOC_ID similar documents to a seed doc (MoreLikeThis)
 - --prefix P         docs by occurrences of terms starting with P
 - --regex RX         docs by occurrences of terms fully matching RX
@@ -51,6 +54,9 @@ def main(argv: list[str] | None = None) -> list[dict]:
     ap.add_argument("--synonyms", default=None, metavar="JSON_FILE",
                     help="query-time synonym expansion of --query: JSON "
                          "object {token: [synonym, ...]}")
+    ap.add_argument("--msm", type=int, default=None, metavar="M",
+                    help="minimum_should_match: docs must match at "
+                         "least M distinct query terms")
     ap.add_argument("--fb-docs", type=int, default=10)
     ap.add_argument("--fb-terms", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
@@ -87,6 +93,8 @@ def main(argv: list[str] | None = None) -> list[dict]:
             with open(args.synonyms) as f:
                 smap = json.load(f)
             res = searcher.search_synonyms(args.query, smap, args.k)
+        elif args.msm is not None:
+            res = searcher.search_msm(args.query, args.msm, args.k)
         else:
             res = searcher.search(args.query, args.k)
         out = [{"rank": r["rank"], "doc_id": r["doc_id"],

@@ -158,6 +158,37 @@ def test_boolean_search_matches_oracle(spark, corpus, index):
         == _rows(s.search(QUERY, 10))
 
 
+def _oracle_msm(pdf, query, m, n=10):
+    qt = set(tokenize_py(query.lower()))
+    toks = {int(d): set(tokenize_py(t.lower()))
+            for d, t in zip(pdf["doc_id"], pdf["content"])}
+    keep = {d for d, ts in toks.items() if len(qt & ts) >= m}
+    return _oracle_filtered(pdf, keep, n)
+
+
+def test_search_msm_matches_oracle(spark, corpus, index):
+    """minimum_should_match: candidates need >= m distinct query terms;
+    surviving scores are the unchanged full BM25 sums. m <= 1 is plain
+    search; m beyond the distinct-term count is typed-empty."""
+    pdf, _ = corpus
+    s = IndexSearcher(spark, index)
+    for m in (2, 3):
+        got = _rows(s.search_msm(QUERY, m, 10))
+        want = _oracle_msm(pdf, QUERY, m)
+        assert got == want, m
+    assert _rows(s.search_msm(QUERY, 3, 10))  # m=3 keeps some docs here
+    assert _rows(s.search_msm(QUERY, 1, 10)) == _rows(s.search(QUERY, 10))
+    # more required matches than distinct query terms -> typed empty
+    empty = s.search_msm(QUERY, len(set(tokenize_py(QUERY))) + 1, 10)
+    assert empty.count() == 0
+    assert set(empty.columns) >= {"doc_id", "score", "rank", "score_abs"}
+    # composes with an external keep set
+    base = _rows(s.search_msm(QUERY, 2, 50))
+    allow = {d for d, _ in base[::2]}
+    got = _rows(s.search_msm(QUERY, 2, 50, keep=allow))
+    assert got == [(d, sc) for d, sc in base if d in allow][:50]
+
+
 def test_boolean_search_with_pruned_must_term(spark, corpus, tmp_path):
     pdf, df = corpus
     root = str(tmp_path / "idx")

@@ -309,6 +309,12 @@ def test_query_cli_modes(spark, tmp_path):
     assert [(r["doc_id"], r["rank"]) for r in got] == \
         [(r["doc_id"], r["rank"]) for r in want]
 
+    got = query_cli.main(["--index", root, "--query", q,
+                          "--msm", "3", "--k", "5"])
+    want = s.search_msm(q, 3, 5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
     got = query_cli.main(["--index", root, "--more-like", "3", "--k", "5"])
     want = s.more_like_this(3, 5).collect()
     assert [(r["doc_id"], r["rank"]) for r in got] == \
