@@ -156,6 +156,28 @@ def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+# Lucene classic query string for the contract row: a must term, a
+# forbidden term, a required verbatim phrase, and an optional scoring
+# term — every clause kind the parser supports, all corpus-live.
+QUERY_STRING = '+hash -slow "table scan" join'
+
+
+def q_bm25_qstring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene classic query-string syntax through the physical index
+    (IndexSearcher.query_string): '+required -forbidden "exact phrase"
+    optional'. should/must terms and the required phrase's tokens
+    score; must / must_not terms and the phrase gate membership as
+    pure filters. The DuckDB oracle runs the IDENTICAL compile
+    (functions.qsyntax) and replays the filters as EXISTS predicates
+    plus a verbatim token-window phrase match
+    (oracle_sql.query_string_sql)."""
+    s = _physical_searcher(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = s.query_string(QUERY_STRING, 10, df=docs)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 MLT_SEED_DOC = 7  # exists at every sf (doc_ids are 0..N-1)
 
 
@@ -1111,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_expanded": q_bm25_expanded,
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_msm": q_bm25_msm,
+        "bm25_qstring": q_bm25_qstring,
         "more_like_this": q_more_like_this,
         "search_facets": q_search_facets,
         "spell_suggest": q_spell_suggest,
@@ -1192,6 +1215,8 @@ def oracle_sql() -> dict[str, str]:
                                                  alpha=APP_CFG.alpha),
         "bm25_msm": osql.msm_sql(FLAGSHIP_QUERY, m=3, k=10,
                                  alpha=APP_CFG.alpha),
+        "bm25_qstring": osql.query_string_sql(QUERY_STRING, k=10,
+                                              alpha=APP_CFG.alpha),
         "more_like_this": osql.more_like_this_sql(MLT_SEED_DOC, k=10,
                                                   m_terms=10,
                                                   alpha=APP_CFG.alpha),

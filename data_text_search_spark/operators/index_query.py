@@ -1837,6 +1837,91 @@ class IndexSearcher:
             kdf = kdf.join(ext, "doc_id", "left_semi")
         return self.search(query, n, keep=kdf)
 
+    def query_string(self, qs: str, n: int = 10, df: DataFrame = None,
+                     keep=None, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+        """Lucene classic query-string syntax over this index:
+        ``+required -forbidden "exact phrase" optional`` (the shared
+        parse lives in functions.qsyntax — the DuckDB oracle replays
+        the identical compile). Should and must terms score; must/
+        must_not terms and quoted phrases gate membership as pure
+        filters through the same machinery as boolean_search; a
+        required phrase's tokens ALSO score as ordinary terms (the
+        index is positionless — documented divergence from Lucene's
+        positional phrase scoring).
+
+        Quoted phrases need the corpus `df` (the verbatim window verify
+        reads raw text; the tokenized checkpoint stores unordered
+        (term, tf) pairs) — phrase-free query strings run entirely from
+        the index. An absent must term and a nowhere-occurring required
+        phrase both return the typed empty result; a query with no
+        positive scoring term is typed-empty too (pure-negative queries
+        are boolean_search's pure-NOT territory)."""
+        from data_text_search_spark.functions.qsyntax import (
+            compile_query_string,
+        )
+        spark = self.spark
+        counts, must, must_not, phrases, not_phrases = \
+            compile_query_string(qs)
+        empty = RESULT_SCHEMA + ", rank int, score_abs double"
+        if not counts:
+            return spark.createDataFrame([], empty)
+        if (phrases or not_phrases) and df is None:
+            raise ValueError(
+                "query_string: quoted phrases need the corpus `df` "
+                "(exact phrase verify reads raw text)")
+        both = must + must_not
+        pr: dict[str, bool] = {}
+        if both:
+            ts = self._term_stats_all
+            if "pruned" not in ts.columns:
+                ts = ts.withColumn("pruned", F.lit(False))
+            pr = {r["term"]: bool(r["pruned"]) for r in
+                  ts.filter(F.col("term").isin(both))
+                  .select("term", "pruned").collect()}
+        if any(t not in pr for t in must):
+            return spark.createDataFrame([], empty)
+
+        def docs_of(t: str) -> DataFrame:
+            w = {t: 1}
+            d = self._tf_weighted_counts({} if pr[t] else w,
+                                         w if pr[t] else {})
+            return d.select("doc_id")
+
+        def phrase_docs(toks: list[str]) -> DataFrame:
+            return (self.phrase_search(df, " ".join(toks),
+                                       text_col=text_col, id_col=id_col)
+                    .select(F.col(id_col).cast("long").alias("doc_id")))
+
+        if keep is None:
+            kdf = None
+        elif isinstance(keep, DataFrame):
+            kdf = keep.select(
+                F.col(keep.columns[0]).cast("long").alias("doc_id"))
+        else:
+            kdf = spark.createDataFrame([(int(i),) for i in keep],
+                                        "doc_id long")
+        for t in must:
+            kdf = (docs_of(t) if kdf is None
+                   else kdf.join(docs_of(t), "doc_id", "left_semi"))
+        for ph in phrases:
+            pd_ = phrase_docs(ph)
+            kdf = pd_ if kdf is None else kdf.join(pd_, "doc_id",
+                                                   "left_semi")
+        nots = [docs_of(t) for t in must_not if t in pr]
+        nots += [phrase_docs(ph) for ph in not_phrases]
+        if nots:
+            ndf = nots[0]
+            for d in nots[1:]:
+                ndf = ndf.unionByName(d)
+            if kdf is None:
+                kdf = spark.read.parquet(
+                    *committed_doc_stats_paths(self.paths.root,
+                                               self.manifest)
+                ).select("doc_id")
+            kdf = kdf.join(ndf, "doc_id", "left_anti")
+        return self._search_counts(counts, n, keep=kdf)
+
     def _resolve_keep(self, keep) -> "np.ndarray | None":
         """Normalize a filtered-search allow set to a sorted int64 array;
         None = too large to collect (count > FILTER_BROADCAST_MAX) — the

@@ -219,6 +219,67 @@ FROM contrib GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
 
 
+def query_string_sql(qs: str, k: int = 10, k1: float = 1.5,
+                     b: float = 0.75, alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.query_string: the SAME compile
+    (functions.qsyntax.compile_query_string — one parser, two
+    backends) produces the scoring counts and the filter clauses; the
+    filters become EXISTS/NOT-EXISTS membership predicates (terms via
+    the tf CTE, phrases via a verbatim token-window list_filter) and
+    the scoring is the standard alpha-filtered BM25 contribution."""
+    from data_text_search_spark.functions.qsyntax import (
+        compile_query_string,
+    )
+    counts, must, must_not, phrases, not_phrases = compile_query_string(qs)
+    if not counts:
+        return empty_sql({"doc_id": "bigint", "score": "double",
+                          "score_abs": "double"})
+
+    def term_pred(t: str, positive: bool) -> str:
+        tq = t.replace("'", "''")
+        ex = (f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = ds.doc_id "
+              f"AND tf.term = '{tq}')")
+        return ex if positive else f"NOT {ex}"
+
+    def phrase_pred(toks: list[str], positive: bool) -> str:
+        m = len(toks)
+        qlist = "[" + ", ".join(
+            "'" + t.replace("'", "''") + "'" for t in toks) + "]"
+        ex = (f"EXISTS (SELECT 1 FROM dtoks dt WHERE dt.doc_id = "
+              f"ds.doc_id AND len(list_filter(generate_series(1, "
+              f"len(dt.toks) - {m - 1}), i -> dt.toks[i:i+{m - 1}] = "
+              f"{qlist})) > 0)")
+        return ex if positive else f"NOT {ex}"
+
+    preds = ([term_pred(t, True) for t in must]
+             + [term_pred(t, False) for t in must_not]
+             + [phrase_pred(p, True) for p in phrases]
+             + [phrase_pred(p, False) for p in not_phrases])
+    where = ("\n  WHERE " + "\n    AND ".join(preds)) if preds else ""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_counts(counts)}),
+dtoks AS (SELECT doc_id, {TOKENIZE.format(col="text")} AS toks FROM documents),
+cand AS (
+  SELECT doc_id FROM doc_stats ds{where}
+),
+contrib AS (
+  SELECT tf.doc_id,
+         s.idf * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len / (SELECT avgdl FROM corpus)))
+           * q.qcount AS c
+  FROM tf
+  JOIN cand USING (doc_id)
+  JOIN stats s USING (term)
+  JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
 def more_like_this_sql(seed_doc: int, k: int = 10, m_terms: int = 10,
                        k1: float = 1.5, b: float = 0.75,
                        alpha: float = -5.0) -> str:

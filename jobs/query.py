@@ -13,6 +13,10 @@ Modes (mutually composable where sensible):
                      a JSON object {token: [synonym, ...]}; each token
                      occurrence also contributes one occurrence of each
                      mapped synonym (ES synonym-filter, expand=true)
+- --query-string QS  Lucene classic syntax: '+required -forbidden
+                     "exact phrase" optional'; quoted phrases also
+                     need --corpus (parquet with doc_id + text — the
+                     verbatim window verify reads raw text)
 - --msm M            minimum_should_match for --query: only docs
                      matching at least M distinct query terms are
                      candidates (scores unchanged — pure filter)
@@ -54,6 +58,11 @@ def main(argv: list[str] | None = None) -> list[dict]:
     ap.add_argument("--synonyms", default=None, metavar="JSON_FILE",
                     help="query-time synonym expansion of --query: JSON "
                          "object {token: [synonym, ...]}")
+    ap.add_argument("--query-string", default=None, metavar="QS",
+                    help="Lucene classic syntax: '+req -forbid "
+                         '"phrase" opt\'')
+    ap.add_argument("--corpus", default=None, metavar="PARQUET",
+                    help="corpus parquet for --query-string phrases")
     ap.add_argument("--msm", type=int, default=None, metavar="M",
                     help="minimum_should_match: docs must match at "
                          "least M distinct query terms")
@@ -64,11 +73,12 @@ def main(argv: list[str] | None = None) -> list[dict]:
     args = ap.parse_args(argv)
     modes = [bool(args.query), bool(args.queries_file),
              args.more_like is not None, bool(args.stream_dir),
-             bool(args.prefix), bool(args.regex), bool(args.wildcard)]
+             bool(args.prefix), bool(args.regex), bool(args.wildcard),
+             bool(args.query_string)]
     if sum(modes) != 1:
         ap.error("need exactly one of --query / --queries-file / "
                  "--more-like / --stream-dir / --prefix / --regex / "
-                 "--wildcard")
+                 "--wildcard / --query-string")
     if args.stream_dir and not args.stream_sink:
         ap.error("--stream-dir needs --stream-sink")
 
@@ -97,6 +107,12 @@ def main(argv: list[str] | None = None) -> list[dict]:
             res = searcher.search_msm(args.query, args.msm, args.k)
         else:
             res = searcher.search(args.query, args.k)
+        out = [{"rank": r["rank"], "doc_id": r["doc_id"],
+                "score": r["score"], "score_abs": r["score_abs"]}
+               for r in res.collect()]
+    elif args.query_string:
+        docs = (spark.read.parquet(args.corpus) if args.corpus else None)
+        res = searcher.query_string(args.query_string, args.k, df=docs)
         out = [{"rank": r["rank"], "doc_id": r["doc_id"],
                 "score": r["score"], "score_abs": r["score_abs"]}
                for r in res.collect()]

@@ -189,6 +189,73 @@ def test_search_msm_matches_oracle(spark, corpus, index):
     assert got == [(d, sc) for d, sc in base if d in allow][:50]
 
 
+def test_parse_query_string():
+    from data_text_search_spark.functions.qsyntax import (
+        compile_query_string, parse_query_string,
+    )
+    cl = parse_query_string('+req -no "two words" plain "solo" -"a b"')
+    assert ("+", "term", ["req"]) in cl
+    assert ("-", "term", ["no"]) in cl
+    assert ("", "phrase", ["two", "words"]) in cl
+    assert ("", "term", ["plain"]) in cl
+    assert ("", "term", ["solo"]) in cl        # 1-token quote degrades
+    assert ("-", "phrase", ["a", "b"]) in cl
+    # a bareword the tokenizer splits becomes one clause per token —
+    # including punctuation tokens, which ARE vocabulary terms under
+    # this engine's tokenizer spec
+    assert parse_query_string("+state-of-art") == [
+        ("+", "term", ["state"]), ("+", "term", ["-"]),
+        ("+", "term", ["of"]), ("+", "term", ["-"]),
+        ("+", "term", ["art"])]
+    counts, must, must_not, ph, nph = compile_query_string(
+        '+req -no "two words" plain')
+    assert counts == {"req": 1, "two": 1, "words": 1, "plain": 1}
+    assert must == ["req"] and must_not == ["no"]
+    assert ph == [["two", "words"]] and nph == []
+
+
+def _contains_phrase(toks, ph):
+    m = len(ph)
+    return any(toks[i:i + m] == ph for i in range(len(toks) - m + 1))
+
+
+def test_query_string_matches_oracle(spark, corpus, index):
+    """query_string: should+must(+phrase tokens) score, must/must_not
+    terms and phrases gate membership, replayed via the python
+    oracle."""
+    from data_text_search_spark.functions.qsyntax import (
+        compile_query_string,
+    )
+    pdf, df = corpus
+    s = IndexSearcher(spark, index)
+    qs = '+def -lambda "class def" return'
+    counts, must, must_not, phrases, not_phrases = \
+        compile_query_string(qs)
+    toks = {int(d): tokenize_py(t.lower())
+            for d, t in zip(pdf["doc_id"], pdf["content"])}
+    keep = {d for d, tl in toks.items()
+            if all(m in tl for m in must)
+            and not any(m in tl for m in must_not)
+            and all(_contains_phrase(tl, p) for p in phrases)
+            and not any(_contains_phrase(tl, p) for p in not_phrases)}
+    from tests.oracle_bm25 import oracle_search_counts
+    want_all = oracle_search_counts(pdf["content"].tolist(), counts,
+                                    n=len(pdf))
+    hits = [(d, sc) for d, sc in want_all if d in keep][:10]
+    got = _rows(s.query_string(qs, 10, df=df, text_col="content"))
+    assert [d for d, _ in got] == [d for d, _ in hits] and got
+    assert all(math.isclose(g, w, abs_tol=1e-9)
+               for (_, g), (_, w) in zip(got, hits))
+    # phrase without df -> explicit error; no-scoring-terms -> empty
+    with pytest.raises(ValueError):
+        s.query_string('"import os"', 10)
+    assert s.query_string("-def", 10, df=df,
+                          text_col="content").count() == 0
+    # phrase-free strings run without the corpus df
+    assert _rows(s.query_string("+def return", 10)) \
+        == _rows(s.boolean_search("def return", must=["def"], n=10))
+
+
 def test_boolean_search_with_pruned_must_term(spark, corpus, tmp_path):
     pdf, df = corpus
     root = str(tmp_path / "idx")

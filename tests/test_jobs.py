@@ -309,6 +309,18 @@ def test_query_cli_modes(spark, tmp_path):
     assert [(r["doc_id"], r["rank"]) for r in got] == \
         [(r["doc_id"], r["rank"]) for r in want]
 
+    cpath = str(tmp_path / "corpus_text.parquet")
+    spark.createDataFrame(
+        pdf.rename(columns={"content": "text"})
+    ).write.parquet(cpath)
+    qstr = '+def -lambda "class def" return'
+    got = query_cli.main(["--index", root, "--query-string", qstr,
+                          "--corpus", cpath, "--k", "5"])
+    want = s.query_string(qstr, 5,
+                          df=spark.read.parquet(cpath)).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
     got = query_cli.main(["--index", root, "--query", q,
                           "--msm", "3", "--k", "5"])
     want = s.search_msm(q, 3, 5).collect()
