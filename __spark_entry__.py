@@ -213,6 +213,23 @@ def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
                          _documents(spark, sf_dir), "lang")
 
 
+FACET_RANGE_BOUNDS = [200.0, 400.0, 800.0]  # n_chars buckets
+
+
+def q_facet_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range facets (Elasticsearch range-aggregation shape) over the
+    flagship query's full match set, bucketing documents.n_chars into
+    (-inf,200) [200,400) [400,800) [800,inf); empty buckets kept with
+    count 0 and null score, exactly like ES."""
+    from data_text_search_spark.operators.search_analytics import (
+        facet_ranges,
+    )
+    idx = _logical_index(spark, sf_dir)
+    return facet_ranges(idx, spark, FLAGSHIP_QUERY,
+                        _documents(spark, sf_dir), "n_chars",
+                        FACET_RANGE_BOUNDS)
+
+
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG/MRR/recall@10 of the engine's batch top-10 against
     deterministic arithmetic qrels (doc_id%7 relevant, %21 grade 2):
@@ -1136,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_qstring": q_bm25_qstring,
         "more_like_this": q_more_like_this,
         "search_facets": q_search_facets,
+        "facet_ranges": q_facet_ranges,
         "spell_suggest": q_spell_suggest,
         "significant_terms": q_significant_terms,
         "fielded_search": q_fielded_search,
@@ -1220,6 +1238,9 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this": osql.more_like_this_sql(MLT_SEED_DOC, k=10,
                                                   m_terms=10,
                                                   alpha=APP_CFG.alpha),
+        "facet_ranges": osql.facet_ranges_sql(FLAGSHIP_QUERY, "n_chars",
+                                              FACET_RANGE_BOUNDS,
+                                              alpha=APP_CFG.alpha),
         "search_facets": osql.search_facets_sql(FLAGSHIP_QUERY, "lang",
                                                 alpha=APP_CFG.alpha),
         "spell_suggest": osql.suggest_sql(MISSPELLED, n=5, max_edits=2),

@@ -185,6 +185,55 @@ def search_facets(index: LogicalIndex, spark: SparkSession, query: str,
             .orderBy(F.desc("n_docs"), F.asc("facet")))
 
 
+def facet_ranges(index: LogicalIndex, spark: SparkSession, query: str,
+                 meta: DataFrame, range_col: str,
+                 boundaries: list[float]) -> DataFrame:
+    """Range facets over the full match set: Elasticsearch's `range`
+    aggregation — ascending `boundaries` [b1..bm] define m+1 buckets
+    (-inf,b1), [b1,b2), ... [bm,inf) over a numeric `range_col` in
+    `meta`; each bucket reports its matching-doc count and best BM25
+    score. Empty buckets are kept (count 0, null score), exactly like
+    ES, so the bucket frame is stable for dashboards.
+
+    Returns (bucket_idx, bucket, n_docs, top_score) ordered bucket_idx
+    asc. Plan: match-set scores joined to meta on doc_id, a CASE
+    bucket assignment (pure JVM), a bucket-bounded hash aggregate,
+    then a broadcast left join from the tiny literal bucket table —
+    no UDF, no driver collect of data rows."""
+    bs = list(boundaries)
+    if bs != sorted(bs) or len(set(bs)) != len(bs) or not bs:
+        raise ValueError("facet_ranges: boundaries must be non-empty, "
+                         "ascending, distinct")
+
+    def label(i: int) -> str:
+        lo = "*" if i == 0 else f"{bs[i - 1]:g}"
+        hi = "*" if i == len(bs) else f"{bs[i]:g}"
+        return f"{lo}-{hi}"
+
+    col = F.col(range_col).cast("double")
+    expr = F.when(col < F.lit(float(bs[0])), F.lit(0))
+    for i, b in enumerate(bs[1:], start=1):
+        expr = expr.when(col < F.lit(float(b)), F.lit(i))
+    expr = expr.otherwise(F.lit(len(bs)))
+    scored = _doc_scores(index, spark, query)
+    agg = (scored
+           .join(meta.select("doc_id", range_col), "doc_id")
+           .select(expr.alias("bucket_idx"), "score")
+           .groupBy("bucket_idx")
+           .agg(F.count("*").alias("n_docs"),
+                F.round(F.max("score"), 4).alias("top_score")))
+    buckets = spark.createDataFrame(
+        [(i, label(i)) for i in range(len(bs) + 1)],
+        "bucket_idx int, bucket string")
+    # broadcast the AGG side (<= m+1 rows post-aggregate): Spark cannot
+    # broadcast-build the preserved (left) side of a left-outer join
+    return (buckets.join(F.broadcast(agg), "bucket_idx", "left")
+            .select("bucket_idx", "bucket",
+                    F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+                    "top_score")
+            .orderBy("bucket_idx"))
+
+
 def significant_terms(index: LogicalIndex, spark: SparkSession, query: str,
                       n: int = 20, min_fg_df: int = 2) -> DataFrame:
     """Significant-terms aggregation (Elasticsearch's significant_terms,

@@ -331,6 +331,51 @@ GROUP BY d.{facet_col}
 ORDER BY n_docs DESC, facet ASC"""
 
 
+def facet_ranges_sql(query: str, range_col: str,
+                     boundaries: list[float], k1: float = 1.5,
+                     b: float = 0.75, alpha: float = -5.0) -> str:
+    """Twin of search_analytics.facet_ranges: ES range aggregation —
+    boundaries [b1..bm] make m+1 buckets over `range_col`, per-bucket
+    matching-doc count + best score, empty buckets kept with count 0
+    and NULL score."""
+    bs = list(boundaries)
+
+    def label(i: int) -> str:
+        lo = "*" if i == 0 else f"{bs[i - 1]:g}"
+        hi = "*" if i == len(bs) else f"{bs[i]:g}"
+        return f"{lo}-{hi}"
+
+    case = "CASE "
+    for i, bd in enumerate(bs):
+        case += f"WHEN cast(d.{range_col} AS double) < {float(bd)} THEN {i} "
+    case += f"ELSE {len(bs)} END"
+    bucket_rows = ", ".join(f"({i}, '{label(i)}')"
+                            for i in range(len(bs) + 1))
+    contrib = (f"s.idf * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + "
+               f"{b} * ds.doc_len / (SELECT avgdl FROM corpus)))"
+               f" * q.qcount")
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+doc_scores AS (
+  SELECT tf.doc_id, sum({contrib}) AS score
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+  GROUP BY tf.doc_id
+),
+buckets(bucket_idx, bucket) AS (VALUES {bucket_rows}),
+agg AS (
+  SELECT {case} AS bucket_idx, count(*) AS n_docs,
+         round(max(sc.score), 4) AS top_score
+  FROM doc_scores sc JOIN documents d USING (doc_id)
+  GROUP BY 1
+)
+SELECT b.bucket_idx::int AS bucket_idx, b.bucket,
+       coalesce(a.n_docs, 0)::bigint AS n_docs, a.top_score
+FROM buckets b LEFT JOIN agg a USING (bucket_idx)
+ORDER BY b.bucket_idx"""
+
+
 def significant_terms_sql(query: str, n: int = 20, min_fg_df: int = 2,
                           alpha: float = -5.0) -> str:
     """Twin of search_analytics.significant_terms: lift of each live

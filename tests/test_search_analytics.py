@@ -71,6 +71,39 @@ def test_search_facets_counts_and_scores(spark, corpus, corpus_pdf, lidx):
     assert sum(nd for nd, _ in got.values()) == len(scores)
 
 
+def test_facet_ranges_buckets(spark, corpus, corpus_pdf, lidx):
+    """ES range aggregation: bucket assignment replayed in python,
+    empty buckets kept with count 0 / null score, every matching doc
+    in exactly one bucket, bad boundaries rejected."""
+    from data_text_search_spark.operators.search_analytics import (
+        facet_ranges,
+    )
+    bounds = [120.0, 240.0, 1_000_000.0]  # last bucket forced empty
+    meta = corpus.select("doc_id", F.length("content").alias("clen"))
+    rows = facet_ranges(lidx, spark, QUERY, meta, "clen",
+                        bounds).collect()
+    assert [r["bucket_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["bucket"] for r in rows] == \
+        ["*-120", "120-240", "240-1e+06", "1e+06-*"]
+    scores, *_ = _py_match_set(corpus_pdf, QUERY)
+    lens = [len(str(t)) for t in corpus_pdf["content"]]
+    want = defaultdict(list)
+    for i, s in scores.items():
+        idx = sum(lens[i] >= b for b in bounds)
+        want[idx].append(s)
+    for r in rows:
+        ss = want.get(r["bucket_idx"], [])
+        assert r["n_docs"] == len(ss)
+        if ss:
+            assert math.isclose(r["top_score"], round(max(ss), 4),
+                                abs_tol=1e-4)
+        else:
+            assert r["top_score"] is None
+    assert sum(r["n_docs"] for r in rows) == len(scores)
+    with pytest.raises(ValueError):
+        facet_ranges(lidx, spark, QUERY, meta, "clen", [2.0, 1.0])
+
+
 def test_significant_terms_lift(spark, corpus_pdf, lidx):
     rows = significant_terms(lidx, spark, QUERY, n=15, min_fg_df=2).collect()
     assert 0 < len(rows) <= 15
