@@ -230,6 +230,19 @@ def q_facet_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
                         FACET_RANGE_BOUNDS)
 
 
+def q_search_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (Elasticsearch collapse shape): one best hit
+    per documents.source over the flagship query's full match set,
+    representatives ranked on the deterministic rounded order. The
+    DuckDB oracle replays both windows end to end."""
+    from data_text_search_spark.operators.search_analytics import (
+        search_collapse,
+    )
+    idx = _logical_index(spark, sf_dir)
+    return search_collapse(idx, spark, FLAGSHIP_QUERY,
+                           _documents(spark, sf_dir), "source", 10)
+
+
 def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nDCG/MRR/recall@10 of the engine's batch top-10 against
     deterministic arithmetic qrels (doc_id%7 relevant, %21 grade 2):
@@ -1154,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "search_facets": q_search_facets,
         "facet_ranges": q_facet_ranges,
+        "search_collapse": q_search_collapse,
         "spell_suggest": q_spell_suggest,
         "significant_terms": q_significant_terms,
         "fielded_search": q_fielded_search,
@@ -1241,6 +1255,9 @@ def oracle_sql() -> dict[str, str]:
         "facet_ranges": osql.facet_ranges_sql(FLAGSHIP_QUERY, "n_chars",
                                               FACET_RANGE_BOUNDS,
                                               alpha=APP_CFG.alpha),
+        "search_collapse": osql.search_collapse_sql(FLAGSHIP_QUERY,
+                                                    "source", n=10,
+                                                    alpha=APP_CFG.alpha),
         "search_facets": osql.search_facets_sql(FLAGSHIP_QUERY, "lang",
                                                 alpha=APP_CFG.alpha),
         "spell_suggest": osql.suggest_sql(MISSPELLED, n=5, max_edits=2),

@@ -185,6 +185,46 @@ def search_facets(index: LogicalIndex, spark: SparkSession, query: str,
             .orderBy(F.desc("n_docs"), F.asc("facet")))
 
 
+def search_collapse(index: LogicalIndex, spark: SparkSession, query: str,
+                    meta: DataFrame, collapse_col: str,
+                    n: int = 10) -> DataFrame:
+    """Field collapsing (Elasticsearch `collapse`): the hit list keeps
+    only the BEST-scoring document per value of `collapse_col`, then
+    the group representatives rank normally — one result per source /
+    domain / author, the classic SERP-diversity operator.
+
+    Scores the FULL match set (a collapsed top-n can reach arbitrarily
+    deep: a group's representative may sit far below the global top-k,
+    so block-max pruning would be unsound here), joins the collapse key,
+    picks each group's best on the deterministic ROUNDED order
+    (round(score,4) desc, doc_id asc — same engine/oracle-stable total
+    order as search_after), then takes the global top-n of the
+    representatives on that order.
+
+    Returns (doc_id, <collapse_col>, score, rank, score_abs). Plan:
+    match-set aggregate + doc-keyed join + one window per collapse key
+    (shuffle bounded by the match set, partitioned by a key whose
+    cardinality is the number of groups) + TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    scored = (_doc_scores(index, spark, query)
+              .withColumn("score_r", F.round("score", 4)))
+    keyed = scored.join(
+        meta.select("doc_id", collapse_col), "doc_id")
+    w = Window.partitionBy(collapse_col).orderBy(
+        F.desc("score_r"), F.asc("doc_id"))
+    best = (keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1))
+    wg = Window.orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (best
+            .withColumn("rank", F.row_number().over(wg))
+            .filter(F.col("rank") <= n)
+            .select("doc_id", collapse_col,
+                    F.col("score_r").alias("score"), "rank",
+                    F.abs(F.round("score", 2)).alias("score_abs"))
+            .orderBy("rank"))
+
+
 def facet_ranges(index: LogicalIndex, spark: SparkSession, query: str,
                  meta: DataFrame, range_col: str,
                  boundaries: list[float]) -> DataFrame:

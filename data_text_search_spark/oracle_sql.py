@@ -331,6 +331,43 @@ GROUP BY d.{facet_col}
 ORDER BY n_docs DESC, facet ASC"""
 
 
+def search_collapse_sql(query: str, collapse_col: str, n: int = 10,
+                        k1: float = 1.5, b: float = 0.75,
+                        alpha: float = -5.0) -> str:
+    """Twin of search_analytics.search_collapse (ES field collapsing):
+    full match-set scores, best doc per collapse key on the rounded
+    deterministic order (round(score,4) desc, doc_id asc), global
+    top-n of the representatives on the same order."""
+    contrib = (f"s.idf * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + "
+               f"{b} * ds.doc_len / (SELECT avgdl FROM corpus)))"
+               f" * q.qcount")
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+doc_scores AS (
+  SELECT tf.doc_id, sum({contrib}) AS raw
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+  GROUP BY tf.doc_id
+),
+keyed AS (
+  SELECT sc.doc_id, round(sc.raw, 4) AS score_r, sc.raw,
+         d.{collapse_col} AS ckey
+  FROM doc_scores sc JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY ckey ORDER BY score_r DESC, doc_id ASC) AS rn
+  FROM keyed
+)
+SELECT doc_id, ckey AS {collapse_col}, score_r AS score,
+       row_number() OVER (ORDER BY score_r DESC, doc_id ASC)::int AS rank,
+       abs(round(raw, 2)) AS score_abs
+FROM best WHERE rn = 1
+QUALIFY rank <= {n}
+ORDER BY rank"""
+
+
 def facet_ranges_sql(query: str, range_col: str,
                      boundaries: list[float], k1: float = 1.5,
                      b: float = 0.75, alpha: float = -5.0) -> str:

@@ -104,6 +104,33 @@ def test_facet_ranges_buckets(spark, corpus, corpus_pdf, lidx):
         facet_ranges(lidx, spark, QUERY, meta, "clen", [2.0, 1.0])
 
 
+def test_search_collapse_semantics(spark, corpus, corpus_pdf, lidx):
+    """Field collapsing: exactly one (the best) hit per collapse-key
+    value, representatives ranked on the rounded deterministic order,
+    replayed in python."""
+    from data_text_search_spark.operators.search_analytics import (
+        search_collapse,
+    )
+    rows = search_collapse(lidx, spark, QUERY, corpus, "lang",
+                           10).collect()
+    scores, *_ = _py_match_set(corpus_pdf, QUERY)
+    langs = corpus_pdf["lang"].tolist()
+    best = {}
+    for d, s in scores.items():
+        key = (round(s, 4), -d)
+        if langs[d] not in best or key > best[langs[d]][0]:
+            best[langs[d]] = (key, d, round(s, 4))
+    want = sorted(((v[1], k, v[2]) for k, v in best.items()),
+                  key=lambda t: (-t[2], t[0]))[:10]
+    got = [(r["doc_id"], r["lang"], r["score"]) for r in rows]
+    assert [(d, l) for d, l, _ in got] == [(d, l) for d, l, _ in want]
+    assert all(math.isclose(g, w, abs_tol=1e-4)
+               for (_, _, g), (_, _, w) in zip(got, want))
+    # one hit per key, ranks contiguous from 1
+    assert len({l for _, l, _ in got}) == len(got)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+
 def test_significant_terms_lift(spark, corpus_pdf, lidx):
     rows = significant_terms(lidx, spark, QUERY, n=15, min_fg_df=2).collect()
     assert 0 < len(rows) <= 15
