@@ -143,6 +143,16 @@ def q_bm25_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+def q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _termvectors analog through the physical index
+    (IndexSearcher.term_vectors): the MLT seed doc's (term, tf, df,
+    idf) rows — one partition-prunable checkpoint row + a dictionary
+    join, pruned terms included. Hash-checked against a DuckDB twin
+    computing the same stats from the raw corpus."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.term_vectors(MLT_SEED_DOC)
+
+
 def q_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """minimum_should_match through the physical index
     (IndexSearcher.search_msm): only docs matching >= 3 of the flagship
@@ -1164,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_synonyms": q_bm25_synonyms,
         "bm25_msm": q_bm25_msm,
         "bm25_qstring": q_bm25_qstring,
+        "term_vectors": q_term_vectors,
         "more_like_this": q_more_like_this,
         "search_facets": q_search_facets,
         "facet_ranges": q_facet_ranges,
@@ -1249,6 +1260,7 @@ def oracle_sql() -> dict[str, str]:
                                  alpha=APP_CFG.alpha),
         "bm25_qstring": osql.query_string_sql(QUERY_STRING, k=10,
                                               alpha=APP_CFG.alpha),
+        "term_vectors": osql.term_vectors_sql(MLT_SEED_DOC),
         "more_like_this": osql.more_like_this_sql(MLT_SEED_DOC, k=10,
                                                   m_terms=10,
                                                   alpha=APP_CFG.alpha),

@@ -1505,6 +1505,36 @@ class IndexSearcher:
                 counts[s] += c
         return self._search_counts(counts, n)
 
+    def term_vectors(self, doc_id: int) -> DataFrame:
+        """Elasticsearch _termvectors analog: one document's term-level
+        statistics straight from the index — (term, tf, df, idf) for
+        every term the doc contains, including alpha-PRUNED terms (the
+        API reports statistics, not scoring eligibility), idf rounded
+        to 6 dp like the term_stats surface.
+
+        Scale shape: ONE checkpoint row (doc-hash partition-prunable)
+        exploded + a dictionary join — corpus-size-independent work.
+        Tombstoned or absent doc returns the typed empty frame (ES
+        'found: false')."""
+        from data_text_search_spark.operators.index_build import (
+            committed_tokenized_paths,
+        )
+        spark = self.spark
+        tok = (spark.read.parquet(
+            *committed_tokenized_paths(self.paths.root, self.manifest))
+            .filter(F.col("doc_id") == int(doc_id)))
+        tdf = self._tombstone_df()
+        if tdf is not None:
+            tok = tok.join(tdf, "doc_id", "left_anti")
+        pairs = (tok.select(F.explode("pairs").alias("p"))
+                 .select(F.col("p.term").alias("term"),
+                         F.col("p.tf").cast("long").alias("tf")))
+        return (pairs.join(self._term_stats_all.select(
+                    "term", "df", F.round("idf", 6).alias("idf")),
+                    "term")
+                .select("term", "tf", "df", "idf")
+                .orderBy("term"))
+
     def more_like_this(self, doc_id: int, n: int = 10,
                        m_terms: int = 10) -> DataFrame:
         """Lucene MoreLikeThis: find documents similar to a given one by

@@ -75,6 +75,16 @@ def term_stats_sql(alpha: float) -> str:
 SELECT term, df, round(idf, 6) AS idf FROM stats WHERE idf > {alpha} ORDER BY term"""
 
 
+def term_vectors_sql(doc_id: int) -> str:
+    """Twin of IndexSearcher.term_vectors (ES _termvectors): one doc's
+    (term, tf, df, idf) including alpha-pruned terms, idf at 6 dp."""
+    return f"""WITH {_base_ctes()}
+SELECT tf.term, tf.tf, s.df, round(s.idf, 6) AS idf
+FROM tf JOIN stats s USING (term)
+WHERE tf.doc_id = {int(doc_id)}
+ORDER BY tf.term"""
+
+
 def term_tf_sql(min_tf: int = 3) -> str:
     # restrict to tf >= min_tf to keep the compared result compact
     return f"""WITH {_base_ctes()}

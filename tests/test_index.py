@@ -440,6 +440,37 @@ def test_search_synonyms_semantics(spark, searcher, corpus_pdf):
         [(r["doc_id"], r["score"]) for r in plain]
 
 
+def test_term_vectors(spark, searcher, corpus_pdf):
+    """_termvectors: one doc's (term, tf, df, idf) replayed in python
+    (tf from the doc, df over the corpus, Robertson idf), pruned terms
+    included, absent doc -> typed empty."""
+    import collections
+    import math as _m
+
+    from data_text_search_spark.functions.text import tokenize_py
+
+    seed = 5
+    rows = searcher.term_vectors(seed).collect()
+    toks = [tokenize_py(str(t).lower()) for t in corpus_pdf["content"]]
+    n = len(toks)
+    df = collections.Counter()
+    for t in toks:
+        df.update(set(t))
+    tf = collections.Counter(toks[seed])
+    want = sorted(
+        (t, c, df[t],
+         round(_m.log(n - df[t] + 0.5) - _m.log(df[t] + 0.5), 6))
+        for t, c in tf.items())
+    got = [(r["term"], r["tf"], r["df"], r["idf"]) for r in rows]
+    assert [(t, c, d) for t, c, d, _ in got] == \
+        [(t, c, d) for t, c, d, _ in want]
+    assert all(_m.isclose(g, w, abs_tol=1e-6)
+               for (*_, g), (*_, w) in zip(got, want))
+    empty = searcher.term_vectors(10**12)
+    assert empty.count() == 0
+    assert empty.columns == ["term", "tf", "df", "idf"]
+
+
 def test_more_like_this_semantics(spark, searcher, corpus_pdf):
     """MoreLikeThis: seed doc excluded, result equals the exact scorer
     over the seed doc's top tf·idf terms as a count-1 query (protocol
