@@ -1009,6 +1009,8 @@ def q_fuzzy_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PHRASE_QUERY = "hash join"  # 2-token phrase present in the corpus
+RESCORE_PHRASE = "order filter"  # occurs INSIDE the top-50 window at sf0.01,
+# so the rescore contract row provably reorders (weight 2 > score gaps)
 DELETE_MOD = 7  # docs with doc_id % 7 == 3 get tombstoned
 
 
@@ -1161,6 +1163,97 @@ def q_bm25_full_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("search_score_abs"), F.desc("search_text"))
 
 
+# ---- pluggable similarities + match-set aggregations (ES parity) -------
+
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic TF-IDF answered from the SAME compact physical index as
+    BM25 (ES per-field `similarity` setting): the compact codec stores
+    raw (tf, doc_len) per posting, so the scoring function is a
+    query-time expression — no rebuild between similarity modules."""
+    s = _physical_searcher(spark, sf_dir, codec="compact")
+    res = s.search_similarity(FLAGSHIP_QUERY, model="tfidf", n=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
+def q_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model ranking (Jelinek-Mercer smoothing, λ=0.1) from the
+    same compact index; collection frequencies come from one
+    vocabulary-directed pass over the query terms' posting blocks."""
+    s = _physical_searcher(spark, sf_dir, codec="compact")
+    res = s.search_similarity(FLAGSHIP_QUERY, model="lmjm", n=10, lam=0.1)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
+def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES stats aggregation over the match set: count/min/max/avg/sum of
+    n_chars across every doc matching the flagship query."""
+    s = _physical_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    return s.stats_agg(FLAGSHIP_QUERY, docs, val_col="n_chars")
+
+
+def q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES field sort: the match set ordered by a doc-values column
+    (n_chars desc) instead of relevance — no scoring at all."""
+    s = _physical_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    return s.sort_by_field(FLAGSHIP_QUERY, docs, val_col="n_chars", n=10)
+
+
+def q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES function_score (field_value_factor): bm25 · ln(1 + n_chars)
+    over the FULL match set via score_all (a modifier reorders beyond
+    any top-k window), then global top-10."""
+    s = _physical_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    res = s.function_score(FLAGSHIP_QUERY, docs, val_col="n_chars", n=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.round("fscore", 4).alias("fscore"), "rank")
+
+
+def q_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES rescore: top-50 BM25 window re-ranked by bm25 + 2·(exact
+    occurrences of the phrase); the expensive phrase verify touches only
+    the window, never the match set."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.rescore(_documents(spark, sf_dir), FLAGSHIP_QUERY,
+                    RESCORE_PHRASE, window=50, weight=2.0, n=10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      "phrase_count",
+                      F.round("rescore", 4).alias("rescore"), "rank")
+
+
+def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 with an ES plain-highlighter snippet: first query-term
+    occurrence position in lower(text) + a fixed 60-char window; the
+    string scan touches only the 10 result docs."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.highlight(_documents(spark, sf_dir), FLAGSHIP_QUERY,
+                      n=10, frag=30)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      "pos", "snippet")
+
+
+def q_cardinality_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES cardinality aggregation certificate: HyperLogLog++
+    approx_count_distinct over the per-doc content hash vs the exact
+    distinct count — emits a row only if the relative error exceeds
+    0.05 (HLL at rsd=0.02 stays far inside it), so the oracle is the
+    typed empty set."""
+    docs = _documents(spark, sf_dir).select(
+        F.xxhash64("text").alias("h"))
+    agg = docs.agg(
+        F.approx_count_distinct("h", rsd=0.02).alias("approx"),
+        F.countDistinct("h").alias("exact"))
+    return (agg.withColumn(
+                "rel_err",
+                F.abs(F.col("approx") - F.col("exact"))
+                / F.col("exact").cast("double"))
+            .filter(F.col("rel_err") > 0.05))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bm25_topk(spark, SF_DEFAULT)
@@ -1240,6 +1333,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_boolean": q_bm25_boolean,
         "prefix_search": q_prefix_search,
         "regex_search": q_regex_search,
+        "tfidf_topk": q_tfidf_topk,
+        "lmjm_topk": q_lmjm_topk,
+        "search_stats": q_search_stats,
+        "sort_by_field": q_sort_by_field,
+        "function_score": q_function_score,
+        "bm25_rescore": q_bm25_rescore,
+        "search_highlight": q_search_highlight,
+        "cardinality_cert": q_cardinality_cert,
     }
 
 
@@ -1373,4 +1474,22 @@ def oracle_sql() -> dict[str, str]:
                 f"tf.doc_id IN (SELECT doc_id FROM tf "
                 f"WHERE term = '{BOOL_MUST}') AND tf.doc_id NOT IN "
                 f"(SELECT doc_id FROM tf WHERE term = '{BOOL_NOT}')")),
+        "tfidf_topk": osql.tfidf_topk_sql(FLAGSHIP_QUERY, k=10,
+                                          alpha=APP_CFG.alpha),
+        "lmjm_topk": osql.lmjm_topk_sql(FLAGSHIP_QUERY, k=10, lam=0.1,
+                                        alpha=APP_CFG.alpha),
+        "search_stats": osql.stats_agg_sql(FLAGSHIP_QUERY,
+                                           alpha=APP_CFG.alpha),
+        "sort_by_field": osql.sort_by_field_sql(FLAGSHIP_QUERY, k=10,
+                                                alpha=APP_CFG.alpha),
+        "function_score": osql.function_score_sql(FLAGSHIP_QUERY, k=10,
+                                                  alpha=APP_CFG.alpha),
+        "bm25_rescore": osql.rescore_sql(FLAGSHIP_QUERY, RESCORE_PHRASE,
+                                         window=50, weight=2.0, k=10,
+                                         alpha=APP_CFG.alpha),
+        "search_highlight": osql.highlight_sql(FLAGSHIP_QUERY, k=10,
+                                               frag=30,
+                                               alpha=APP_CFG.alpha),
+        "cardinality_cert": osql.empty_sql(
+            {"approx": "BIGINT", "exact": "BIGINT", "rel_err": "DOUBLE"}),
     }

@@ -57,6 +57,7 @@ moves only tasks·k rows per query.
 
 from __future__ import annotations
 
+import math
 import re
 from collections import Counter
 
@@ -606,6 +607,74 @@ def _shard_topk_kernel_factory(qcounts: dict[str, int], k: int,
         # shard-local top-k with the deterministic tie-break (score desc, doc asc)
         order = np.lexsort((acc_docs, -acc_scores))[:n]
         return pd.DataFrame({"doc_id": acc_docs[order], "score": acc_scores[order]})
+
+    return kernel
+
+
+def _raw_posting_decoder(tomb=None, allow=None):
+    """Decode compact-codec posting rows to RAW (docs, tfs, doc_lens)
+    arrays — the inputs of any similarity function. Only the compact
+    codec stores raw term frequencies and document lengths (the f64
+    codec persists precomputed BM25 impacts), which is what makes the
+    persisted index similarity-pluggable at query time."""
+    from data_text_search_spark.functions.codec import (
+        decode_doc_blocks_batch,
+        varint_decode,
+    )
+
+    tkeep = _doc_mask(tomb, allow)
+
+    def decode(rows: pd.DataFrame):
+        fd = rows["first_doc_id"].to_numpy(dtype=np.int64)
+        nd = rows["n_docs"].to_numpy(dtype=np.int64)
+        docs = decode_doc_blocks_batch(fd, nd, rows["doc_deltas"].tolist())
+        total = int(nd.sum())
+        tfs = varint_decode(b"".join(rows["tfs"]), total).astype(np.float64)
+        dls = varint_decode(b"".join(rows["impacts"]),
+                            total).astype(np.float64)
+        if tkeep is not None and docs.size:
+            m = tkeep(docs)
+            if m is not None:
+                docs, tfs, dls = docs[m], tfs[m], dls[m]
+        return docs, tfs, dls
+
+    return decode
+
+
+def _sim_topk_kernel_factory(qcounts: dict[str, int], k: int, impact_fn,
+                             tomb=None, allow=None):
+    """Exhaustive shard-local top-k kernel for PLUGGABLE similarities
+    over the compact codec: per query term, decode raw (docs, tf, dl),
+    contribution = impact_fn(term, tfs, dls) · qcount, segmented-sum the
+    concatenation, emit the shard top-k (score desc, doc_id asc).
+
+    No block-max pruning here: the stored block bounds are BM25 impact
+    bounds and do NOT bound other similarity functions — every query
+    term's postings are processed (the colocated reader still prunes to
+    query-term row groups, so the scan stays vocabulary-directed)."""
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if pdf.empty:
+            return empty
+        decode = _raw_posting_decoder(tomb, allow)
+        all_docs, all_c = [], []
+        for term, rows in pdf.groupby("term"):
+            docs, tfs, dls = decode(rows)
+            if docs.size == 0:
+                continue
+            t = str(term)
+            all_docs.append(docs)
+            all_c.append(impact_fn(t, tfs, dls) * qcounts[t])
+        if not all_docs:
+            return empty
+        docs = np.concatenate(all_docs)
+        c = np.concatenate(all_c)
+        u, inv = np.unique(docs, return_inverse=True)
+        scores = np.bincount(inv, weights=c)
+        n = min(k, u.size)
+        order = np.lexsort((u, -scores))[:n]
+        return pd.DataFrame({"doc_id": u[order], "score": scores[order]})
 
     return kernel
 
@@ -1202,11 +1271,20 @@ class IndexSearcher:
                                             self.avgdl, self.k1, self.b,
                                             tomb=self._tomb_handle,
                                             allow=allow)
+        return self._topn_job(qcounts, buckets, kernel, n)
+
+    def _topn_job(self, qcounts, buckets, kernel, n: int,
+                  columns: list[str] = None) -> DataFrame:
+        """Shared execution tail of every single-query top-n kernel:
+        colocated shuffle-free stage (layout v2) or shard-repartitioned
+        fallback (v1), then the size-gated driver scatter-gather merge
+        (distributed hash-agg merge above DRIVER_MERGE_MAX_ROWS)."""
+        spark = self.spark
         if self._units is not None:
             tasks = min(len(self._units),
                         spark.sparkContext.defaultParallelism)
             local = self._colocated_run(sorted(qcounts), kernel,
-                                        WAND_COLS, RESULT_SCHEMA)
+                                        columns or WAND_COLS, RESULT_SCHEMA)
         else:
             tasks = self._kernel_parts()
             blocks = self.postings.filter(
@@ -1224,6 +1302,199 @@ class IndexSearcher:
             .withColumn("rank", F.row_number().over(w))
             .withColumn("score_abs", F.abs(F.round("score", 2)))
         )
+
+    # ---- pluggable similarity modules (ES `similarity` setting) --------
+
+    SIMILARITIES = ("tfidf", "lmjm")
+
+    def _query_term_df(self, terms) -> dict[str, int]:
+        """Document frequency for the given (live) query terms — from the
+        warmed driver dictionary when present, else one filtered collect
+        over term_stats (vocabulary-sized, never the corpus)."""
+        if self._term_map is not None:
+            return {t: self._term_map[t][2] for t in terms}
+        rows = (self.term_stats.filter(F.col("term").isin(list(terms)))
+                .select("term", "df").collect())
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def collection_tf(self, terms) -> dict[str, int]:
+        """Collection frequency (Σ tf over the whole corpus) for the given
+        terms, summed straight from the compact codec's tf varints in one
+        small vocabulary-directed job (row groups pruned to the terms).
+        Lucene collection-statistics semantics: tombstoned docs still
+        COUNT until a merge physically drops them, so no mask is applied.
+        A production deployment with a hot LM path would persist this as
+        one extra term_stats column at build time; computing it at query
+        time keeps the index format stable across similarity modules."""
+        if self.codec != "compact":
+            raise ValueError(
+                "collection_tf needs the compact codec (raw tf varints); "
+                "this index stores precomputed f64 impacts")
+        counts = Counter({t: 1 for t in terms})
+        qcounts, buckets, _ = self._terms_from_counts(counts)
+        if not qcounts:
+            return {}
+        from data_text_search_spark.functions.codec import varint_decode
+
+        def cf_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"term": pd.Series([], dtype="object"),
+                                  "cf": pd.Series([], dtype="int64")})
+            if pdf.empty:
+                return empty
+            out = []
+            for term, rows in pdf.groupby("term"):
+                total = int(rows["n_docs"].sum())
+                tfs = varint_decode(b"".join(rows["tfs"]), total)
+                out.append((str(term), int(tfs.sum())))
+            return pd.DataFrame(out, columns=["term", "cf"])
+
+        cols = ["term", "n_docs", "tfs"]
+        if self._units is not None:
+            local = self._colocated_run(sorted(qcounts), cf_kernel,
+                                        cols, "term string, cf long")
+        else:
+            blocks = self.postings.filter(
+                F.col("term_bucket").isin(buckets)
+                & F.col("term").isin(list(qcounts)))
+            local = blocks.mapInPandas(_map_batches(cf_kernel),
+                                       schema="term string, cf long")
+        rows = local.groupBy("term").agg(F.sum("cf").alias("cf")).collect()
+        return {r["term"]: int(r["cf"]) for r in rows}
+
+    def search_similarity(self, query: str, model: str = "tfidf",
+                          n: int = 10, lam: float = 0.1) -> DataFrame:
+        """Top-n under a pluggable similarity, answered from the SAME
+        persisted index as BM25 (Elasticsearch's per-field `similarity`
+        setting): the compact codec stores raw (tf, doc_len) per posting,
+        so the scoring function is a query-time expression — one physical
+        index serves BM25, classic TF-IDF, and an LM ranker with no
+        rebuild. Models:
+
+        tfidf — Lucene ClassicSimilarity shape:
+            Σ_t qtf · sqrt(tf) · (1 + ln((N+1)/(df+1)))² / sqrt(dl)
+
+        lmjm — language model with Jelinek-Mercer smoothing (Zhai &
+        Lafferty 2001; per-posting decomposable, unlike Dirichlet, so it
+        runs in the same accumulate kernel):
+            Σ_t qtf · ln(1 + ((1−λ)/λ) · (tf/dl) / (cf_t/T))
+        with cf_t the collection frequency (collection_tf above) and
+        T = avgdl·N the corpus token count. Docs score on matched terms
+        only (standard: an unmatched doc's contribution is 0 and it
+        ranks below every match).
+
+        Terms the index alpha-pruned for BM25 are invisible to every
+        similarity (they have no postings) — exactly Lucene: a term
+        absent from the index cannot score. Tie-break and output shape
+        match search(): (doc_id, score, rank, score_abs)."""
+        if self.codec != "compact":
+            raise ValueError(
+                "search_similarity needs an index built with the compact "
+                "codec (raw tf + doc_len per posting); this index stores "
+                "precomputed f64 BM25 impacts — rebuild with "
+                "BM25Config(impact_codec='compact')")
+        if model not in self.SIMILARITIES:
+            raise ValueError(f"unknown similarity {model!r}; "
+                             f"one of {self.SIMILARITIES}")
+        qcounts, buckets, _ = self._query_terms(query)
+        empty = RESULT_SCHEMA + ", rank int, score_abs double"
+        if not qcounts:
+            return self.spark.createDataFrame([], empty)
+        if model == "tfidf":
+            dfm = self._query_term_df(qcounts)
+            npl1 = float(self.n_docs) + 1.0
+            w = {t: (1.0 + math.log(npl1 / (dfm[t] + 1.0))) ** 2
+                 for t in qcounts}
+
+            def impact_fn(term, tfs, dls):
+                return np.sqrt(tfs) * w[term] / np.sqrt(dls)
+        else:
+            cf = self.collection_tf(list(qcounts))
+            total = self.avgdl * float(self.n_docs)
+            coef = (1.0 - lam) / lam
+            pr = {t: cf[t] / total for t in qcounts if cf.get(t)}
+            qcounts = {t: c for t, c in qcounts.items() if t in pr}
+            if not qcounts:
+                return self.spark.createDataFrame([], empty)
+
+            def impact_fn(term, tfs, dls):
+                return np.log1p(coef * (tfs / dls) / pr[term])
+
+        kernel = _sim_topk_kernel_factory(qcounts, n, impact_fn,
+                                          tomb=self._tomb_handle)
+        return self._topn_job(qcounts, buckets, kernel, n,
+                              columns=BATCH_COLS)
+
+    def score_all(self, query: str) -> DataFrame:
+        """EXACT BM25 scores for EVERY matching doc (no top-k cut) —
+        (doc_id, score). The primitive under rescoring and function-score:
+        any monotone-breaking reranker needs the full match set, not a
+        top-k window. Embarrassingly parallel with NO merge stage: the
+        index is document-sharded, so each doc's postings live in exactly
+        one colocation unit and every task emits a disjoint doc set. The
+        kernel runs with k past any shard's doc count, which statically
+        disables block-max pruning (θ_lb stays −inf) — exhaustive exact
+        accumulation."""
+        qcounts, buckets, qidf = self._query_terms(query)
+        if not qcounts:
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        k = (1 << 62)
+        kernel = _shard_topk_kernel_factory(qcounts, k, self.codec, qidf,
+                                            self.avgdl, self.k1, self.b,
+                                            tomb=self._tomb_handle)
+        if self._units is not None:
+            return self._colocated_run(sorted(qcounts), kernel,
+                                       WAND_COLS, RESULT_SCHEMA)
+        blocks = self.postings.filter(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(list(qcounts)))
+        return (blocks.repartition(self._kernel_parts(), "shard")
+                .mapInPandas(_map_batches(kernel), schema=RESULT_SCHEMA))
+
+    def function_score(self, query: str, values: DataFrame,
+                       val_col: str = "n_chars", n: int = 10) -> DataFrame:
+        """ES function_score with a field_value_factor modifier:
+        final = bm25 · ln(1 + field). Because the modifier reorders docs
+        beyond any top-k window, scoring starts from score_all (the full
+        match set), joins the doc-values column, applies the modifier
+        JVM-side, and takes the global top-n (score desc, doc_id asc).
+        `values`: DataFrame with (doc_id, `val_col`) — the engine's
+        doc-values analog, same pattern as search_facets(meta)."""
+        scores = self.score_all(query)
+        w = Window.orderBy(F.desc("fscore"), F.asc("doc_id"))
+        return (scores
+                .join(values.select("doc_id", val_col), "doc_id")
+                .withColumn("fscore",
+                            F.col("score") * F.log1p(F.col(val_col)))
+                .orderBy(F.desc("fscore"), F.asc("doc_id")).limit(n)
+                .withColumn("rank", F.row_number().over(w))
+                .select("doc_id", "score", "fscore", "rank"))
+
+    def rescore(self, df: DataFrame, query: str, phrase: str,
+                window: int = 50, weight: float = 2.0,
+                n: int = 10) -> DataFrame:
+        """ES rescore: re-rank the top-`window` BM25 hits with an
+        expensive secondary signal — final = bm25 + weight · (exact
+        occurrences of `phrase` in the doc). Only the window pays the
+        phrase verify (the point of rescoring: the costly scorer never
+        touches the full match set); outside the window ranks are
+        unchanged. `df` is the corpus (doc_id, text) the phrase count
+        reads — posting tfs alone cannot confirm adjacency."""
+        base = self.search(query, window).select("doc_id", "score")
+        from data_text_search_spark.operators import fuzzy
+        cand = df.join(base.select("doc_id"), "doc_id", "left_semi")
+        counts = fuzzy.phrase_search(self.spark, cand, phrase) \
+            .select("doc_id", "phrase_count")
+        w = Window.orderBy(F.desc("rescore"), F.asc("doc_id"))
+        return (base.join(counts, "doc_id", "left")
+                .withColumn("phrase_count",
+                            F.coalesce("phrase_count", F.lit(0)))
+                .withColumn("rescore",
+                            F.col("score")
+                            + F.lit(weight) * F.col("phrase_count"))
+                .orderBy(F.desc("rescore"), F.asc("doc_id")).limit(n)
+                .withColumn("rank", F.row_number().over(w))
+                .select("doc_id", "score", "phrase_count", "rescore",
+                        "rank"))
 
     def fuzzy_search(self, query: str, max_mistakes: int = 1) -> DataFrame:
         """Index-backed Z1+Z3 fuzzy search (round-4 verdict item 3b):
@@ -1349,6 +1620,85 @@ class IndexSearcher:
             local = (local.groupBy("doc_id")
                      .agg(F.sum("match_count").alias("match_count")))
         return local
+
+    def match_ids(self, query: str) -> "DataFrame | None":
+        """Distinct doc_ids containing at least one live query term
+        (tombstone-masked) — the filter-context match set behind the
+        stats / sort aggregations. Answered from posting blocks only
+        (vocabulary-directed scan, no corpus pass)."""
+        qcounts, _, _ = self._query_terms(query)
+        if not qcounts:
+            return None
+        local = self._tf_weighted_counts({t: 1 for t in qcounts}, {})
+        return None if local is None else local.select("doc_id")
+
+    def stats_agg(self, query: str, values: DataFrame,
+                  val_col: str = "n_chars") -> DataFrame:
+        """ES stats aggregation over the match set: one row of
+        (n_matched, min/max/avg/sum of `val_col`) across every doc that
+        matches the query. `values` carries the doc-values column
+        (doc_id, val_col) — same pattern as search_facets(meta). The
+        match set never leaves the cluster: posting-derived ids semi-join
+        the values table (broadcast when small, shuffle join at scale)."""
+        ids = self.match_ids(query)
+        schema = (f"n_matched long, min_{val_col} long, max_{val_col} long, "
+                  f"avg_{val_col} double, sum_{val_col} long")
+        if ids is None:
+            return self.spark.createDataFrame([], schema)
+        return (values.join(ids, "doc_id", "left_semi")
+                .agg(F.count("*").alias("n_matched"),
+                     F.min(val_col).cast("long").alias(f"min_{val_col}"),
+                     F.max(val_col).cast("long").alias(f"max_{val_col}"),
+                     F.round(F.avg(val_col), 4).alias(f"avg_{val_col}"),
+                     F.sum(val_col).cast("long").alias(f"sum_{val_col}")))
+
+    def sort_by_field(self, query: str, values: DataFrame,
+                      val_col: str = "n_chars", n: int = 10,
+                      asc: bool = False) -> DataFrame:
+        """ES field sort: the match set ordered by a doc-values column
+        instead of relevance (sort: [{field: order}]), deterministic
+        doc_id tie-break, top-n. Relevance is not computed at all — the
+        match set comes straight from the postings and only the sort
+        column is read (column-pruned scan of the values table)."""
+        ids = self.match_ids(query)
+        if ids is None:
+            return self.spark.createDataFrame([], f"doc_id long, "
+                                                  f"{val_col} long")
+        key = F.asc(val_col) if asc else F.desc(val_col)
+        return (values.select("doc_id", F.col(val_col).cast("long")
+                              .alias(val_col))
+                .join(ids, "doc_id", "left_semi")
+                .orderBy(key, F.asc("doc_id")).limit(n))
+
+    def highlight(self, df: DataFrame, query: str, n: int = 10,
+                  frag: int = 30) -> DataFrame:
+        """Top-n search with a highlight snippet per hit (ES plain
+        highlighter shape): the first occurrence position of any query
+        term in the lowercased text and a fixed 2·frag-char window
+        around it. Only the n result docs are touched by the string
+        scan — the corpus join is a top-k semi-join, never a full pass.
+        Substring semantics (not analyzer-positional): a term matching
+        inside a longer word still highlights, like the plain
+        highlighter over an unanalyzed field. Returns (doc_id, score,
+        pos, snippet), rank order preserved."""
+        terms = sorted(set(tokenize_py(query)))
+        res = self.search(query, n).select("doc_id", "score")
+        if not terms:
+            return res.withColumn("pos", F.lit(None).cast("int")) \
+                      .withColumn("snippet", F.lit(None).cast("string"))
+        hits = df.join(res.select("doc_id"), "doc_id", "left_semi") \
+                 .withColumn("_lt", F.lower(F.col("text")))
+        pos_cols = [F.nullif(F.instr("_lt", t), F.lit(0)) for t in terms]
+        pos = pos_cols[0] if len(pos_cols) == 1 else F.least(*pos_cols)
+        hits = (hits.withColumn("pos", pos.cast("int"))
+                .withColumn("snippet",
+                            F.substring(F.col("_lt"),
+                                        F.greatest(F.lit(1),
+                                                   F.col("pos") - frag),
+                                        2 * frag))
+                .select("doc_id", "pos", "snippet"))
+        return (res.join(hits, "doc_id", "left")
+                .orderBy(F.desc("score"), F.asc("doc_id")))
 
     def prefix_search(self, prefix: str,
                       max_terms: int = 10_000) -> DataFrame:

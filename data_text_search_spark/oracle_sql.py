@@ -59,7 +59,7 @@ corpus AS (SELECT count(*) AS n, avg(doc_len) AS avgdl FROM doc_stats),
 tok AS (SELECT doc_id, unnest(toks) AS term FROM docs),
 tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id),
 stats AS (
-  SELECT term, count(*) AS df,
+  SELECT term, count(*) AS df, sum(tf) AS cf,
          ln((SELECT n FROM corpus) - count(*) + 0.5) - ln(count(*) + 0.5) AS idf
   FROM tf GROUP BY term
 )"""
@@ -934,6 +934,196 @@ SELECT t.doc_id,
   d.lang, d.source
 FROM topk t LEFT JOIN documents d ON d.doc_id = t.doc_id
 ORDER BY search_score_abs DESC, search_text DESC"""
+
+
+def tfidf_topk_sql(query: str, k: int = 10, alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.search_similarity(model='tfidf') — Lucene
+    ClassicSimilarity shape: Σ qtf·sqrt(tf)·(1+ln((N+1)/(df+1)))²/sqrt(dl).
+    Alpha-pruned terms are excluded: the persisted index has no postings
+    for them, so NO similarity can see them (Lucene: a term absent from
+    the index cannot score)."""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+contrib AS (
+  SELECT tf.doc_id,
+         q.qcount * sqrt(tf.tf)
+           * pow(1 + ln(((SELECT n FROM corpus) + 1.0) / (s.df + 1.0)), 2)
+           / sqrt(ds.doc_len) AS c
+  FROM tf
+  JOIN stats s USING (term)
+  JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
+def lmjm_topk_sql(query: str, k: int = 10, lam: float = 0.1,
+                  alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.search_similarity(model='lmjm') — language
+    model with Jelinek-Mercer smoothing (Zhai & Lafferty 2001), matched
+    terms only: Σ qtf·ln(1 + ((1−λ)/λ)·(tf/dl)/(cf/T)). The coefficient
+    is inlined from the same Python float the engine computes, and T is
+    the corpus token count (engine: avgdl·N from the manifest — equal to
+    within one ulp, far under the 4-dp rounding)."""
+    coef = repr((1.0 - lam) / lam)
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+total AS (SELECT sum(doc_len)::double AS t FROM doc_stats),
+contrib AS (
+  SELECT tf.doc_id,
+         q.qcount * ln(1 + {coef} * (tf.tf / ds.doc_len::double)
+                             / (s.cf / (SELECT t FROM total))) AS c
+  FROM tf
+  JOIN stats s USING (term)
+  JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
+def _match_set_cte(query: str, alpha: float = -5.0) -> str:
+    """Docs containing >=1 LIVE (idf > alpha) query term — the match set
+    the index sees (pruned terms have no postings)."""
+    return f"""
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+matched AS (
+  SELECT DISTINCT tf.doc_id
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  WHERE s.idf > {alpha}
+)"""
+
+
+def stats_agg_sql(query: str, alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.stats_agg: ES stats aggregation (count/min/
+    max/avg/sum of n_chars) over the match set."""
+    return f"""WITH {_base_ctes()},{_match_set_cte(query, alpha)}
+SELECT count(*)::bigint AS n_matched,
+       min(d.n_chars)::bigint AS min_n_chars,
+       max(d.n_chars)::bigint AS max_n_chars,
+       round(avg(d.n_chars), 4) AS avg_n_chars,
+       sum(d.n_chars)::bigint AS sum_n_chars
+FROM documents d JOIN matched USING (doc_id)"""
+
+
+def sort_by_field_sql(query: str, k: int = 10,
+                      alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.sort_by_field: the match set ordered by a
+    doc-values column (n_chars desc, doc_id asc), top-k, no scoring."""
+    return f"""WITH {_base_ctes()},{_match_set_cte(query, alpha)}
+SELECT doc_id, d.n_chars::bigint AS n_chars
+FROM documents d JOIN matched USING (doc_id)
+ORDER BY d.n_chars DESC, doc_id ASC LIMIT {k}"""
+
+
+def function_score_sql(query: str, k: int = 10, k1: float = 1.5,
+                       b: float = 0.75, alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.function_score: field_value_factor —
+    final = bm25 · ln(1 + n_chars) over the FULL match set (the modifier
+    reorders beyond any top-k window), then top-k by the modified
+    score."""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+contrib AS (
+  SELECT tf.doc_id,
+         s.idf * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len / (SELECT avgdl FROM corpus)))
+           * q.qcount AS c
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+),
+scored AS (
+  SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score,
+       round(score * ln(1 + d.n_chars), 4) AS fscore,
+       row_number() OVER (ORDER BY score * ln(1 + d.n_chars) DESC,
+                          doc_id ASC)::int AS rank
+FROM scored JOIN documents d USING (doc_id)
+ORDER BY 4 LIMIT {k}"""
+
+
+def rescore_sql(query: str, phrase: str, window: int = 50,
+                weight: float = 2.0, k: int = 10, k1: float = 1.5,
+                b: float = 0.75, alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.rescore: top-`window` BM25 hits re-ranked by
+    final = bm25 + weight · (exact occurrences of `phrase`); docs outside
+    the window never re-enter (ES rescore window semantics)."""
+    ptokens = tokenize_py(phrase)
+    m = len(ptokens)
+    plist = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in ptokens) + "]"
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+contrib AS (
+  SELECT tf.doc_id,
+         s.idf * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len / (SELECT avgdl FROM corpus)))
+           * q.qcount AS c
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+),
+win AS (
+  SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+  ORDER BY sum(c) DESC, doc_id ASC LIMIT {window}
+),
+pc AS (
+  SELECT docs.doc_id,
+         len(list_filter(generate_series(1, len(toks) - {m - 1}),
+                         i -> toks[i:i+{m - 1}] = {plist}))::bigint AS n
+  FROM docs JOIN win USING (doc_id) WHERE len(toks) >= {m}
+)
+SELECT w.doc_id, round(w.score, 4) AS score,
+       coalesce(pc.n, 0)::bigint AS phrase_count,
+       round(w.score + {weight} * coalesce(pc.n, 0), 4) AS rescore,
+       row_number() OVER (ORDER BY w.score + {weight} * coalesce(pc.n, 0) DESC,
+                          w.doc_id ASC)::int AS rank
+FROM win w LEFT JOIN pc ON w.doc_id = pc.doc_id
+ORDER BY 5 LIMIT {k}"""
+
+
+def highlight_sql(query: str, k: int = 10, frag: int = 30,
+                  k1: float = 1.5, b: float = 0.75,
+                  alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.highlight: top-k BM25, plus the first
+    occurrence position of any query term in lower(text) and the fixed
+    2·frag-char window around it (ES plain-highlighter shape, substring
+    semantics)."""
+    terms = sorted(set(tokenize_py(query)))
+    pos_terms = ", ".join(
+        "nullif(strpos(lower(d.text), '"
+        + t.replace("'", "''") + "'), 0)" for t in terms)
+    pos = f"least({pos_terms})" if len(terms) > 1 else pos_terms
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+contrib AS (
+  SELECT tf.doc_id,
+         s.idf * tf.tf * ({k1} + 1)
+           / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len / (SELECT avgdl FROM corpus)))
+           * q.qcount AS c
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+),
+topk AS (
+  SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id
+  ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}
+)
+SELECT t.doc_id, round(t.score, 4) AS score,
+       ({pos})::int AS pos,
+       substring(lower(d.text), greatest(1, ({pos}) - {frag}),
+                 {2 * frag}) AS snippet
+FROM topk t JOIN documents d USING (doc_id)
+ORDER BY t.score DESC, t.doc_id ASC"""
 
 
 def phrase_search_sql(query: str) -> str:

@@ -1,0 +1,227 @@
+"""Pluggable similarity modules + match-set aggregations over the
+persisted index: TF-IDF / LM-JM vs a pure-Python oracle, score_all,
+function_score, rescore windows, stats/sort aggregations, highlighting,
+and the collection-frequency job."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+import pytest
+
+from data_text_search_spark.config import BM25Config
+from data_text_search_spark.functions.text import tokenize_py
+from data_text_search_spark.operators.index_build import build_index
+from data_text_search_spark.operators.index_query import IndexSearcher
+
+QUERY = "hash join table scan"
+
+
+@pytest.fixture(scope="module")
+def compact_root(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("simidx") / "bm25")
+    build_index(spark, corpus, root, BM25Config(impact_codec="compact"),
+                id_col="doc_id", shards=4, groups=2)
+    return root
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, compact_root):
+    s = IndexSearcher(spark, compact_root)
+    s.warm()
+    return s
+
+
+@pytest.fixture(scope="module")
+def stats(corpus_pdf):
+    """Pure-Python corpus statistics: tf per (term, doc), df, dl, cf."""
+    texts = corpus_pdf["content"].tolist()
+    tf = defaultdict(Counter)   # term -> {doc: tf}
+    dl = []
+    for i, t in enumerate(texts):
+        toks = tokenize_py(t)
+        dl.append(len(toks))
+        for tok in toks:
+            tf[tok][i] += 1
+    df = {t: len(d) for t, d in tf.items()}
+    cf = {t: sum(d.values()) for t, d in tf.items()}
+    return {"tf": tf, "df": df, "cf": cf, "dl": dl,
+            "n": len(texts), "total": sum(dl)}
+
+
+def _py_topk(scores: dict[int, float], k: int) -> list[tuple[int, float]]:
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _py_tfidf(stats, query: str, k: int) -> list[tuple[int, float]]:
+    scores: dict[int, float] = defaultdict(float)
+    n = stats["n"]
+    for term, qtf in Counter(tokenize_py(query)).items():
+        if term not in stats["tf"]:
+            continue
+        w = (1.0 + math.log((n + 1.0) / (stats["df"][term] + 1.0))) ** 2
+        for doc, tfv in stats["tf"][term].items():
+            scores[doc] += qtf * math.sqrt(tfv) * w / math.sqrt(
+                stats["dl"][doc])
+    return _py_topk(scores, k)
+
+
+def _py_lmjm(stats, query: str, k: int, lam: float) -> list[tuple[int, float]]:
+    scores: dict[int, float] = defaultdict(float)
+    coef = (1.0 - lam) / lam
+    for term, qtf in Counter(tokenize_py(query)).items():
+        if term not in stats["tf"]:
+            continue
+        pr = stats["cf"][term] / stats["total"]
+        for doc, tfv in stats["tf"][term].items():
+            scores[doc] += qtf * math.log1p(
+                coef * (tfv / stats["dl"][doc]) / pr)
+    return _py_topk(scores, k)
+
+
+@pytest.mark.parametrize("model", ["tfidf", "lmjm"])
+def test_similarity_vs_python_oracle(searcher, stats, model):
+    got = [(r["doc_id"], r["score"])
+           for r in searcher.search_similarity(QUERY, model, 10).collect()]
+    want = (_py_tfidf(stats, QUERY, 10) if model == "tfidf"
+            else _py_lmjm(stats, QUERY, 10, 0.1))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9)
+
+
+def test_similarity_duplicate_query_terms(searcher, stats):
+    # qtf weighting: a repeated term doubles its contribution
+    got = [(r["doc_id"], r["score"]) for r in
+           searcher.search_similarity("hash hash join", "tfidf", 5).collect()]
+    want = _py_tfidf(stats, "hash hash join", 5)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9)
+
+
+def test_similarity_needs_compact_codec(spark, corpus, tmp_path):
+    root = str(tmp_path / "f64")
+    build_index(spark, corpus, root, BM25Config(impact_codec="f64"),
+                id_col="doc_id", shards=2, groups=1)
+    s = IndexSearcher(spark, root)
+    with pytest.raises(ValueError, match="compact"):
+        s.search_similarity(QUERY, "tfidf", 5)
+    with pytest.raises(ValueError, match="compact"):
+        s.collection_tf(["hash"])
+
+
+def test_similarity_unknown_model(searcher):
+    with pytest.raises(ValueError, match="unknown similarity"):
+        searcher.search_similarity(QUERY, "bm42", 5)
+
+
+def test_collection_tf_exact(searcher, stats):
+    # two real vocabulary terms (the fixture vocab is compound-heavy, so
+    # pick from what the corpus actually contains) + one absent term
+    present = sorted(stats["cf"], key=lambda t: -stats["cf"][t])[:2]
+    got = searcher.collection_tf(present + ["zzz_not_a_term"])
+    assert got == {t: stats["cf"][t] for t in present}
+
+
+def test_score_all_matches_search(searcher):
+    """score_all = the exact full match set with exact scores: identical
+    to search() with n past the match-set size, and disjoint per task."""
+    full = {r["doc_id"]: r["score"]
+            for r in searcher.score_all(QUERY).collect()}
+    via_search = {r["doc_id"]: r["score"]
+                  for r in searcher.search(QUERY, 10_000).collect()}
+    assert full == via_search
+
+
+def test_function_score_reorders_beyond_topk(searcher, spark, corpus):
+    vals = corpus.selectExpr("doc_id", "length(content) as n_chars")
+    res = searcher.function_score(QUERY, vals, n=10).collect()
+    assert [r["rank"] for r in res] == list(range(1, len(res) + 1))
+    # fscore = score * ln(1 + n_chars), descending
+    nv = {r["doc_id"]: r["n_chars"]
+          for r in vals.collect()}
+    for r in res:
+        assert math.isclose(r["fscore"],
+                            r["score"] * math.log1p(nv[r["doc_id"]]),
+                            rel_tol=0, abs_tol=1e-9)
+    f = [r["fscore"] for r in res]
+    assert f == sorted(f, reverse=True)
+
+
+def test_rescore_window_semantics(searcher, spark, corpus):
+    """A doc outside the rescore window must never enter the result even
+    if its phrase count would beat the window (ES rescore contract)."""
+    df = corpus.selectExpr("doc_id", "content as text")
+    window = 5
+    base_ids = {r["doc_id"] for r in searcher.search(QUERY, window).collect()}
+    res = searcher.rescore(df, QUERY, "def read", window=window,
+                           weight=100.0, n=window).collect()
+    assert {r["doc_id"] for r in res} == base_ids
+    # final = score + weight * phrase_count, ordered desc
+    for r in res:
+        assert math.isclose(r["rescore"],
+                            r["score"] + 100.0 * r["phrase_count"],
+                            rel_tol=0, abs_tol=1e-9)
+    vals = [r["rescore"] for r in res]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_stats_agg_vs_pandas(searcher, spark, corpus, corpus_pdf):
+    vals = corpus.selectExpr("doc_id", "length(content) as n_chars")
+    row = searcher.stats_agg(QUERY, vals).collect()[0]
+    matched = {r["doc_id"] for r in searcher.match_ids(QUERY).collect()}
+    lens = corpus_pdf["content"].str.len()
+    sub = lens[[i in matched for i in range(len(lens))]]
+    assert row["n_matched"] == len(sub)
+    assert row["min_n_chars"] == sub.min()
+    assert row["max_n_chars"] == sub.max()
+    assert row["sum_n_chars"] == sub.sum()
+    assert math.isclose(row["avg_n_chars"], round(sub.mean(), 4),
+                        abs_tol=1e-9)
+
+
+def test_sort_by_field_order(searcher, spark, corpus):
+    vals = corpus.selectExpr("doc_id", "length(content) as n_chars")
+    res = searcher.sort_by_field(QUERY, vals, n=5).collect()
+    ln = [r["n_chars"] for r in res]
+    assert ln == sorted(ln, reverse=True)
+    asc = searcher.sort_by_field(QUERY, vals, n=5, asc=True).collect()
+    la = [r["n_chars"] for r in asc]
+    assert la == sorted(la)
+
+
+def test_highlight_snippet_contains_term(searcher, spark, corpus):
+    df = corpus.selectExpr("doc_id", "content as text")
+    res = searcher.highlight(df, QUERY, n=5, frag=30).collect()
+    assert len(res) == 5
+    terms = sorted(set(tokenize_py(QUERY)))
+    texts = {r["doc_id"]: r["content"].lower()
+             for r in corpus.select("doc_id", "content").collect()}
+    for r in res:
+        assert r["pos"] >= 1
+        # pos is the FIRST occurrence of any query term
+        want = min(p for p in (texts[r["doc_id"]].find(t) + 1
+                               for t in terms) if p > 0)
+        assert r["pos"] == want
+        assert len(r["snippet"]) <= 60
+        assert any(t in r["snippet"] for t in terms) or r["pos"] > 30
+
+
+def test_similarity_respects_tombstones(spark, corpus, tmp_path):
+    from data_text_search_spark.streaming.incremental import delete_documents
+    root = str(tmp_path / "tomb")
+    build_index(spark, corpus, root, BM25Config(impact_codec="compact"),
+                id_col="doc_id", shards=2, groups=1)
+    s0 = IndexSearcher(spark, root)
+    top = s0.search_similarity(QUERY, "tfidf", 3).collect()
+    victim = int(top[0]["doc_id"])
+    delete_documents(spark, root, [victim])
+    s1 = IndexSearcher(spark, root)
+    got = {r["doc_id"] for r in s1.search_similarity(QUERY, "tfidf", 10)
+           .collect()}
+    assert victim not in got
+    # Lucene collection-stats semantics: cf still counts the tombstoned doc
+    assert s1.collection_tf(["hash"]) == s0.collection_tf(["hash"])
