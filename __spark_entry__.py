@@ -1236,6 +1236,48 @@ def q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "pos", "snippet")
 
 
+def _positions_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session+sf) the positional-postings sidecar —
+    Lucene positional index shape: phrase/proximity queries answered
+    from position blocks only, zero corpus access at query time."""
+    key = ("posidx", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.positions import (
+            build_positions,
+        )
+
+        root = tempfile.mkdtemp(prefix="dts_pos_") + "/pos"
+        build_positions(spark, _documents(spark, sf_dir), root,
+                        text_col="text", id_col="doc_id")
+        _CACHE[key] = (None, root)
+    return _CACHE[key][1]
+
+
+def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search answered from POSITIONAL POSTINGS only
+    (Lucene PhraseQuery execution: shifted position-list intersection) —
+    same DuckDB corpus-scan oracle as phrase_search, but the engine
+    never touches the corpus or the checkpoint at query time."""
+    from data_text_search_spark.operators.positions import phrase_count
+    root = _positions_root(spark, sf_dir)
+    return phrase_count(spark, root, PHRASE_QUERY)
+
+
+SPAN_TERMS = ("hash", "join")
+SPAN_SLOP = 3
+
+
+def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered two-term proximity (SpanNearQuery core): docs where an
+    occurrence of each term sits within SPAN_SLOP token positions; min
+    distance per doc, from the positional sidecar."""
+    from data_text_search_spark.operators.positions import span_near
+    root = _positions_root(spark, sf_dir)
+    return span_near(spark, root, SPAN_TERMS[0], SPAN_TERMS[1], SPAN_SLOP)
+
+
 def q_cardinality_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cardinality aggregation certificate: HyperLogLog++
     approx_count_distinct over the per-doc content hash vs the exact
@@ -1341,6 +1383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_rescore": q_bm25_rescore,
         "search_highlight": q_search_highlight,
         "cardinality_cert": q_cardinality_cert,
+        "phrase_positional": q_phrase_positional,
+        "span_near": q_span_near,
     }
 
 
@@ -1492,4 +1536,7 @@ def oracle_sql() -> dict[str, str]:
                                                alpha=APP_CFG.alpha),
         "cardinality_cert": osql.empty_sql(
             {"approx": "BIGINT", "exact": "BIGINT", "rel_err": "DOUBLE"}),
+        "phrase_positional": osql.phrase_search_sql(PHRASE_QUERY),
+        "span_near": osql.span_near_sql(SPAN_TERMS[0], SPAN_TERMS[1],
+                                        SPAN_SLOP),
     }

@@ -1,0 +1,385 @@
+"""Positional postings sidecar: Lucene-parity phrase and proximity
+queries answered ENTIRELY from the index — no corpus access, no
+checkpoint verify.
+
+The main index is positionless (tf-only postings; the documented
+divergence from Lucene's positional phrase scoring, SURVEY §2.7 F5
+note). This module closes it as an OPT-IN artifact: `build_positions`
+persists delta-varint position blocks doc-sharded exactly like the main
+index (shard = pmod(xxhash64(doc_id), S) — the same function, so a
+future colocated layout can share units), and `phrase_count` /
+`span_near` run vectorized kernels over JUST the query terms' blocks
+(parquet row-group statistics prune on the term-sorted files). Storage
+is ~1-2 B per token occurrence (positions are small within-doc deltas).
+
+This is Lucene's positional-postings execution shape: a PhraseQuery
+intersects position lists shifted by the term's phrase offset; the
+occurrence count is the size of the final intersection. `span_near` is
+the unordered two-term SpanNearQuery core: min token distance between
+any occurrence pair, matched against a slop.
+
+Maintenance scope: the sidecar is rebuilt per corpus snapshot.
+Incremental segments would follow the main index's segment pattern
+(streaming/incremental.py) but are out of scope here — documented, and
+the build is a single linear pass so snapshot rebuilds are cheap
+relative to the main index build.
+
+Positions are 1-BASED token indexes (matching the DuckDB oracle's
+generate_series(1, len(toks)) list convention).
+
+Layout:
+  root/blocks/shard=*/...parquet with columns
+    term, shard, block_id, first_doc_id, last_doc_id, n_docs,
+    doc_deltas BINARY  — delta-varint sorted doc ids (first in-column),
+    pos_counts BINARY  — varint tf per doc (position-list lengths),
+    pos_deltas BINARY  — per doc: first position then gaps, varint,
+                         concatenated in (term, doc) order
+  root/manifest.json — tokenizer spec, n_docs, shards, complete flag.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_text_search_spark.functions.codec import (
+    decode_doc_blocks_batch,
+    varint_decode,
+    varint_encode_segmented,
+)
+from data_text_search_spark.functions.text import (
+    TOKEN_PATTERN,
+    _TOKEN_RE,
+    tokenize_py,
+)
+from data_text_search_spark.operators.index_query import _map_batches
+
+BLOCK_SIZE = 128
+
+_ROWS_SCHEMA = "doc_id long, term string, pos array<int>"
+_BLOCKS_SCHEMA = ("term string, shard int, block_id int, "
+                  "first_doc_id long, last_doc_id long, n_docs int, "
+                  "doc_deltas binary, pos_counts binary, pos_deltas binary")
+
+
+def _tokenize_positions_rows():
+    """mapInPandas: per doc, one row per DISTINCT term carrying its
+    sorted 1-based position list — the positional analog of
+    tokenize_tf_pandas_udf's (term, tf) pre-agg (no (term, doc) groupBy
+    shuffle anywhere; the only exchange in the build is the uniform
+    doc-hash shard repartition, whose shard column is attached by the
+    caller in JVM expression space — the exact pmod(xxhash64) the main
+    index uses, no Python reimplementation to drift)."""
+
+    def run(batches):
+        for pdf in batches:
+            out_doc, out_term, out_pos = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = _TOKEN_RE.findall(str(text).lower())
+                per: dict[str, list[int]] = {}
+                for i, t in enumerate(toks, start=1):
+                    per.setdefault(t, []).append(i)
+                for t in sorted(per):
+                    out_doc.append(int(doc_id))
+                    out_term.append(t)
+                    out_pos.append(per[t])
+            yield pd.DataFrame({"doc_id": pd.Series(out_doc, dtype="int64"),
+                                "term": out_term,
+                                "pos": out_pos})
+
+    return run
+
+
+def _encode_positions_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas per shard: sort (term, doc), cut BLOCK_SIZE-doc
+    blocks per term, varint-encode doc gaps, per-doc position counts,
+    and within-doc position delta chains (first position is the first
+    delta, so every value is positive and one segmented cumsum with a
+    per-doc reset decodes the whole block)."""
+    if pdf.empty:
+        return pd.DataFrame(
+            columns=["term", "shard", "block_id", "first_doc_id",
+                     "last_doc_id", "n_docs", "doc_deltas", "pos_counts",
+                     "pos_deltas"])
+    codes, uniq_terms = pd.factorize(pdf["term"], sort=True)
+    order = np.lexsort((pdf["doc_id"].to_numpy(dtype=np.int64),
+                        codes.astype(np.int64)))
+    codes = codes[order]
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)[order]
+    pos_lists = pdf["pos"].to_numpy(dtype=object)[order]
+    shard = int(pdf["shard"].iloc[0])
+
+    new_term = np.empty(len(codes), dtype=bool)
+    new_term[0] = True
+    new_term[1:] = codes[1:] != codes[:-1]
+    term_rid = np.cumsum(new_term) - 1
+    term_start = np.flatnonzero(new_term)
+    rank_in_term = np.arange(len(codes)) - term_start[term_rid]
+    block_in_term = rank_in_term // BLOCK_SIZE
+    new_block = new_term | (np.concatenate(([0],
+                                            np.diff(block_in_term))) != 0)
+    block_start = np.flatnonzero(new_block)
+    n_blocks = block_start.size
+    block_end = np.concatenate((block_start[1:], [len(codes)]))
+    block_len = block_end - block_start
+
+    gaps_all = np.empty(len(docs), dtype=np.int64)
+    gaps_all[0] = 0
+    gaps_all[1:] = docs[1:] - docs[:-1]
+    gaps = gaps_all[~new_block].astype(np.uint64)
+    doc_deltas = varint_encode_segmented(gaps, block_len - 1)
+
+    tfs = np.fromiter((len(p) for p in pos_lists), dtype=np.int64,
+                      count=len(pos_lists))
+    pos_counts = varint_encode_segmented(tfs.astype(np.uint64), block_len)
+
+    # flat positions in (term, doc) order; within-doc delta chain whose
+    # first value is the position itself (1-based → always >= 1)
+    flat = (np.concatenate([np.asarray(p, dtype=np.int64)
+                            for p in pos_lists])
+            if len(pos_lists) else np.empty(0, dtype=np.int64))
+    starts = np.cumsum(tfs) - tfs            # flat offset of each doc
+    deltas = flat.copy()
+    deltas[1:] -= flat[:-1]
+    deltas[starts] = flat[starts]            # reset at each doc boundary
+    # per-block position-value counts
+    blk_of_row = np.cumsum(new_block) - 1
+    blk_pos_counts = np.bincount(blk_of_row, weights=tfs,
+                                 minlength=n_blocks).astype(np.int64)
+    pos_deltas = varint_encode_segmented(deltas.astype(np.uint64),
+                                         blk_pos_counts)
+
+    return pd.DataFrame({
+        "term": np.asarray(uniq_terms, dtype=object)[codes[block_start]],
+        "shard": np.full(n_blocks, shard, dtype=np.int32),
+        "block_id": block_in_term[block_start].astype(np.int32),
+        "first_doc_id": docs[block_start],
+        "last_doc_id": docs[block_end - 1],
+        "n_docs": block_len.astype(np.int32),
+        "doc_deltas": doc_deltas,
+        "pos_counts": pos_counts,
+        "pos_deltas": pos_deltas,
+    })
+
+
+def build_positions(spark: SparkSession, corpus: DataFrame, root: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    shards: int | None = None) -> dict:
+    """Build the positional sidecar. One linear pass: tokenize with
+    positions (Arrow pre-agg, one row per (doc, distinct term)), attach
+    the main index's doc-hash shard in JVM expression space, ONE uniform
+    shard repartition, per-shard block encode, partitioned write."""
+    from data_text_search_spark.sources import fsio
+
+    S = int(shards or spark.sparkContext.defaultParallelism * 2)
+    rows = (corpus.select(F.col(id_col).alias("doc_id"),
+                          F.col(text_col).cast("string").alias("text"))
+            .mapInPandas(_tokenize_positions_rows(), schema=_ROWS_SCHEMA)
+            .withColumn("shard",
+                        F.pmod(F.xxhash64("doc_id"),
+                               F.lit(S)).cast("int")))
+    (rows.repartition(S, "shard")
+     .groupBy("shard")
+     .applyInPandas(lambda pdf: _encode_positions_shard(pdf),
+                    schema=_BLOCKS_SCHEMA)
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(f"{root}/blocks"))
+    n_docs = corpus.count()
+    manifest = {"complete": True, "tokenizer": TOKEN_PATTERN,
+                "n_docs": int(n_docs), "shards": S,
+                "positions": "1-based token index"}
+    fsio.write_text_atomic(f"{root}/manifest.json",
+                           json.dumps(manifest, indent=1), spark)
+    return manifest
+
+
+def load_positions_manifest(root: str) -> dict | None:
+    p = f"{root}/manifest.json"
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _decode_term(rows: pd.DataFrame):
+    """One term's blocks → (docs, offsets, positions): docs sorted,
+    positions flat in doc order, offsets[i]:offsets[i+1] slicing doc i's
+    sorted position list."""
+    fd = rows["first_doc_id"].to_numpy(dtype=np.int64)
+    nd = rows["n_docs"].to_numpy(dtype=np.int64)
+    docs = decode_doc_blocks_batch(fd, nd, rows["doc_deltas"].tolist())
+    total_docs = int(nd.sum())
+    tfs = varint_decode(b"".join(rows["pos_counts"]),
+                        total_docs).astype(np.int64)
+    deltas = varint_decode(b"".join(rows["pos_deltas"]),
+                           int(tfs.sum())).astype(np.int64)
+    # segmented cumsum with a reset at each doc start
+    starts = np.cumsum(tfs) - tfs
+    cs = np.cumsum(deltas)
+    base = np.zeros_like(deltas)
+    nz = starts[starts > 0]
+    if nz.size:
+        shift = np.zeros(deltas.size, dtype=np.int64)
+        shift[nz] = cs[nz - 1]
+        base = np.maximum.accumulate(shift)
+    positions = cs - base
+    # a partition holds MULTIPLE shards after the repartition, and
+    # doc-hash sharding interleaves doc-id ranges — the concatenated
+    # blocks are only sorted within each (shard, term) run. The kernels
+    # searchsorted over docs, so globally sort and permute the ragged
+    # position segments with one vectorized gather. (No duplicates: a
+    # doc lives in exactly one shard, a (term, doc) in exactly one
+    # block.)
+    if docs.size > 1 and np.any(docs[1:] < docs[:-1]):
+        order = np.argsort(docs, kind="stable")
+        docs = docs[order]
+        old_starts = starts[order]
+        tfs = tfs[order]
+        new_starts = np.cumsum(tfs) - tfs
+        idx = (np.repeat(old_starts, tfs)
+               + (np.arange(int(tfs.sum()), dtype=np.int64)
+                  - np.repeat(new_starts, tfs)))
+        positions = positions[idx]
+    offsets = np.concatenate(([0], np.cumsum(tfs)))
+    return docs, offsets, positions
+
+
+def _phrase_kernel_factory(qtokens: list[str]):
+    """Per-partition kernel: PhraseQuery position intersection. For the
+    phrase t_0..t_{m-1}, an occurrence starts at p iff p+i ∈ pos(t_i) ∀i,
+    so the count per doc is |∩_i (pos(t_i) − i)|. Docs are candidate
+    only when EVERY distinct term is present (sorted intersect chain);
+    repeated phrase tokens reuse one decoded list with different
+    offsets."""
+    distinct = list(dict.fromkeys(qtokens))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "phrase_count": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return empty
+        data = {}
+        for term, rows in pdf.groupby("term"):
+            data[str(term)] = _decode_term(rows)
+        if any(t not in data for t in distinct):
+            return empty
+        cand = reduce(lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                      [data[t][0] for t in distinct])
+        if cand.size == 0:
+            return empty
+        out_docs, out_counts = [], []
+        for d in cand:
+            arr = None
+            for i, t in enumerate(qtokens):
+                docs, offs, pos = data[t]
+                j = int(np.searchsorted(docs, d))
+                p = pos[offs[j]:offs[j + 1]] - i
+                arr = p if arr is None else np.intersect1d(
+                    arr, p, assume_unique=True)
+                if arr.size == 0:
+                    break
+            if arr is not None and arr.size:
+                out_docs.append(int(d))
+                out_counts.append(int(arr.size))
+        if not out_docs:
+            return empty
+        return pd.DataFrame(
+            {"doc_id": pd.Series(out_docs, dtype="int64"),
+             "phrase_count": pd.Series(out_counts, dtype="int64")})
+
+    return kernel
+
+
+def _span_near_kernel_factory(t1: str, t2: str, slop: int):
+    """Unordered two-term SpanNearQuery core: per candidate doc, the min
+    token distance between any (occurrence of t1, occurrence of t2)
+    pair, kept when <= slop. The pairwise min over two SORTED lists is a
+    searchsorted merge (O(n log m)), never a cross join."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "min_dist": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return empty
+        data = {}
+        for term, rows in pdf.groupby("term"):
+            data[str(term)] = _decode_term(rows)
+        if t1 not in data or t2 not in data:
+            return empty
+        cand = np.intersect1d(data[t1][0], data[t2][0], assume_unique=True)
+        out_docs, out_dist = [], []
+        for d in cand:
+            da, oa, pa = data[t1]
+            db, ob, pb = data[t2]
+            i = int(np.searchsorted(da, d))
+            j = int(np.searchsorted(db, d))
+            a = pa[oa[i]:oa[i + 1]]
+            b = pb[ob[j]:ob[j + 1]]
+            idx = np.searchsorted(b, a)
+            best = np.iinfo(np.int64).max
+            right = idx < b.size
+            if right.any():
+                best = min(best, int(np.min(b[idx[right]] - a[right])))
+            left = idx > 0
+            if left.any():
+                best = min(best, int(np.min(a[left] - b[idx[left] - 1])))
+            if best <= slop:
+                out_docs.append(int(d))
+                out_dist.append(best)
+        if not out_docs:
+            return empty
+        return pd.DataFrame({"doc_id": pd.Series(out_docs, dtype="int64"),
+                             "min_dist": pd.Series(out_dist, dtype="int64")})
+
+    return kernel
+
+
+def _run_kernel(spark: SparkSession, root: str, terms: list[str], kernel,
+                schema: str) -> DataFrame:
+    """Read only the query terms' blocks (term-sorted files → row-group
+    statistics pruning), ONE shard repartition so every doc's blocks for
+    all terms land in the same task, kernel per partition."""
+    m = load_positions_manifest(root)
+    if not m or not m.get("complete"):
+        raise ValueError(f"no complete positions sidecar at {root}")
+    if m.get("tokenizer") != TOKEN_PATTERN:
+        raise ValueError("tokenizer mismatch: rebuild the positions "
+                         "sidecar with the current token spec")
+    blocks = (spark.read.parquet(f"{root}/blocks")
+              .filter(F.col("term").isin(sorted(set(terms)))))
+    parts = max(spark.sparkContext.defaultParallelism, 1)
+    return (blocks.repartition(parts, "shard")
+            .mapInPandas(_map_batches(kernel), schema=schema))
+
+
+def phrase_count(spark: SparkSession, root: str, phrase: str) -> DataFrame:
+    """Exact phrase occurrences per doc from POSITIONS ONLY — identical
+    rows to operators.fuzzy.phrase_search over the same corpus (the
+    corpus-scan twin), Lucene PhraseQuery execution shape. Returns
+    (doc_id, phrase_count >= 1), count desc, doc_id asc."""
+    qtokens = tokenize_py(phrase)
+    if not qtokens:
+        return spark.createDataFrame([], "doc_id long, phrase_count long")
+    out = _run_kernel(spark, root, qtokens,
+                      _phrase_kernel_factory(qtokens),
+                      "doc_id long, phrase_count long")
+    return out.orderBy(F.desc("phrase_count"), F.asc("doc_id"))
+
+
+def span_near(spark: SparkSession, root: str, term1: str, term2: str,
+              slop: int) -> DataFrame:
+    """Unordered two-term proximity query: docs where some occurrence of
+    term1 sits within `slop` token positions of an occurrence of term2;
+    min distance per doc. Returns (doc_id, min_dist), dist asc, doc
+    asc."""
+    out = _run_kernel(spark, root, [term1, term2],
+                      _span_near_kernel_factory(term1, term2, slop),
+                      "doc_id long, min_dist long")
+    return out.orderBy(F.asc("min_dist"), F.asc("doc_id"))

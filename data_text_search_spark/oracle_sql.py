@@ -1147,6 +1147,28 @@ GROUP BY doc_id
 ORDER BY phrase_count DESC, doc_id ASC"""
 
 
+def span_near_sql(term1: str, term2: str, slop: int) -> str:
+    """Twin of positions.span_near: unordered two-term proximity — min
+    token distance (1-based positions) between any occurrence pair per
+    doc, kept when <= slop."""
+    t1 = term1.replace("'", "''")
+    t2 = term2.replace("'", "''")
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKENIZE.format(col="text")} AS toks FROM documents),
+p AS (
+  SELECT doc_id,
+         [i for i in generate_series(1, len(toks)) if toks[i] = '{t1}'] AS p1,
+         [i for i in generate_series(1, len(toks)) if toks[i] = '{t2}'] AS p2
+  FROM docs
+),
+pairs AS (
+  SELECT doc_id, abs(a - b) AS d
+  FROM p, unnest(p1) AS u1(a), unnest(p2) AS u2(b)
+)
+SELECT doc_id, min(d)::bigint AS min_dist FROM pairs GROUP BY doc_id
+HAVING min(d) <= {int(slop)} ORDER BY min_dist ASC, doc_id ASC"""
+
+
 def prefix_search_sql(prefix: str) -> str:
     """Per-doc occurrences of tokens starting with `prefix` — the
     brute-force twin of IndexSearcher.prefix_search (which answers from

@@ -1,0 +1,115 @@
+"""Positional postings sidecar: codec roundtrip, phrase parity vs the
+corpus-scan twin, span_near vs python truth, and the multi-shard
+partition-ordering regression."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from data_text_search_spark.functions.text import tokenize_py
+from data_text_search_spark.operators import fuzzy
+from data_text_search_spark.operators import positions as P
+
+PHRASES = ["def def", "class def", "def class def", "zzz qqq", ""]
+
+
+@pytest.fixture(scope="module")
+def pos_root(spark, corpus, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pos") / "pos")
+    # shards=8 over cores=8 → several shards per partition at query
+    # time, which exercises the interleaved-doc-range sort in
+    # _decode_term (the bug class this suite pins)
+    m = P.build_positions(
+        spark, corpus.selectExpr("doc_id", "content as text"), root,
+        shards=8)
+    assert m["complete"] and m["n_docs"] == 300
+    return root
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.default_rng(7)
+    rows = []
+    for doc in range(300):
+        for term in ("a", "b"):
+            k = int(rng.integers(1, 9))
+            pos = np.unique(rng.integers(1, 500, size=k)).tolist()
+            rows.append({"doc_id": doc * 3 + 1, "term": term,
+                         "pos": pos, "shard": 0})
+    pdf = pd.DataFrame(rows)
+    enc = P._encode_positions_shard(pdf)
+    # every term decodes back to exactly what went in
+    for term in ("a", "b"):
+        sub = pdf[pdf["term"] == term].sort_values("doc_id")
+        docs, offs, positions = P._decode_term(
+            enc[enc["term"] == term].reset_index(drop=True))
+        assert docs.tolist() == sub["doc_id"].tolist()
+        for i, want in enumerate(sub["pos"]):
+            assert positions[offs[i]:offs[i + 1]].tolist() == want
+
+
+def test_decode_term_sorts_interleaved_blocks():
+    # two shards with interleaved doc-id ranges concatenated unsorted —
+    # the production shape after repartition (doc-hash sharding)
+    a = pd.DataFrame([{"doc_id": d, "term": "t", "pos": [d], "shard": 0}
+                      for d in (2, 5, 9)])
+    b = pd.DataFrame([{"doc_id": d, "term": "t", "pos": [d * 10], "shard": 1}
+                      for d in (1, 4, 7)])
+    enc = pd.concat([P._encode_positions_shard(a),
+                     P._encode_positions_shard(b)], ignore_index=True)
+    docs, offs, positions = P._decode_term(enc)
+    assert docs.tolist() == [1, 2, 4, 5, 7, 9]
+    got = {int(d): positions[offs[i]:offs[i + 1]].tolist()
+           for i, d in enumerate(docs)}
+    assert got == {2: [2], 5: [5], 9: [9], 1: [10], 4: [40], 7: [70]}
+
+
+@pytest.mark.parametrize("phrase", PHRASES, ids=repr)
+def test_phrase_parity_vs_corpus_scan(spark, corpus, pos_root, phrase):
+    got = [(r["doc_id"], r["phrase_count"])
+           for r in P.phrase_count(spark, pos_root, phrase).collect()]
+    want = [(r["doc_id"], r["phrase_count"])
+            for r in fuzzy.phrase_search(
+                spark, corpus.selectExpr("doc_id", "content as text"),
+                phrase).collect()]
+    assert got == want
+
+
+def test_span_near_vs_python_truth(spark, corpus_pdf, pos_root):
+    t1, t2, slop = "def", "class", 4
+    truth = []
+    for did, text in enumerate(corpus_pdf["content"]):
+        tk = tokenize_py(text)
+        p1 = [i + 1 for i, x in enumerate(tk) if x == t1]
+        p2 = [i + 1 for i, x in enumerate(tk) if x == t2]
+        if p1 and p2:
+            d = min(abs(a - b) for a in p1 for b in p2)
+            if d <= slop:
+                truth.append((did, d))
+    truth.sort(key=lambda x: (x[1], x[0]))
+    got = [(r["doc_id"], r["min_dist"])
+           for r in P.span_near(spark, pos_root, t1, t2, slop).collect()]
+    assert got == truth and len(got) > 0
+
+
+def test_span_near_absent_term(spark, pos_root):
+    assert P.span_near(spark, pos_root, "def", "zzznope", 5).count() == 0
+
+
+def test_tokenizer_mismatch_refused(spark, pos_root, tmp_path):
+    import shutil
+    bad = str(tmp_path / "bad")
+    shutil.copytree(pos_root, bad)
+    m = json.load(open(f"{bad}/manifest.json"))
+    m["tokenizer"] = "OTHER_SPEC"
+    json.dump(m, open(f"{bad}/manifest.json", "w"))
+    with pytest.raises(ValueError, match="tokenizer mismatch"):
+        P.phrase_count(spark, bad, "def def").collect()
+
+
+def test_incomplete_sidecar_refused(spark, tmp_path):
+    with pytest.raises(ValueError, match="no complete positions"):
+        P.phrase_count(spark, str(tmp_path / "nope"), "def").collect()
