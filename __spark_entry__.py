@@ -1278,6 +1278,53 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_near(spark, root, SPAN_TERMS[0], SPAN_TERMS[1], SPAN_SLOP)
 
 
+def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES percentiles aggregation: exact interpolated percentiles of
+    n_chars over the flagship query's match set."""
+    s = _physical_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select("doc_id", "n_chars")
+    return s.percentiles_agg(FLAGSHIP_QUERY, docs, val_col="n_chars")
+
+
+def q_completion_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES completion suggester: top live dictionary terms for a prefix,
+    ranked by document frequency — dictionary lookup only."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.complete(TERM_PREFIX, n=5)
+
+
+def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES date_histogram with a terms sub-agg and a sum metric over the
+    events table: one map-side-combined JVM hash aggregate."""
+    from data_text_search_spark.operators.search_analytics import (
+        date_histogram,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return date_histogram(ev, ts_col="ts", interval="day",
+                          by="event_type", value_col="value")
+
+
+def q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES top_hits sub-aggregation: the best 3 hits per documents.source
+    bucket over the flagship query's full match set."""
+    from data_text_search_spark.operators.search_analytics import top_hits
+    idx = _logical_index(spark, sf_dir)
+    meta = _documents(spark, sf_dir).select("doc_id", "source")
+    return top_hits(idx, spark, FLAGSHIP_QUERY, meta, "source",
+                    per_bucket=3)
+
+
+def q_histogram_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES moving_avg pipeline aggregation: trailing 3-bucket average of
+    daily event counts per event_type."""
+    from data_text_search_spark.operators.search_analytics import (
+        histogram_moving_avg,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return histogram_moving_avg(ev, ts_col="ts", interval="day",
+                                by="event_type", window=3)
+
+
 def q_cardinality_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cardinality aggregation certificate: HyperLogLog++
     approx_count_distinct over the per-doc content hash vs the exact
@@ -1385,6 +1432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_cert": q_cardinality_cert,
         "phrase_positional": q_phrase_positional,
         "span_near": q_span_near,
+        "search_percentiles": q_search_percentiles,
+        "completion_suggest": q_completion_suggest,
+        "date_histogram": q_date_histogram,
+        "top_hits": q_top_hits,
+        "histogram_moving_avg": q_histogram_moving_avg,
     }
 
 
@@ -1539,4 +1591,14 @@ def oracle_sql() -> dict[str, str]:
         "phrase_positional": osql.phrase_search_sql(PHRASE_QUERY),
         "span_near": osql.span_near_sql(SPAN_TERMS[0], SPAN_TERMS[1],
                                         SPAN_SLOP),
+        "search_percentiles": osql.percentiles_agg_sql(FLAGSHIP_QUERY,
+                                                       alpha=APP_CFG.alpha),
+        "completion_suggest": osql.complete_sql(TERM_PREFIX, k=5,
+                                                alpha=APP_CFG.alpha),
+        "date_histogram": osql.date_histogram_sql("day", "event_type",
+                                                  "value"),
+        "top_hits": osql.top_hits_sql(FLAGSHIP_QUERY, "source",
+                                      per_bucket=3, alpha=APP_CFG.alpha),
+        "histogram_moving_avg": osql.histogram_moving_avg_sql(
+            "day", "event_type", window=3),
     }

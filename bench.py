@@ -40,6 +40,17 @@ def ensure_corpus_parquet(spark, n_docs: int) -> str:
     return path
 
 
+# side-file-only contract rows (see the stdout budget note in main):
+# single-pass JVM-expression analytics/curation — stable across every
+# round, full 3-decimal medians always in BENCH/bench_details_*.json
+STDOUT_OMIT = frozenset({
+    "doc_stats", "term_stats", "term_tf", "clean_pipeline",
+    "token_count", "lang_id", "quality", "fingerprint",
+    "hash_split", "chunk_docs", "scrub_text", "code_quality",
+    "repetition_stats", "unigram_rarity", "stratified_sample",
+})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -136,6 +147,9 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._ivf_index_root(spark, sf_dir)
     results["ivf_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._positions_root(spark, sf_dir)
+    results["positions_build"] = round(time.perf_counter() - t0, 3)
 
     # Contract rows: N_PASSES INTERLEAVED passes over the whole query
     # list, report the MEDIAN per row. One-draw timings on this VM are
@@ -259,13 +273,18 @@ def main() -> None:
         # 3-digit outlier costs 5 chars at 0 dp instead of 6-7 at 2 dp,
         # and sub-10s rows (where regressions hide) keep 2 dp; the full
         # 3-decimal copy always lives in the BENCH/ side file.
-        # *_cert rows are side-file-only: their timing is secondary (the
-        # signal they carry is correctness, recorded in CORRECTNESS_rN),
-        # and dropping the 9 longest-named rows buys the stdout budget
-        # the round-5 similarity/aggregation rows need
+        # stdout carries the rows whose per-round trend is the regression
+        # signal; two classes are side-file-only (BENCH/bench_details_*):
+        #  - *_cert rows: their signal is correctness (CORRECTNESS_rN),
+        #    not timing
+        #  - STDOUT_OMIT: single-pass JVM-expression analytics/curation
+        #    rows (<1 s, no kernel, no index) that have never moved
+        #    across rounds — trend-tracking them in the capture window
+        #    crowds out the kernel rows where regressions actually hide
         "queries": {k: round(v, 2 if v < 10 else 1 if v < 100 else 0)
                     for k, v in results.items()
-                    if k in contract_names and not k.endswith("_cert")},
+                    if k in contract_names and not k.endswith("_cert")
+                    and k not in STDOUT_OMIT},
         "sf": float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1),
         "corpus_docs": n_docs,
         "build_docs_per_sec": round(n_docs / build_sec, 1),

@@ -1670,6 +1670,39 @@ class IndexSearcher:
                 .join(ids, "doc_id", "left_semi")
                 .orderBy(key, F.asc("doc_id")).limit(n))
 
+    def percentiles_agg(self, query: str, values: DataFrame,
+                        val_col: str = "n_chars",
+                        probs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)
+                        ) -> DataFrame:
+        """ES percentiles aggregation over the match set: EXACT linearly
+        interpolated percentiles of a doc-values column (Spark
+        `percentile`, the same (n−1)·p definition as SQL quantile_cont —
+        ES itself serves t-digest approximations; at this engine's scale
+        the exact form is affordable because only the match set's values
+        column is aggregated, and an approximate variant would need a
+        certificate row anyway). One row, one column per prob."""
+        ids = self.match_ids(query)
+        names = [f"p{round(p * 100)}" for p in probs]
+        cols = [F.round(F.expr(f"percentile({val_col}, {p!r})"), 4)
+                .alias(nm) for p, nm in zip(probs, names)]
+        if ids is None:
+            return self.spark.createDataFrame(
+                [], ", ".join(f"{nm} double" for nm in names))
+        return (values.join(ids, "doc_id", "left_semi").agg(*cols))
+
+    def complete(self, prefix: str, n: int = 5) -> DataFrame:
+        """Completion suggester (ES completion / Lucene suggest): top-n
+        LIVE dictionary terms with the given prefix, ranked by document
+        frequency (popularity), term asc tie-break. Dictionary-sized
+        lookup — the corpus is never touched; alpha-pruned terms are
+        excluded (suggesting a term the index cannot score is
+        unhelpful — unlike fuzzy/spell, which match ALL terms)."""
+        esc = re.escape(prefix)
+        return (self.term_stats
+                .filter(F.col("term").rlike(f"^{esc}"))
+                .select("term", "df")
+                .orderBy(F.desc("df"), F.asc("term")).limit(n))
+
     def highlight(self, df: DataFrame, query: str, n: int = 10,
                   frag: int = 30) -> DataFrame:
         """Top-n search with a highlight snippet per hit (ES plain

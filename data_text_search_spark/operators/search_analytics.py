@@ -321,3 +321,74 @@ def significant_terms(index: LogicalIndex, spark: SparkSession, query: str,
     return (out.orderBy(F.desc("lift"), F.asc("term")).limit(n)
             .withColumn("lift", F.round("lift", 4))
             .select("term", "fg_df", "bg_df", "lift"))
+
+
+def date_histogram(df: DataFrame, ts_col: str = "ts",
+                   interval: str = "day", by: str | None = None,
+                   value_col: str | None = None) -> DataFrame:
+    """ES date_histogram aggregation: event counts per calendar bucket
+    (day/hour/month via date_trunc — fixed calendar intervals), with an
+    optional terms sub-aggregation (`by`) and an optional metric
+    sub-aggregation (sum of `value_col`, rounded 4 dp — float sum order
+    differs across engines). Buckets are emitted as 'yyyy-MM-dd HH:mm:ss'
+    strings so the result is engine-portable; empty buckets are omitted
+    (ES min_doc_count=1). Pure JVM expressions — one map-side-combined
+    hash aggregate, the canonical Catalyst shape for a 100-TB event
+    table."""
+    bucket = F.date_format(F.date_trunc(interval, F.col(ts_col)),
+                           "yyyy-MM-dd HH:mm:ss").alias("bucket")
+    keys = [bucket] + ([F.col(by)] if by else [])
+    aggs = [F.count("*").alias("n")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 4).alias(f"sum_{value_col}"))
+    order = ["bucket"] + ([by] if by else [])
+    return df.groupBy(*keys).agg(*aggs).orderBy(*order)
+
+
+def top_hits(index: LogicalIndex, spark: SparkSession, query: str,
+             meta: DataFrame, bucket_col: str,
+             per_bucket: int = 3) -> DataFrame:
+    """ES top_hits sub-aggregation: inside each bucket of a terms
+    aggregation, the top-`per_bucket` matching docs by relevance — the
+    "show me the best N per source/domain/author" operator
+    (search_collapse's generalization from 1 representative to N).
+
+    Scores the FULL match set (a bucket's hits can sit arbitrarily deep
+    in the global ranking, so top-k pruning would be unsound), joins the
+    bucket key, one window per bucket on the deterministic ROUNDED order
+    (round(score,4) desc, doc_id asc). Shuffle is bounded by the match
+    set, partitioned by the bucket key.
+
+    Returns (bucket value, doc_id, score, bucket_rank), bucket asc,
+    rank asc."""
+    from pyspark.sql import Window
+
+    scored = (_doc_scores(index, spark, query)
+              .withColumn("score_r", F.round("score", 4)))
+    keyed = scored.join(meta.select("doc_id", bucket_col), "doc_id")
+    w = Window.partitionBy(bucket_col).orderBy(
+        F.desc("score_r"), F.asc("doc_id"))
+    return (keyed.withColumn("bucket_rank", F.row_number().over(w))
+            .filter(F.col("bucket_rank") <= per_bucket)
+            .select(F.col(bucket_col), "doc_id",
+                    F.col("score_r").alias("score"), "bucket_rank")
+            .orderBy(F.asc(bucket_col), F.asc("bucket_rank")))
+
+
+def histogram_moving_avg(df: DataFrame, ts_col: str = "ts",
+                         interval: str = "day", by: str = "event_type",
+                         window: int = 3) -> DataFrame:
+    """ES moving_avg PIPELINE aggregation over a date_histogram: the
+    trailing `window`-bucket average of each bucket's count, per `by`
+    series. Two JVM stages: the histogram hash aggregate, then one
+    window over (series, bucket) — the buckets table is tiny relative to
+    the events it summarizes, so the window is effectively free."""
+    from pyspark.sql import Window
+
+    hist = date_histogram(df, ts_col=ts_col, interval=interval, by=by)
+    w = (Window.partitionBy(by).orderBy("bucket")
+         .rowsBetween(-(window - 1), 0))
+    return (hist.withColumn("moving_avg",
+                            F.round(F.avg("n").over(w), 4))
+            .select("bucket", by, "n", "moving_avg")
+            .orderBy("bucket", by))

@@ -1147,6 +1147,90 @@ GROUP BY doc_id
 ORDER BY phrase_count DESC, doc_id ASC"""
 
 
+def percentiles_agg_sql(query: str, alpha: float = -5.0,
+                        probs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)) -> str:
+    """Twin of IndexSearcher.percentiles_agg: linearly interpolated
+    percentiles (quantile_cont — the same (n−1)·p definition as Spark's
+    exact `percentile`) of n_chars over the match set."""
+    cols = ", ".join(
+        f"round(quantile_cont(d.n_chars, {p}), 4) AS p{round(p * 100)}"
+        for p in probs)
+    return f"""WITH {_base_ctes()},{_match_set_cte(query, alpha)}
+SELECT {cols}
+FROM documents d JOIN matched USING (doc_id)"""
+
+
+def complete_sql(prefix: str, k: int = 5, alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.complete: top-k LIVE dictionary terms with
+    the prefix, df desc, term asc."""
+    esc = prefix.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    return f"""WITH {_base_ctes()}
+SELECT term, df FROM stats
+WHERE idf > {alpha} AND term LIKE '{esc}%' ESCAPE '\\'
+ORDER BY df DESC, term ASC LIMIT {k}"""
+
+
+def date_histogram_sql(interval: str = "day", by: str = "event_type",
+                       value_col: str = "value") -> str:
+    """Twin of search_analytics.date_histogram over the events table."""
+    return f"""
+SELECT strftime(date_trunc('{interval}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       {by},
+       count(*)::bigint AS n,
+       round(sum({value_col}), 4) AS sum_{value_col}
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def top_hits_sql(query: str, bucket_col: str, per_bucket: int = 3,
+                 k1: float = 1.5, b: float = 0.75,
+                 alpha: float = -5.0) -> str:
+    """Twin of search_analytics.top_hits (ES top_hits sub-agg): full
+    match-set scores, top-per_bucket docs per bucket on the rounded
+    deterministic order."""
+    contrib = (f"s.idf * tf.tf * ({k1} + 1) / (tf.tf + {k1} * (1 - {b} + "
+               f"{b} * ds.doc_len / (SELECT avgdl FROM corpus)))"
+               f" * q.qcount")
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+doc_scores AS (
+  SELECT tf.doc_id, sum({contrib}) AS raw
+  FROM tf JOIN stats s USING (term) JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+  GROUP BY tf.doc_id
+),
+keyed AS (
+  SELECT sc.doc_id, round(sc.raw, 4) AS score_r, d.{bucket_col} AS bkey
+  FROM doc_scores sc JOIN documents d USING (doc_id)
+)
+SELECT bkey AS {bucket_col}, doc_id, score_r AS score,
+       bucket_rank::int AS bucket_rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY bkey ORDER BY score_r DESC, doc_id ASC
+      ) AS bucket_rank FROM keyed)
+WHERE bucket_rank <= {per_bucket}
+ORDER BY bkey ASC, bucket_rank ASC"""
+
+
+def histogram_moving_avg_sql(interval: str = "day",
+                             by: str = "event_type",
+                             window: int = 3) -> str:
+    """Twin of search_analytics.histogram_moving_avg (ES moving_avg
+    pipeline agg): trailing window-bucket average per series."""
+    return f"""
+WITH hist AS (
+  SELECT strftime(date_trunc('{interval}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         {by}, count(*)::bigint AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket, {by}, n,
+       round(avg(n) OVER (PARTITION BY {by} ORDER BY bucket
+                          ROWS BETWEEN {window - 1} PRECEDING
+                          AND CURRENT ROW), 4) AS moving_avg
+FROM hist ORDER BY bucket, {by}"""
+
+
 def span_near_sql(term1: str, term2: str, slop: int) -> str:
     """Twin of positions.span_near: unordered two-term proximity — min
     token distance (1-based positions) between any occurrence pair per

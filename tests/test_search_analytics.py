@@ -267,3 +267,46 @@ def test_percolate_plan_broadcasts_queries(spark, corpus):
                      )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_top_hits_per_bucket(spark, corpus, corpus_pdf, lidx):
+    """Every bucket keeps its best <=3 docs on the rounded order, and the
+    members agree with the python match-set truth."""
+    from data_text_search_spark.operators.search_analytics import top_hits
+    meta = corpus.select("doc_id", "repo")
+    res = top_hits(lidx, spark, QUERY, meta, "repo", per_bucket=3).collect()
+    scores, *_ = _py_match_set(corpus_pdf, QUERY)
+    repo_of = dict(zip(range(len(corpus_pdf)), corpus_pdf["repo"]))
+    want = defaultdict(list)
+    for d, s in scores.items():
+        want[repo_of[d]].append((round(s, 4), d))
+    expect = []
+    for b in sorted(want):
+        ordered = sorted(want[b], key=lambda x: (-x[0], x[1]))[:3]
+        for rk, (s, d) in enumerate(ordered, start=1):
+            expect.append((b, d, s, rk))
+    got = [(r["repo"], r["doc_id"], r["score"], r["bucket_rank"])
+           for r in res]
+    assert sorted(got) == sorted(
+        (b, d, s, rk) for (b, d, s, rk) in expect)
+
+
+def test_histogram_moving_avg_trailing_window(spark):
+    import pandas as pd
+    from data_text_search_spark.operators.search_analytics import (
+        histogram_moving_avg,
+    )
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-02",
+                              "2024-01-03", "2024-01-05"]),
+        "event_type": ["a"] * 5,
+        "value": [1.0] * 5})
+    got = [(r["bucket"][:10], r["n"], r["moving_avg"])
+           for r in histogram_moving_avg(
+               spark.createDataFrame(pdf), "ts", "day", "event_type",
+               window=3).collect()]
+    # counts: 2,1,1,1 — trailing-3 averages 2, 1.5, 4/3, 1 (bucket gaps
+    # are row-based like ES moving_avg over the emitted buckets)
+    assert got == [("2024-01-01", 2, 2.0), ("2024-01-02", 1, 1.5),
+                   ("2024-01-03", 1, round(4 / 3, 4)),
+                   ("2024-01-05", 1, 1.0)]

@@ -225,3 +225,48 @@ def test_similarity_respects_tombstones(spark, corpus, tmp_path):
     assert victim not in got
     # Lucene collection-stats semantics: cf still counts the tombstoned doc
     assert s1.collection_tf(["hash"]) == s0.collection_tf(["hash"])
+
+
+def test_percentiles_agg_vs_pandas(searcher, spark, corpus, corpus_pdf):
+    vals = corpus.selectExpr("doc_id", "length(content) as n_chars")
+    row = searcher.percentiles_agg(QUERY, vals).collect()[0]
+    matched = {r["doc_id"] for r in searcher.match_ids(QUERY).collect()}
+    lens = corpus_pdf["content"].str.len()
+    sub = lens[[i in matched for i in range(len(lens))]]
+    for p in (0.25, 0.5, 0.75, 0.9, 0.99):
+        # pandas quantile(interpolation='linear') is the same (n-1)*p
+        # definition as Spark `percentile` / SQL quantile_cont
+        assert math.isclose(row[f"p{round(p * 100)}"],
+                            round(float(sub.quantile(p)), 4),
+                            abs_tol=1e-9), p
+
+
+def test_complete_prefix_ranked_by_df(searcher, stats):
+    res = searcher.complete("s", n=5).collect()
+    want = sorted(((t, d) for t, d in stats["df"].items()
+                   if t.startswith("s")), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["term"], r["df"]) for r in res] == want
+
+
+def test_complete_regex_chars_literal(searcher):
+    # a prefix containing regex metacharacters must be treated literally
+    assert searcher.complete("s.", n=5).count() == 0
+
+
+def test_date_histogram_vs_pandas(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-01 23:59",
+                              "2024-01-02 00:00", "2024-01-02 05:00"]),
+        "event_type": ["a", "a", "a", "b"],
+        "value": [1.5, 2.5, 3.0, 4.0]})
+    from data_text_search_spark.operators.search_analytics import (
+        date_histogram,
+    )
+    df = spark.createDataFrame(pdf)
+    got = [(r["bucket"], r["event_type"], r["n"], r["sum_value"])
+           for r in date_histogram(df, "ts", "day", by="event_type",
+                                   value_col="value").collect()]
+    assert got == [("2024-01-01 00:00:00", "a", 2, 4.0),
+                   ("2024-01-02 00:00:00", "a", 1, 3.0),
+                   ("2024-01-02 00:00:00", "b", 1, 4.0)]
