@@ -66,6 +66,23 @@ def main(argv: list[str] | None = None) -> list[dict]:
     ap.add_argument("--msm", type=int, default=None, metavar="M",
                     help="minimum_should_match: docs must match at "
                          "least M distinct query terms")
+    ap.add_argument("--similarity", default=None,
+                    choices=["tfidf", "lmjm"],
+                    help="score --query with a pluggable similarity "
+                         "instead of BM25 (compact-codec index only)")
+    ap.add_argument("--lam", type=float, default=0.1,
+                    help="Jelinek-Mercer lambda for --similarity lmjm")
+    ap.add_argument("--rescore-phrase", default=None, metavar="PHRASE",
+                    help="rescore the top --rescore-window BM25 hits of "
+                         "--query by exact PHRASE occurrences "
+                         "(needs --corpus)")
+    ap.add_argument("--rescore-window", type=int, default=50)
+    ap.add_argument("--rescore-weight", type=float, default=2.0)
+    ap.add_argument("--highlight", action="store_true",
+                    help="attach a snippet per hit (needs --corpus)")
+    ap.add_argument("--complete", default=None, metavar="PREFIX",
+                    help="completion suggester: top dictionary terms "
+                         "for PREFIX by document frequency")
     ap.add_argument("--fb-docs", type=int, default=10)
     ap.add_argument("--fb-terms", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
@@ -74,11 +91,13 @@ def main(argv: list[str] | None = None) -> list[dict]:
     modes = [bool(args.query), bool(args.queries_file),
              args.more_like is not None, bool(args.stream_dir),
              bool(args.prefix), bool(args.regex), bool(args.wildcard),
-             bool(args.query_string)]
+             bool(args.query_string), bool(args.complete)]
     if sum(modes) != 1:
         ap.error("need exactly one of --query / --queries-file / "
                  "--more-like / --stream-dir / --prefix / --regex / "
-                 "--wildcard / --query-string")
+                 "--wildcard / --query-string / --complete")
+    if (args.rescore_phrase or args.highlight) and not args.corpus:
+        ap.error("--rescore-phrase / --highlight need --corpus")
     if args.stream_dir and not args.stream_sink:
         ap.error("--stream-dir needs --stream-sink")
 
@@ -94,7 +113,39 @@ def main(argv: list[str] | None = None) -> list[dict]:
         spark = get_spark(app_name="query", cores=args.cores)
 
     searcher = IndexSearcher(spark, args.index)
-    if args.query:
+    if args.complete:
+        out = [{"term": r["term"], "df": r["df"]}
+               for r in searcher.complete(args.complete, args.k).collect()]
+    elif args.query:
+        if args.similarity:
+            res = searcher.search_similarity(args.query, args.similarity,
+                                             args.k, lam=args.lam)
+            out = [{"rank": r["rank"], "doc_id": r["doc_id"],
+                    "score": r["score"], "score_abs": r["score_abs"]}
+                   for r in res.collect()]
+            for rec in out:
+                print(json.dumps(rec))
+            return out
+        if args.rescore_phrase:
+            docs = spark.read.parquet(args.corpus)
+            res = searcher.rescore(docs, args.query, args.rescore_phrase,
+                                   window=args.rescore_window,
+                                   weight=args.rescore_weight, n=args.k)
+            out = [{"rank": r["rank"], "doc_id": r["doc_id"],
+                    "score": r["score"], "phrase_count": r["phrase_count"],
+                    "rescore": r["rescore"]} for r in res.collect()]
+            for rec in out:
+                print(json.dumps(rec))
+            return out
+        if args.highlight:
+            docs = spark.read.parquet(args.corpus)
+            res = searcher.highlight(docs, args.query, args.k)
+            out = [{"doc_id": r["doc_id"], "score": r["score"],
+                    "pos": r["pos"], "snippet": r["snippet"]}
+                   for r in res.collect()]
+            for rec in out:
+                print(json.dumps(rec))
+            return out
         if args.expand:
             res = searcher.search_expanded(args.query, args.k,
                                            fb_docs=args.fb_docs,

@@ -380,3 +380,49 @@ def test_query_cli_term_modes(spark, tmp_path):
     # wildcard is regex sugar: * / ? translate, regex metachars literal
     assert query_cli.main(["--index", root, "--wildcard", "z.z", "--k",
                            "3"]) == []
+
+
+def test_query_cli_similarity_rescore_highlight_complete(spark, tmp_path):
+    """CLI smoke for the round-5 relevance modes: --similarity,
+    --rescore-phrase, --highlight, --complete — each must agree with
+    the library surface it wraps."""
+    sys.path.insert(0, "jobs")
+    import query as query_cli
+
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.fixtures.corpus import corpus_pandas
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+
+    pdf = corpus_pandas(200).reset_index().rename(columns={"index": "doc_id"})
+    cdf = spark.createDataFrame(pdf)
+    root = str(tmp_path / "cidx")
+    build_index(spark, cdf, root, BM25Config(impact_codec="compact"),
+                id_col="doc_id", shards=4, groups=1)
+    corpus_path = str(tmp_path / "corpus.parquet")
+    cdf.selectExpr("doc_id", "content as text").write.parquet(corpus_path)
+    s = IndexSearcher(spark, root)
+    q = "hash join table scan"
+
+    got = query_cli.main(["--index", root, "--query", q,
+                          "--similarity", "tfidf", "--k", "5"])
+    want = s.search_similarity(q, "tfidf", 5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
+    got = query_cli.main(["--index", root, "--query", q,
+                          "--rescore-phrase", "def read",
+                          "--corpus", corpus_path, "--k", "5"])
+    want = s.rescore(spark.read.parquet(corpus_path), q, "def read",
+                     n=5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
+    got = query_cli.main(["--index", root, "--query", q, "--highlight",
+                          "--corpus", corpus_path, "--k", "3"])
+    assert len(got) == 3 and all(g["snippet"] for g in got)
+
+    got = query_cli.main(["--index", root, "--complete", "s", "--k", "4"])
+    want = s.complete("s", 4).collect()
+    assert [(g["term"], g["df"]) for g in got] == \
+        [(r["term"], r["df"]) for r in want]
