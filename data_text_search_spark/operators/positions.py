@@ -352,6 +352,10 @@ def _run_kernel(spark: SparkSession, root: str, terms: list[str], kernel,
     if m.get("tokenizer") != TOKEN_PATTERN:
         raise ValueError("tokenizer mismatch: rebuild the positions "
                          "sidecar with the current token spec")
+    if not m.get("n_docs"):
+        # an empty corpus writes no parquet parts (partitionBy of an
+        # empty frame), so the read below could not infer a schema
+        return spark.createDataFrame([], schema)
     blocks = (spark.read.parquet(f"{root}/blocks")
               .filter(F.col("term").isin(sorted(set(terms)))))
     parts = max(spark.sparkContext.defaultParallelism, 1)

@@ -113,3 +113,11 @@ def test_tokenizer_mismatch_refused(spark, pos_root, tmp_path):
 def test_incomplete_sidecar_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="no complete positions"):
         P.phrase_count(spark, str(tmp_path / "nope"), "def").collect()
+
+
+def test_empty_corpus_sidecar(spark, tmp_path):
+    root = str(tmp_path / "empty")
+    P.build_positions(
+        spark, spark.createDataFrame([], "doc_id long, text string"), root)
+    assert P.phrase_count(spark, root, "def def").count() == 0
+    assert P.span_near(spark, root, "a", "b", 3).count() == 0
