@@ -1481,7 +1481,16 @@ class IndexSearcher:
         reads — posting tfs alone cannot confirm adjacency."""
         base = self.search(query, window).select("doc_id", "score")
         from data_text_search_spark.operators import fuzzy
-        cand = df.join(base.select("doc_id"), "doc_id", "left_semi")
+        # the window ids as an IN predicate, not a semi-join: a join lets
+        # Catalyst push the tokenize-bearing size filter BELOW it (the
+        # filter references only the corpus side), re-tokenizing the
+        # whole corpus; the IN list reaches the parquet scan as a pushed
+        # filter instead (row-group pruning), so only the window's rows
+        # are ever decoded or tokenized. Rescore windows are small by
+        # design (ES window_size defaults to size), so the literal list
+        # is bounded.
+        ids = [int(r["doc_id"]) for r in base.select("doc_id").collect()]
+        cand = df.filter(F.col("doc_id").isin(ids))
         counts = fuzzy.phrase_search(self.spark, cand, phrase) \
             .select("doc_id", "phrase_count")
         w = Window.orderBy(F.desc("rescore"), F.asc("doc_id"))
@@ -1641,10 +1650,11 @@ class IndexSearcher:
         match set never leaves the cluster: posting-derived ids semi-join
         the values table (broadcast when small, shuffle join at scale)."""
         ids = self.match_ids(query)
-        schema = (f"n_matched long, min_{val_col} long, max_{val_col} long, "
-                  f"avg_{val_col} double, sum_{val_col} long")
         if ids is None:
-            return self.spark.createDataFrame([], schema)
+            # SQL aggregate-over-empty semantics (one row: count 0,
+            # NULL extremes) so the no-live-terms edge matches the
+            # oracle's shape instead of returning zero rows
+            ids = self.spark.createDataFrame([], "doc_id long")
         return (values.join(ids, "doc_id", "left_semi")
                 .agg(F.count("*").alias("n_matched"),
                      F.min(val_col).cast("long").alias(f"min_{val_col}"),
@@ -1686,8 +1696,8 @@ class IndexSearcher:
         cols = [F.round(F.expr(f"percentile({val_col}, {p!r})"), 4)
                 .alias(nm) for p, nm in zip(probs, names)]
         if ids is None:
-            return self.spark.createDataFrame(
-                [], ", ".join(f"{nm} double" for nm in names))
+            # one all-NULL aggregate row, like SQL over an empty match set
+            ids = self.spark.createDataFrame([], "doc_id long")
         return (values.join(ids, "doc_id", "left_semi").agg(*cols))
 
     def complete(self, prefix: str, n: int = 5) -> DataFrame:

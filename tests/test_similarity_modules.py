@@ -270,3 +270,15 @@ def test_date_histogram_vs_pandas(spark):
     assert got == [("2024-01-01 00:00:00", "a", 2, 4.0),
                    ("2024-01-02 00:00:00", "a", 1, 3.0),
                    ("2024-01-02 00:00:00", "b", 1, 4.0)]
+
+
+def test_stats_percentiles_empty_match_one_row(searcher, spark, corpus):
+    """A query with no live terms aggregates over an EMPTY match set —
+    one row (count 0, NULL extremes), the SQL aggregate shape, not zero
+    rows."""
+    vals = corpus.selectExpr("doc_id", "length(content) as n_chars")
+    rows = searcher.stats_agg("zzznope qqqnope", vals).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_matched"] == 0 and rows[0]["min_n_chars"] is None
+    prows = searcher.percentiles_agg("zzznope", vals).collect()
+    assert len(prows) == 1 and prows[0]["p50"] is None
