@@ -1278,6 +1278,42 @@ def q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_near(spark, root, SPAN_TERMS[0], SPAN_TERMS[1], SPAN_SLOP)
 
 
+STOPWORDS = ("table", "a")  # one flagship term + one generic token
+
+
+def _stopword_searcher(spark: SparkSession, sf_dir: str):
+    """Build (once) a physical index with a stop list (BM25Config
+    .stopwords): the ES stop-filter analog under the A5 flag-not-delete
+    pruning mechanism — stopworded terms cannot score, doc stats are
+    unchanged."""
+    key = ("stopidx", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.index_build import build_index
+        from data_text_search_spark.operators.index_query import IndexSearcher
+
+        root = tempfile.mkdtemp(prefix="dts_stop_") + "/idx"
+        build_index(spark, _documents(spark, sf_dir), root,
+                    BM25Config(alpha=APP_CFG.alpha, stopwords=STOPWORDS),
+                    text_col="text", id_col="doc_id")
+        s = IndexSearcher(spark, root)
+        s.warm()
+        _CACHE[key] = (None, s)
+    return _CACHE[key][1]
+
+
+def q_bm25_topk_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query against a stop-listed index: 'table' is a stopword,
+    so it contributes NOTHING to any score (results provably differ from
+    bm25_topk) while doc_len/avgdl still count it — the scoring-time stop
+    semantics the oracle replays with a term NOT IN filter."""
+    s = _stopword_searcher(spark, sf_dir)
+    res = s.search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 def q_search_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES percentiles aggregation: exact interpolated percentiles of
     n_chars over the flagship query's match set."""
@@ -1437,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_histogram": q_date_histogram,
         "top_hits": q_top_hits,
         "histogram_moving_avg": q_histogram_moving_avg,
+        "bm25_topk_stopwords": q_bm25_topk_stopwords,
     }
 
 
@@ -1599,6 +1636,9 @@ def oracle_sql() -> dict[str, str]:
                                                   "value"),
         "top_hits": osql.top_hits_sql(FLAGSHIP_QUERY, "source",
                                       per_bucket=3, alpha=APP_CFG.alpha),
+        "bm25_topk_stopwords": osql.bm25_topk_sql(
+            FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha,
+            stopwords=STOPWORDS),
         "histogram_moving_avg": osql.histogram_moving_avg_sql(
             "day", "event_type", window=3),
     }

@@ -33,6 +33,14 @@ class BM25Config:
     #   with the build expression's operand order — ~2.5x smaller
     #   payload, bit-identical scores (pytest-pinned)
     impact_codec: str = "f64"
+    # ES stop-token-filter analog, SCORING-TIME semantics: stopwords are
+    # flagged `pruned` in term_stats (exactly the A5 alpha-cutoff
+    # mechanism — flag, never delete), so they cannot score and their
+    # postings are never encoded, while doc_len/avgdl still count them
+    # (tokenization is untouched; Lucene's analysis-time StopFilter
+    # would also shrink norms — documented divergence). Sorted into the
+    # manifest; resume pins it like every other semantic knob.
+    stopwords: tuple = ()
     salt_docs_per_split: int = 1 << 20  # doc-range width per salt bucket (hot-term split)
 
 

@@ -398,7 +398,8 @@ def build_index(
         "tokenizer": TOKEN_PATTERN,
         "config": {"k1": config.k1, "b": config.b, "alpha": config.alpha,
                    "clean": config.clean, "block_size": config.block_size,
-                   "impact_codec": config.impact_codec},
+                   "impact_codec": config.impact_codec,
+                   "stopwords": sorted(config.stopwords)},
         "shards": shards, "term_buckets": tp, "groups": groups,
         "subshards": subshards,
         "stages": {}, "groups_state": {}, "metrics": {},
@@ -420,7 +421,12 @@ def build_index(
     # or bucket layouts across groups and silently corrupt query results
     want_cfg = {"k1": config.k1, "b": config.b, "alpha": config.alpha,
                 "clean": config.clean, "block_size": config.block_size,
-                "impact_codec": config.impact_codec}
+                "impact_codec": config.impact_codec,
+                "stopwords": sorted(config.stopwords)}
+    if "stopwords" not in manifest["config"]:
+        # indexes persisted before the stopwords knob: an absent key
+        # means the empty list (the only possible value back then)
+        manifest["config"]["stopwords"] = []
     if manifest["config"] != want_cfg or manifest["term_buckets"] != tp:
         raise ValueError(
             f"resume config mismatch: index at {root} was built with "
@@ -586,7 +592,10 @@ def build_index(
              "idf",
              F.log(F.lit(float(n_docs)) - F.col("df") + 0.5)
              - F.log(F.col("df") + 0.5))
-         .withColumn("pruned", ~(F.col("idf") > F.lit(config.alpha)))
+         .withColumn("pruned",
+                     ~(F.col("idf") > F.lit(config.alpha))
+                     | (F.col("term").isin(list(config.stopwords))
+                        if config.stopwords else F.lit(False)))
          .withColumn("term_bucket",
                      F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
          .observe(ts_obs, F.avg(F.when(~F.col("pruned"), F.col("idf")))

@@ -93,13 +93,22 @@ SELECT term, doc_id, tf FROM tf WHERE tf >= {min_tf} ORDER BY term, doc_id"""
 
 def bm25_topk_sql(query: str, k: int = 10, k1: float = 1.5, b: float = 0.75,
                   alpha: float = -5.0, clean: bool = False,
-                  doc_filter: str | None = None) -> str:
+                  doc_filter: str | None = None,
+                  stopwords: tuple = ()) -> str:
     """`doc_filter`: optional predicate over `tf.doc_id` applied to the
     SCORED docs only — corpus statistics (N, avgdl, df/idf) stay computed
     over the FULL corpus. This is exactly delete_documents' stale-stats
     tombstone semantics: deleted docs vanish from results, surviving
-    scores unchanged until a merge refreshes the stats."""
+    scores unchanged until a merge refreshes the stats.
+
+    `stopwords`: scoring-time stop list (BM25Config.stopwords): the terms
+    cannot score, doc_len/avgdl still count them — the flag-not-delete
+    pruning semantics."""
     extra = f"\n    AND ({doc_filter})" if doc_filter else ""
+    if stopwords:
+        lst = ", ".join("'" + t.replace("'", "''") + "'"
+                        for t in sorted(stopwords))
+        extra += f"\n    AND s.term NOT IN ({lst})"
     return f"""WITH {_base_ctes(clean=clean)},
 q(term, qcount) AS (VALUES {_values_for_query(query)}),
 contrib AS (

@@ -277,7 +277,10 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
                                F.log(F.lit(float(n_total)) - F.col("df") + 0.5)
                                - F.log(F.col("df") + 0.5))
                    .withColumn("pruned",
-                               ~(F.col("idf") > F.lit(cfg["alpha"])))
+                               ~(F.col("idf") > F.lit(cfg["alpha"]))
+                               | (F.col("term").isin(
+                                      list(cfg.get("stopwords", [])))
+                                  if cfg.get("stopwords") else F.lit(False)))
                    .withColumn("term_bucket",
                                F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
                    ).persist()

@@ -282,3 +282,51 @@ def test_stats_percentiles_empty_match_one_row(searcher, spark, corpus):
     assert rows[0]["n_matched"] == 0 and rows[0]["min_n_chars"] is None
     prows = searcher.percentiles_agg("zzznope", vals).collect()
     assert len(prows) == 1 and prows[0]["p50"] is None
+
+
+def test_stopword_index_semantics(spark, corpus, tmp_path):
+    """Stopwords cannot score (A5 flag-not-delete: no postings, excluded
+    from query terms) while doc stats still count them; an all-stopword
+    query is the typed empty result."""
+    from data_text_search_spark.operators.index_build import load_manifest
+
+    root = str(tmp_path / "stopidx")
+    stops = ("def", "class")
+    build_index(spark, corpus, root, BM25Config(stopwords=stops),
+                id_col="doc_id", shards=2, groups=1)
+    s = IndexSearcher(spark, root)
+    assert load_manifest(root)["config"]["stopwords"] == sorted(stops)
+    # all-stopword query → empty
+    assert s.search("def class", 5).count() == 0
+    # mixed query: results equal a plain index queried WITHOUT the
+    # stopword (scoring-time semantics — doc stats unchanged)
+    plain_root = str(tmp_path / "plainidx")
+    build_index(spark, corpus, plain_root, BM25Config(),
+                id_col="doc_id", shards=2, groups=1)
+    plain = IndexSearcher(spark, plain_root)
+    got = [(r["doc_id"], r["score"])
+           for r in s.search("def hash join", 10).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in plain.search("hash join", 10).collect()]
+    assert got == want and len(got) > 0
+
+
+def test_stopword_flag_survives_incremental_delta(spark, corpus, tmp_path):
+    """A NEW term arriving only in a delta segment that is on the stop
+    list must be flagged pruned in the segment's term_stats (the same
+    no-resurrection rule as alpha-pruned hot terms)."""
+    from data_text_search_spark.streaming.incremental import add_documents
+
+    root = str(tmp_path / "stopinc")
+    build_index(spark, corpus, root,
+                BM25Config(stopwords=("zzznewstop",)),
+                id_col="doc_id", shards=2, groups=1)
+    delta = spark.createDataFrame(
+        [(100_000, "zzznewstop hash join zzznewstop")],
+        "doc_id long, content string")
+    add_documents(spark, root, delta, text_col="content", id_col="doc_id")
+    s = IndexSearcher(spark, root)
+    # the new stopword cannot score; the delta doc still matches others
+    assert s.search("zzznewstop", 5).count() == 0
+    assert 100_000 in {r["doc_id"]
+                       for r in s.search("hash join", 1000).collect()}
