@@ -2079,6 +2079,51 @@ class IndexSearcher:
                 .limit(n)
                 .select("term", "distance", "df"))
 
+    def profile(self, query: str, n: int = 10) -> dict:
+        """ES _profile analog: execute the query with per-phase wall
+        timings — parse (tokenize), dictionary (term lookup), kernel job
+        (the distributed stage incl. Arrow transfer of per-task tops),
+        and driver merge. Runs the scatter-gather path explicitly (the
+        same two steps `search` takes under the driver-merge gate; rows
+        are identical — pytest-pinned against search()). Phases are
+        driver-observed wall times, so the kernel phase includes Spark
+        scheduling — exactly the number an operator tuning a live index
+        needs. Returns {"timings_ms": {...}, "rows": [...]}."""
+        import time as _time
+
+        t = {}
+        t0 = _time.perf_counter()
+        counts = Counter(tokenize_py(query))
+        t["parse_ms"] = round((_time.perf_counter() - t0) * 1e3, 3)
+        t0 = _time.perf_counter()
+        qcounts, buckets, qidf = self._terms_from_counts(counts)
+        t["dictionary_ms"] = round((_time.perf_counter() - t0) * 1e3, 3)
+        if not qcounts:
+            return {"timings_ms": t, "rows": []}
+        kernel = _shard_topk_kernel_factory(qcounts, n, self.codec, qidf,
+                                            self.avgdl, self.k1, self.b,
+                                            tomb=self._tomb_handle)
+        spark = self.spark
+        t0 = _time.perf_counter()
+        if self._units is not None:
+            local = self._colocated_run(sorted(qcounts), kernel,
+                                        WAND_COLS, RESULT_SCHEMA)
+        else:
+            blocks = self.postings.filter(
+                F.col("term_bucket").isin(buckets)
+                & F.col("term").isin(list(qcounts)))
+            local = (blocks.repartition(self._kernel_parts(), "shard")
+                     .mapInPandas(_map_batches(kernel),
+                                  schema=RESULT_SCHEMA))
+        pdf = local.toPandas()
+        t["kernel_job_ms"] = round((_time.perf_counter() - t0) * 1e3, 3)
+        t0 = _time.perf_counter()
+        out = _merge_topn_driver(pdf, n)
+        t["merge_ms"] = round((_time.perf_counter() - t0) * 1e3, 3)
+        t["total_ms"] = round(sum(v for v in t.values()), 3)
+        return {"timings_ms": t,
+                "rows": out.to_dict(orient="records")}
+
     def explain(self, query: str, n: int = 10) -> dict:
         """Query EXPLAIN without executing: per-term dictionary stats
         (df, idf, query count) plus every execution decision search()

@@ -114,3 +114,104 @@ def doc_length_histogram(spark: SparkSession, root: str,
     return [{"min_len": 2 ** r["b"],
              "max_len": 2 ** (r["b"] + 1) - 1,
              "n_docs": r["n_docs"]} for r in rows]
+
+
+def validate_index(spark: SparkSession, root: str,
+                   sample_blocks: int = 64) -> dict:
+    """Index fsck (the operational `_cat/segments` + checksum analog):
+    structural validation of a persisted index against its manifest,
+    metadata-first — footer/row counts, not a data scan, plus a bounded
+    codec sample.
+
+    Checks (each reported independently; "ok" is the conjunction):
+      manifest      — present, complete, current tokenizer spec
+      paths         — every manifest-committed dir/file readable
+      base_postings — base groups' block + posting counts equal the
+                      manifest's groups_state (parquet row counts +
+                      one column-pruned sum over n_docs)
+      doc_stats     — row count equals manifest n_docs (base + segments)
+      codec_sample  — `sample_blocks` posting blocks decode cleanly:
+                      doc ids sorted, inside [first_doc_id, last_doc_id],
+                      exactly n_docs of them, tf varints align
+      tombstones    — readable; count reported
+
+    Returns {"ok": bool, "checks": {name: {"ok": bool, ...detail}}}."""
+    from data_text_search_spark.functions.codec import (
+        decode_doc_block,
+        varint_decode,
+    )
+    from data_text_search_spark.functions.text import TOKEN_PATTERN
+    from data_text_search_spark.operators.index_build import (
+        committed_postings_dirs,
+    )
+
+    checks: dict[str, dict] = {}
+    m = load_manifest(root)
+    checks["manifest"] = {
+        "ok": bool(m and m.get("complete")
+                   and m.get("tokenizer") == TOKEN_PATTERN),
+        "complete": bool(m and m.get("complete")),
+        "tokenizer_current": bool(m and m.get("tokenizer") == TOKEN_PATTERN),
+    }
+    if not m:
+        return {"ok": False, "checks": checks}
+
+    paths_ok, missing = True, []
+    for p in (committed_postings_dirs(root, m)
+              + committed_term_stats_paths(root, m)
+              + committed_doc_stats_paths(root, m)
+              + committed_tombstone_paths(root, m)):
+        try:
+            spark.read.parquet(p).schema
+        except Exception:
+            paths_ok = False
+            missing.append(p)
+    checks["paths"] = {"ok": paths_ok, "missing": missing}
+
+    paths_obj = IndexPaths(root)
+    base = spark.read.parquet(paths_obj.postings)
+    agg = base.agg(F.count(F.lit(1)).alias("blocks"),
+                   F.sum("n_docs").alias("postings")).collect()[0]
+    want_blocks = sum(g["n_blocks"] for g in m["groups_state"].values())
+    want_post = sum(g["n_postings"] for g in m["groups_state"].values())
+    checks["base_postings"] = {
+        "ok": (int(agg["blocks"]) == want_blocks
+               and int(agg["postings"]) == want_post),
+        "blocks": int(agg["blocks"]), "manifest_blocks": want_blocks,
+        "postings": int(agg["postings"]), "manifest_postings": want_post,
+    }
+
+    n_ds = 0
+    for p in committed_doc_stats_paths(root, m):
+        n_ds += spark.read.parquet(p).count()
+    checks["doc_stats"] = {"ok": n_ds == int(m.get("n_docs", -1)),
+                           "rows": n_ds, "manifest_n_docs": m.get("n_docs")}
+
+    sample = (spark.read.option("basePath", paths_obj.postings)
+              .parquet(*committed_postings_dirs(root, m))
+              .select("first_doc_id", "last_doc_id", "n_docs",
+                      "doc_deltas", "tfs")
+              .limit(sample_blocks).collect())
+    bad = 0
+    for r in sample:
+        try:
+            docs = decode_doc_block(r["first_doc_id"], r["n_docs"],
+                                    bytes(r["doc_deltas"]))
+            tfs = varint_decode(bytes(r["tfs"]), r["n_docs"])
+            if (len(docs) != r["n_docs"] or docs[0] != r["first_doc_id"]
+                    or docs[-1] != r["last_doc_id"]
+                    or any(docs[i] >= docs[i + 1]
+                           for i in range(len(docs) - 1))
+                    or (tfs <= 0).any()):
+                bad += 1
+        except Exception:
+            bad += 1
+    checks["codec_sample"] = {"ok": bad == 0, "sampled": len(sample),
+                              "bad": bad}
+
+    tpaths = committed_tombstone_paths(root, m)
+    n_tomb = sum(spark.read.parquet(p).count() for p in tpaths)
+    checks["tombstones"] = {"ok": True, "count": n_tomb,
+                            "files": len(tpaths)}
+
+    return {"ok": all(c["ok"] for c in checks.values()), "checks": checks}

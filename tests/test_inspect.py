@@ -115,3 +115,63 @@ def test_explain_pruned_and_tombstones(spark, corpus, tmp_path):
     assert "def" in ex["alpha_pruned_terms"]  # hot term, pruned at 1.0
     assert [t["term"] for t in ex["terms"]] == ["get_heap"]
     assert ex["tombstones_masked"] == 2
+
+
+def test_validate_index_green(spark, corpus, tmp_path):
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.inspect import validate_index
+
+    _, df = corpus
+    root = str(tmp_path / "fsck")
+    build_index(spark, df, root, BM25Config(), id_col="doc_id",
+                shards=4, groups=2)
+    rep = validate_index(spark, root)
+    assert rep["ok"], rep
+    assert rep["checks"]["base_postings"]["ok"]
+    assert rep["checks"]["codec_sample"]["bad"] == 0
+    assert rep["checks"]["doc_stats"]["rows"] == N
+
+
+def test_validate_index_detects_count_drift(spark, corpus, tmp_path):
+    import json
+
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.inspect import validate_index
+
+    _, df = corpus
+    root = str(tmp_path / "fsck2")
+    build_index(spark, df, root, BM25Config(), id_col="doc_id",
+                shards=2, groups=1)
+    # corrupt the manifest's posting count (simulates a lost part file
+    # being papered over) — fsck must notice
+    import glob
+    mp = sorted(glob.glob(f"{root}/manifest.json*"))[-1]
+    m = json.load(open(mp))
+    m["groups_state"]["0"]["n_postings"] += 7
+    json.dump(m, open(mp, "w"))
+    rep = validate_index(spark, root)
+    assert not rep["ok"]
+    assert not rep["checks"]["base_postings"]["ok"]
+
+
+def test_profile_matches_search(spark, corpus, tmp_path):
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+
+    _, df = corpus
+    root = str(tmp_path / "prof")
+    build_index(spark, df, root, BM25Config(), id_col="doc_id",
+                shards=4, groups=1)
+    s = IndexSearcher(spark, root)
+    s.warm()
+    prof = s.profile("hash join table scan", 5)
+    assert set(prof["timings_ms"]) >= {"parse_ms", "dictionary_ms",
+                                       "kernel_job_ms", "merge_ms"}
+    want = [(r["doc_id"], r["score"])
+            for r in s.search("hash join table scan", 5).collect()]
+    got = [(r["doc_id"], r["score"]) for r in prof["rows"]]
+    assert got == want
+    assert s.profile("zzznope", 5)["rows"] == []
