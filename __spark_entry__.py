@@ -1361,6 +1361,23 @@ def q_histogram_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 by="event_type", window=3)
 
 
+ADJ_TERMS = {"hash": "hash", "join": "join", "scan": "scan"}
+
+
+def q_search_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES sampler/random_score analog: a deterministic md5-keyed sample
+    of the flagship query's match set (seed-stable, engine-portable)."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.sample_matches(FLAGSHIP_QUERY, n=10, seed="r5")
+
+
+def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES adjacency_matrix aggregation: doc counts per term filter and
+    pairwise intersection, straight from the postings."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.adjacency_matrix(ADJ_TERMS)
+
+
 def q_cardinality_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES cardinality aggregation certificate: HyperLogLog++
     approx_count_distinct over the per-doc content hash vs the exact
@@ -1474,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_hits": q_top_hits,
         "histogram_moving_avg": q_histogram_moving_avg,
         "bm25_topk_stopwords": q_bm25_topk_stopwords,
+        "search_sample": q_search_sample,
+        "adjacency_matrix": q_adjacency_matrix,
     }
 
 
@@ -1639,6 +1658,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_stopwords": osql.bm25_topk_sql(
             FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha,
             stopwords=STOPWORDS),
+        "search_sample": osql.sample_matches_sql(FLAGSHIP_QUERY, n=10,
+                                                 seed="r5",
+                                                 alpha=APP_CFG.alpha),
+        "adjacency_matrix": osql.adjacency_matrix_sql(ADJ_TERMS),
         "histogram_moving_avg": osql.histogram_moving_avg_sql(
             "day", "event_type", window=3),
     }

@@ -1713,6 +1713,54 @@ class IndexSearcher:
                 .select("term", "df")
                 .orderBy(F.desc("df"), F.asc("term")).limit(n))
 
+    def sample_matches(self, query: str, n: int = 10,
+                       seed: str = "0") -> DataFrame:
+        """ES sampler / random_score analog, DETERMINISTIC: n docs from
+        the match set ordered by md5(doc_id || ':' || seed) — a stable
+        pseudo-random total order every engine reproduces bit-identically
+        (md5 is the one hash this engine and the SQL oracle share;
+        xxhash64 has no DuckDB twin). Changing `seed` draws an
+        independent sample; the same seed always returns the same docs.
+        Returns (doc_id, sample_key), key asc."""
+        ids = self.match_ids(query)
+        if ids is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, sample_key string")
+        key = F.md5(F.concat(F.col("doc_id").cast("string"),
+                             F.lit(":" + seed)))
+        return (ids.withColumn("sample_key", key)
+                .orderBy(F.asc("sample_key"), F.asc("doc_id")).limit(n))
+
+    def adjacency_matrix(self, terms: dict[str, str]) -> DataFrame:
+        """ES adjacency_matrix aggregation: document counts for each
+        named term filter and each pairwise intersection (the co-occurrence
+        matrix SERP analytics build venn diagrams from). `terms` maps
+        bucket name -> term; buckets are '<a>' and '<a>&<b>' (name-sorted,
+        ES's key convention). Per-filter doc sets come straight from the
+        postings (vocabulary-directed, tombstone-masked); intersections
+        are distributed semi-joins — nothing is collected."""
+        names = sorted(terms)
+        sets: dict[str, DataFrame] = {}
+        for name in names:
+            local = self._tf_weighted_counts({terms[name]: 1}, {})
+            sets[name] = (local.select("doc_id") if local is not None
+                          else self.spark.createDataFrame(
+                              [], "doc_id long"))
+        rows = []
+        for i, a in enumerate(names):
+            rows.append(sets[a].agg(
+                F.lit(a).alias("key"),
+                F.count("*").cast("long").alias("n")))
+            for b in names[i + 1:]:
+                inter = sets[a].join(sets[b], "doc_id", "left_semi")
+                rows.append(inter.agg(
+                    F.lit(f"{a}&{b}").alias("key"),
+                    F.count("*").cast("long").alias("n")))
+        out = rows[0]
+        for r in rows[1:]:
+            out = out.unionByName(r)
+        return out.orderBy("key")
+
     def highlight(self, df: DataFrame, query: str, n: int = 10,
                   frag: int = 30) -> DataFrame:
         """Top-n search with a highlight snippet per hit (ES plain

@@ -1240,6 +1240,41 @@ SELECT bucket, {by}, n,
 FROM hist ORDER BY bucket, {by}"""
 
 
+def sample_matches_sql(query: str, n: int = 10, seed: str = "0",
+                       alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.sample_matches: the deterministic
+    md5-ordered sample of the match set (md5 hex is identical across
+    Spark and DuckDB)."""
+    esc = seed.replace("'", "''")
+    return f"""WITH {_base_ctes()},{_match_set_cte(query, alpha)}
+SELECT doc_id, md5(doc_id::varchar || ':{esc}') AS sample_key
+FROM matched
+ORDER BY sample_key ASC, doc_id ASC LIMIT {n}"""
+
+
+def adjacency_matrix_sql(terms: dict) -> str:
+    """Twin of IndexSearcher.adjacency_matrix: distinct-doc counts per
+    named term filter and pairwise intersections."""
+    names = sorted(terms)
+
+    def docs_of(t: str) -> str:
+        esc = t.replace("'", "''")
+        return f"(SELECT DISTINCT doc_id FROM tf WHERE term = '{esc}')"
+
+    parts = []
+    for i, a in enumerate(names):
+        parts.append(f"SELECT '{a}' AS key, count(*)::bigint AS n "
+                     f"FROM {docs_of(terms[a])}")
+        for b in names[i + 1:]:
+            parts.append(
+                f"SELECT '{a}&{b}' AS key, count(*)::bigint AS n FROM "
+                f"(SELECT doc_id FROM {docs_of(terms[a])} INTERSECT "
+                f"SELECT doc_id FROM {docs_of(terms[b])})")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_base_ctes()}
+SELECT * FROM ({union}) ORDER BY key"""
+
+
 def span_near_sql(term1: str, term2: str, slop: int) -> str:
     """Twin of positions.span_near: unordered two-term proximity — min
     token distance (1-based positions) between any occurrence pair per

@@ -330,3 +330,28 @@ def test_stopword_flag_survives_incremental_delta(spark, corpus, tmp_path):
     assert s.search("zzznewstop", 5).count() == 0
     assert 100_000 in {r["doc_id"]
                        for r in s.search("hash join", 1000).collect()}
+
+
+def test_sample_matches_deterministic_and_seeded(searcher):
+    a1 = [r["doc_id"] for r in searcher.sample_matches(QUERY, 8,
+                                                       seed="x").collect()]
+    a2 = [r["doc_id"] for r in searcher.sample_matches(QUERY, 8,
+                                                       seed="x").collect()]
+    b = [r["doc_id"] for r in searcher.sample_matches(QUERY, 8,
+                                                      seed="y").collect()]
+    assert a1 == a2 and len(a1) == 8
+    assert a1 != b  # a different seed draws an independent order
+    matched = {r["doc_id"] for r in searcher.match_ids(QUERY).collect()}
+    assert set(a1) <= matched and set(b) <= matched
+
+
+def test_adjacency_matrix_counts(searcher, stats):
+    terms = {"A": "hash_join", "B": "table_scan"}
+    # pick two real vocab terms instead if these don't exist
+    vocab = sorted(stats["df"], key=lambda t: -stats["df"][t])
+    terms = {"A": vocab[0], "B": vocab[1]}
+    got = {r["key"]: r["n"]
+           for r in searcher.adjacency_matrix(terms).collect()}
+    da = set(stats["tf"][terms["A"]])
+    db = set(stats["tf"][terms["B"]])
+    assert got == {"A": len(da), "B": len(db), "A&B": len(da & db)}
