@@ -1364,6 +1364,33 @@ def q_histogram_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 ADJ_TERMS = {"hash": "hash", "join": "join", "scan": "scan"}
 
 
+SPAN_WINDOW_TERMS = ["hash", "join", "scan"]
+SPAN_WINDOW_WIDTH = 12
+PHRASE_PREFIX = "hash st"  # fixed token + prefix: ES match_phrase_prefix
+
+
+def q_span_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m-term unordered proximity from the positional sidecar: the
+    smallest token window containing all three terms, kept under the
+    width (SpanNearQuery's m-clause core)."""
+    from data_text_search_spark.operators.positions import span_window
+    root = _positions_root(spark, sf_dir)
+    return span_window(spark, root, SPAN_WINDOW_TERMS, SPAN_WINDOW_WIDTH)
+
+
+def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES match_phrase_prefix from the positional sidecar: the last
+    token is a prefix expanded against the LIVE dictionary (df desc,
+    term asc, capped), fixed tokens verified by position intersection."""
+    from data_text_search_spark.operators.positions import (
+        phrase_prefix_count,
+    )
+    root = _positions_root(spark, sf_dir)
+    s = _physical_searcher(spark, sf_dir)
+    return phrase_prefix_count(spark, root, PHRASE_PREFIX, s.term_stats,
+                               max_expansions=50)
+
+
 def q_search_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES sampler/random_score analog: a deterministic md5-keyed sample
     of the flagship query's match set (seed-stable, engine-portable)."""
@@ -1493,6 +1520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_stopwords": q_bm25_topk_stopwords,
         "search_sample": q_search_sample,
         "adjacency_matrix": q_adjacency_matrix,
+        "span_window": q_span_window,
+        "phrase_prefix": q_phrase_prefix,
     }
 
 
@@ -1662,6 +1691,11 @@ def oracle_sql() -> dict[str, str]:
                                                  seed="r5",
                                                  alpha=APP_CFG.alpha),
         "adjacency_matrix": osql.adjacency_matrix_sql(ADJ_TERMS),
+        "span_window": osql.span_window_sql(SPAN_WINDOW_TERMS,
+                                            SPAN_WINDOW_WIDTH),
+        "phrase_prefix": osql.phrase_prefix_sql(PHRASE_PREFIX,
+                                                max_expansions=50,
+                                                alpha=APP_CFG.alpha),
         "histogram_moving_avg": osql.histogram_moving_avg_sql(
             "day", "event_type", window=3),
     }

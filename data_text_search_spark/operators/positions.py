@@ -341,6 +341,68 @@ def _span_near_kernel_factory(t1: str, t2: str, slop: int):
     return kernel
 
 
+def _span_window_kernel_factory(terms: list[str], width: int):
+    """m-term SpanNearQuery core (unordered): per candidate doc, the
+    SMALLEST token window containing at least one occurrence of every
+    term — the classic smallest-range-over-k-sorted-lists problem, one
+    merged sweep per doc with a per-term counter. Kept when
+    (max−min) < width."""
+    distinct = sorted(set(terms))
+    m = len(distinct)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "min_span": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return empty
+        data = {}
+        for term, rows in pdf.groupby("term"):
+            data[str(term)] = _decode_term(rows)
+        if any(t not in data for t in distinct):
+            return empty
+        cand = reduce(lambda a, b: np.intersect1d(a, b, assume_unique=True),
+                      [data[t][0] for t in distinct])
+        out_docs, out_span = [], []
+        for d in cand:
+            lists = []
+            for li, t in enumerate(distinct):
+                docs, offs, pos = data[t]
+                j = int(np.searchsorted(docs, d))
+                lists.append(pos[offs[j]:offs[j + 1]])
+            merged_pos = np.concatenate(lists)
+            merged_lab = np.concatenate(
+                [np.full(len(p), i, dtype=np.int64)
+                 for i, p in enumerate(lists)])
+            order = np.argsort(merged_pos, kind="stable")
+            mp, ml = merged_pos[order], merged_lab[order]
+            # sliding two-pointer: advance right, shrink left while all
+            # m labels are inside the window
+            need = np.zeros(m, dtype=np.int64)
+            have = 0
+            best = np.iinfo(np.int64).max
+            left = 0
+            for right in range(mp.size):
+                if need[ml[right]] == 0:
+                    have += 1
+                need[ml[right]] += 1
+                while have == m:
+                    best = min(best, int(mp[right] - mp[left]))
+                    need[ml[left]] -= 1
+                    if need[ml[left]] == 0:
+                        have -= 1
+                    left += 1
+            if best < width:
+                out_docs.append(int(d))
+                out_span.append(best)
+        if not out_docs:
+            return empty
+        return pd.DataFrame({"doc_id": pd.Series(out_docs, dtype="int64"),
+                             "min_span": pd.Series(out_span,
+                                                   dtype="int64")})
+
+    return kernel
+
+
 def _run_kernel(spark: SparkSession, root: str, terms: list[str], kernel,
                 schema: str) -> DataFrame:
     """Read only the query terms' blocks (term-sorted files → row-group
@@ -373,6 +435,106 @@ def phrase_count(spark: SparkSession, root: str, phrase: str) -> DataFrame:
         return spark.createDataFrame([], "doc_id long, phrase_count long")
     out = _run_kernel(spark, root, qtokens,
                       _phrase_kernel_factory(qtokens),
+                      "doc_id long, phrase_count long")
+    return out.orderBy(F.desc("phrase_count"), F.asc("doc_id"))
+
+
+def span_window(spark: SparkSession, root: str, terms: list[str],
+                width: int) -> DataFrame:
+    """m-term unordered proximity: docs where ONE window of fewer than
+    `width` token positions contains every term at least once; the
+    smallest such span per doc. Returns (doc_id, min_span), span asc,
+    doc asc."""
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, min_span long")
+    out = _run_kernel(spark, root, terms,
+                      _span_window_kernel_factory(terms, width),
+                      "doc_id long, min_span long")
+    return out.orderBy(F.asc("min_span"), F.asc("doc_id"))
+
+
+def phrase_prefix_count(spark: SparkSession, root: str, phrase: str,
+                        term_stats: DataFrame,
+                        max_expansions: int = 50) -> DataFrame:
+    """ES match_phrase_prefix: the LAST phrase token is a PREFIX; it
+    expands to up to `max_expansions` dictionary terms (df desc, term
+    asc — Lucene's expansion order), and a doc's count is the number of
+    window occurrences where the fixed tokens match exactly and the
+    last position holds ANY expansion. `term_stats` carries the term
+    dictionary (term, df) — the expansion never scans the corpus, and
+    the positional kernel then intersects shifted position lists with
+    the UNION of the expansions' lists at the final offset.
+
+    Returns (doc_id, phrase_count >= 1), count desc, doc asc."""
+    qtokens = tokenize_py(phrase)
+    if not qtokens:
+        return spark.createDataFrame([], "doc_id long, phrase_count long")
+    prefix = qtokens[-1]
+    fixed = qtokens[:-1]
+    import re as _re
+    expansions = [r["term"] for r in
+                  (term_stats.filter(
+                      F.col("term").rlike("^" + _re.escape(prefix)))
+                   .orderBy(F.desc("df"), F.asc("term"))
+                   .limit(max_expansions).collect())]
+    if not expansions:
+        return spark.createDataFrame([], "doc_id long, phrase_count long")
+    last_off = len(fixed)
+    distinct_fixed = list(dict.fromkeys(fixed))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "phrase_count": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return empty
+        data = {}
+        for term, rows in pdf.groupby("term"):
+            data[str(term)] = _decode_term(rows)
+        if any(t not in data for t in distinct_fixed):
+            return empty
+        exp_present = [t for t in expansions if t in data]
+        if not exp_present:
+            return empty
+        # candidates: all fixed terms AND >=1 expansion
+        exp_docs = reduce(np.union1d, [data[t][0] for t in exp_present])
+        doc_sets = [data[t][0] for t in distinct_fixed] + [exp_docs]
+        cand = reduce(lambda a, b: np.intersect1d(a, b), doc_sets)
+        out_docs, out_counts = [], []
+        for d in cand:
+            arr = None
+            for i, t in enumerate(fixed):
+                docs, offs, pos = data[t]
+                j = int(np.searchsorted(docs, d))
+                p = pos[offs[j]:offs[j + 1]] - i
+                arr = p if arr is None else np.intersect1d(
+                    arr, p, assume_unique=True)
+                if arr.size == 0:
+                    break
+            if fixed and (arr is None or arr.size == 0):
+                continue
+            # union of expansion positions at the last offset
+            lasts = []
+            for t in exp_present:
+                docs, offs, pos = data[t]
+                j = int(np.searchsorted(docs, d))
+                if j < docs.size and docs[j] == d:
+                    lasts.append(pos[offs[j]:offs[j + 1]] - last_off)
+            if not lasts:
+                continue
+            last_u = np.unique(np.concatenate(lasts))
+            cnt = (last_u.size if not fixed
+                   else np.intersect1d(arr, last_u,
+                                       assume_unique=True).size)
+            if cnt:
+                out_docs.append(int(d))
+                out_counts.append(int(cnt))
+        if not out_docs:
+            return empty
+        return pd.DataFrame(
+            {"doc_id": pd.Series(out_docs, dtype="int64"),
+             "phrase_count": pd.Series(out_counts, dtype="int64")})
+
+    out = _run_kernel(spark, root, distinct_fixed + expansions, kernel,
                       "doc_id long, phrase_count long")
     return out.orderBy(F.desc("phrase_count"), F.asc("doc_id"))
 

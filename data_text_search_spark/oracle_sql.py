@@ -1297,6 +1297,60 @@ SELECT doc_id, min(d)::bigint AS min_dist FROM pairs GROUP BY doc_id
 HAVING min(d) <= {int(slop)} ORDER BY min_dist ASC, doc_id ASC"""
 
 
+def span_window_sql(terms: list, width: int) -> str:
+    """Twin of positions.span_window: smallest token window containing
+    every term = min over occurrence tuples of (greatest − least),
+    kept when < width."""
+    cols, joins = [], []
+    for i, t in enumerate(terms):
+        esc = t.replace("'", "''")
+        cols.append(f"[i for i in generate_series(1, len(toks)) "
+                    f"if toks[i] = '{esc}'] AS p{i}")
+        joins.append(f"unnest(p{i}) AS u{i}(a{i})")
+    vs = ", ".join(f"a{i}" for i in range(len(terms)))
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKENIZE.format(col="text")} AS toks FROM documents),
+p AS (SELECT doc_id, {", ".join(cols)} FROM docs),
+spans AS (
+  SELECT doc_id, greatest({vs}) - least({vs}) AS s
+  FROM p, {", ".join(joins)}
+)
+SELECT doc_id, min(s)::bigint AS min_span FROM spans GROUP BY doc_id
+HAVING min(s) < {int(width)} ORDER BY min_span ASC, doc_id ASC"""
+
+
+def phrase_prefix_sql(phrase: str, max_expansions: int = 50,
+                      alpha: float = -5.0) -> str:
+    """Twin of positions.phrase_prefix_count (ES match_phrase_prefix):
+    the last token expands to the top-max_expansions LIVE dictionary
+    terms by df (term asc tie-break — Lucene's expansion order), the
+    fixed tokens match verbatim at the preceding offsets."""
+    qtokens = tokenize_py(phrase)
+    m = len(qtokens)
+    prefix = qtokens[-1].replace("'", "''") \
+        .replace("%", "\\%").replace("_", "\\_")
+    fixed = qtokens[:-1]
+    flist = "[" + ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in fixed) + "]"
+    fixed_cond = (f"toks[i:i+{m - 2}] = {flist} AND " if fixed else "")
+    return f"""WITH {_base_ctes()},
+exps AS (
+  SELECT term FROM stats WHERE idf > {alpha}
+    AND term LIKE '{prefix}%' ESCAPE '\\'
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+pos AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {m - 1})) AS i
+  FROM docs WHERE len(toks) >= {m}
+)
+SELECT doc_id, count(*)::bigint AS phrase_count
+FROM pos
+WHERE {fixed_cond}toks[i+{m - 1}] IN (SELECT term FROM exps)
+GROUP BY doc_id
+ORDER BY phrase_count DESC, doc_id ASC"""
+
+
 def prefix_search_sql(prefix: str) -> str:
     """Per-doc occurrences of tokens starting with `prefix` — the
     brute-force twin of IndexSearcher.prefix_search (which answers from

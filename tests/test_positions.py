@@ -121,3 +121,69 @@ def test_empty_corpus_sidecar(spark, tmp_path):
         spark, spark.createDataFrame([], "doc_id long, text string"), root)
     assert P.phrase_count(spark, root, "def def").count() == 0
     assert P.span_near(spark, root, "a", "b", 3).count() == 0
+
+
+def test_span_window_vs_python_truth(spark, corpus_pdf, pos_root):
+    from collections import Counter
+    terms, width = ["def", "class", "return"], 10
+    truth = []
+    for did, text in enumerate(corpus_pdf["content"]):
+        tk = tokenize_py(text)
+        pos = {x: [i + 1 for i, y in enumerate(tk) if y == x]
+               for x in terms}
+        if not all(pos[x] for x in terms):
+            continue
+        merged = sorted((p, li) for li, x in enumerate(terms)
+                        for p in pos[x])
+        mp = [p for p, _ in merged]
+        ml = [li for _, li in merged]
+        best, have, left = 1 << 60, 0, 0
+        need = Counter()
+        for right in range(len(mp)):
+            if need[ml[right]] == 0:
+                have += 1
+            need[ml[right]] += 1
+            while have == len(terms):
+                best = min(best, mp[right] - mp[left])
+                need[ml[left]] -= 1
+                if need[ml[left]] == 0:
+                    have -= 1
+                left += 1
+        if best < width:
+            truth.append((did, best))
+    truth.sort(key=lambda x: (x[1], x[0]))
+    got = [(r["doc_id"], r["min_span"])
+           for r in P.span_window(spark, pos_root, terms, width).collect()]
+    assert got == truth and len(got) > 0
+
+
+def test_phrase_prefix_vs_python_truth(spark, corpus, corpus_pdf, pos_root):
+    from collections import Counter
+    uni = Counter()
+    for t in corpus_pdf["content"]:
+        uni.update(tokenize_py(t))
+    fixed, pre = "def", "re"
+    exps = set(sorted((x for x in uni if x.startswith(pre)),
+                      key=lambda x: (-uni[x], x))[:50])
+    truth = {}
+    for did, text in enumerate(corpus_pdf["content"]):
+        tk = tokenize_py(text)
+        c = sum(1 for i in range(len(tk) - 1)
+                if tk[i] == fixed and tk[i + 1] in exps)
+        if c:
+            truth[did] = c
+    ts = spark.createDataFrame(sorted(uni.items()), "term string, df long")
+    got = {r["doc_id"]: r["phrase_count"]
+           for r in P.phrase_prefix_count(spark, pos_root,
+                                          f"{fixed} {pre}", ts).collect()}
+    assert got == truth and len(got) > 0
+
+
+def test_phrase_prefix_no_expansions(spark, pos_root, corpus_pdf):
+    from collections import Counter
+    uni = Counter()
+    for t in corpus_pdf["content"]:
+        uni.update(tokenize_py(t))
+    ts = spark.createDataFrame(sorted(uni.items()), "term string, df long")
+    assert P.phrase_prefix_count(spark, pos_root, "def zzzzz",
+                                 ts).count() == 0
