@@ -1391,6 +1391,17 @@ def q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_expansions=50)
 
 
+EXPLAIN_DOC = 149  # a flagship top hit at sf0.01 (both sides compute
+# the same rows at any sf — an absent doc explains to the empty set)
+
+
+def q_score_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES _explain: one doc's per-term BM25 decomposition straight from
+    the posting blocks (bucket+term+doc-range-pruned fetch, a few KB)."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.score_explain(FLAGSHIP_QUERY, EXPLAIN_DOC)
+
+
 def q_search_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES sampler/random_score analog: a deterministic md5-keyed sample
     of the flagship query's match set (seed-stable, engine-portable)."""
@@ -1522,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_matrix": q_adjacency_matrix,
         "span_window": q_span_window,
         "phrase_prefix": q_phrase_prefix,
+        "score_explain": q_score_explain,
     }
 
 
@@ -1695,6 +1707,9 @@ def oracle_sql() -> dict[str, str]:
                                             SPAN_WINDOW_WIDTH),
         "phrase_prefix": osql.phrase_prefix_sql(PHRASE_PREFIX,
                                                 max_expansions=50,
+                                                alpha=APP_CFG.alpha),
+        "score_explain": osql.score_explain_sql(FLAGSHIP_QUERY,
+                                                EXPLAIN_DOC,
                                                 alpha=APP_CFG.alpha),
         "histogram_moving_avg": osql.histogram_moving_avg_sql(
             "day", "event_type", window=3),

@@ -48,6 +48,11 @@ STDOUT_OMIT = frozenset({
     "token_count", "lang_id", "quality", "fingerprint",
     "hash_split", "chunk_docs", "scrub_text", "code_quality",
     "repetition_stats", "unigram_rarity", "stratified_sample",
+    # round-5 single-aggregate JVM rows (one hash agg / dictionary
+    # lookup, no kernel) — same stability class as the analytics above
+    "completion_suggest", "date_histogram", "histogram_moving_avg",
+    "search_sample", "sort_by_field", "search_stats",
+    "search_percentiles",
 })
 
 

@@ -2172,6 +2172,64 @@ class IndexSearcher:
         return {"timings_ms": t,
                 "rows": out.to_dict(orient="records")}
 
+    def score_explain(self, query: str, doc_id: int) -> DataFrame:
+        """ES _explain analog: WHY does this doc score what it scores —
+        one row per matching query term with (tf, df, idf, contribution),
+        the additive decomposition of the doc's BM25 score. Reads only
+        the query terms' posting blocks whose [first_doc_id, last_doc_id]
+        range covers the doc (bucket + term + range-pruned fetch, a few
+        KB), decodes driver-side; tombstoned docs return the typed empty
+        result (a deleted doc cannot be explained, like ES on a deleted
+        _id). Columns: (term, tf, df, idf 6dp, contribution 4dp),
+        term asc."""
+        from data_text_search_spark.functions.codec import (
+            decode_doc_blocks_batch,
+            varint_decode,
+        )
+        schema = ("term string, tf long, df long, idf double, "
+                  "contribution double")
+        counts = Counter(tokenize_py(query))
+        qcounts, buckets, qidf = self._terms_from_counts(counts)
+        if not qcounts or (self._tombstones is not None
+                           and int(doc_id) in self._tombstones):
+            return self.spark.createDataFrame([], schema)
+        dfm = self._query_term_df(qcounts)
+        blocks = (self.postings
+                  .filter(F.col("term_bucket").isin(buckets)
+                          & F.col("term").isin(list(qcounts))
+                          & (F.col("first_doc_id") <= int(doc_id))
+                          & (F.col("last_doc_id") >= int(doc_id)))
+                  .select("term", "first_doc_id", "n_docs", "doc_deltas",
+                          "tfs", "impacts")
+                  .toPandas())
+        rows = []
+        for term, trows in blocks.groupby("term"):
+            fd = trows["first_doc_id"].to_numpy(dtype=np.int64)
+            nd = trows["n_docs"].to_numpy(dtype=np.int64)
+            docs = decode_doc_blocks_batch(fd, nd,
+                                           trows["doc_deltas"].tolist())
+            total = int(nd.sum())
+            tfs = varint_decode(b"".join(trows["tfs"]), total)
+            j = np.flatnonzero(docs == int(doc_id))
+            if not j.size:
+                continue
+            tf = int(tfs[j[0]])
+            if self.codec == "compact":
+                dls = varint_decode(b"".join(trows["impacts"]), total)
+                dl = float(dls[j[0]])
+                idf_t = qidf[str(term)]
+                imp = (idf_t * tf * (self.k1 + 1)
+                       / (tf + self.k1 * (1 - self.b
+                                          + (self.b * dl) / self.avgdl)))
+            else:
+                imp = float(np.frombuffer(b"".join(trows["impacts"]),
+                                          dtype="<f8")[j[0]])
+            rows.append((str(term), tf, int(dfm[str(term)]),
+                         round(float(qidf[str(term)]), 6),
+                         round(imp * qcounts[str(term)], 4)))
+        rows.sort()
+        return self.spark.createDataFrame(rows, schema)
+
     def explain(self, query: str, n: int = 10) -> dict:
         """Query EXPLAIN without executing: per-term dictionary stats
         (df, idf, query count) plus every execution decision search()

@@ -1275,6 +1275,24 @@ def adjacency_matrix_sql(terms: dict) -> str:
 SELECT * FROM ({union}) ORDER BY key"""
 
 
+def score_explain_sql(query: str, doc_id: int, k1: float = 1.5,
+                      b: float = 0.75, alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.score_explain (ES _explain): the additive
+    per-term decomposition of one doc's BM25 score."""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)})
+SELECT tf.term, tf.tf::bigint AS tf, s.df::bigint AS df,
+       round(s.idf, 6) AS idf,
+       round(s.idf * tf.tf * ({k1} + 1)
+             / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len
+                                / (SELECT avgdl FROM corpus)))
+             * q.qcount, 4) AS contribution
+FROM tf JOIN stats s USING (term) JOIN q USING (term)
+JOIN doc_stats ds USING (doc_id)
+WHERE tf.doc_id = {int(doc_id)} AND s.idf > {alpha}
+ORDER BY tf.term ASC"""
+
+
 def span_near_sql(term1: str, term2: str, slop: int) -> str:
     """Twin of positions.span_near: unordered two-term proximity — min
     token distance (1-based positions) between any occurrence pair per

@@ -355,3 +355,28 @@ def test_adjacency_matrix_counts(searcher, stats):
     da = set(stats["tf"][terms["A"]])
     db = set(stats["tf"][terms["B"]])
     assert got == {"A": len(da), "B": len(db), "A&B": len(da & db)}
+
+
+def test_score_explain_sums_to_search_score(searcher):
+    """The per-term contributions of a hit decompose its exact score
+    (the ES _explain contract), and a tombstone-free absent doc explains
+    to the empty set."""
+    top = searcher.search(QUERY, 1).collect()[0]
+    rows = searcher.score_explain(QUERY, int(top["doc_id"])).collect()
+    assert rows, "top hit must have matching terms"
+    total = sum(r["contribution"] for r in rows)
+    assert math.isclose(total, top["score"], rel_tol=0, abs_tol=5e-4)
+    assert searcher.score_explain(QUERY, 10**12).count() == 0
+
+
+def test_score_explain_tombstoned_doc_empty(spark, corpus, tmp_path):
+    from data_text_search_spark.streaming.incremental import delete_documents
+    root = str(tmp_path / "expl")
+    build_index(spark, corpus, root, BM25Config(impact_codec="compact"),
+                id_col="doc_id", shards=2, groups=1)
+    s0 = IndexSearcher(spark, root)
+    victim = int(s0.search(QUERY, 1).collect()[0]["doc_id"])
+    assert s0.score_explain(QUERY, victim).count() > 0
+    delete_documents(spark, root, [victim])
+    s1 = IndexSearcher(spark, root)
+    assert s1.score_explain(QUERY, victim).count() == 0
