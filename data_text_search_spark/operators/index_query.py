@@ -1743,23 +1743,29 @@ class IndexSearcher:
         sets: dict[str, DataFrame] = {}
         for name in names:
             local = self._tf_weighted_counts({terms[name]: 1}, {})
-            sets[name] = (local.select("doc_id") if local is not None
+            sets[name] = (local.select("doc_id",
+                                       F.lit(1).alias(f"_f_{name}"))
+                          if local is not None
                           else self.spark.createDataFrame(
-                              [], "doc_id long"))
-        rows = []
+                              [], f"doc_id long, _f_{name} int"))
+        # one per-doc membership frame (full outer join over the filter
+        # sets), ONE aggregate job computing every single and pairwise
+        # count at once — not one job per bucket (the naive form pays a
+        # full Spark job floor per matrix cell)
+        flags = sets[names[0]]
+        for name in names[1:]:
+            flags = flags.join(sets[name], "doc_id", "full")
+        flags = flags.fillna(0)
+        aggs = []
         for i, a in enumerate(names):
-            rows.append(sets[a].agg(
-                F.lit(a).alias("key"),
-                F.count("*").cast("long").alias("n")))
+            aggs.append(F.sum(F.col(f"_f_{a}")).cast("long").alias(a))
             for b in names[i + 1:]:
-                inter = sets[a].join(sets[b], "doc_id", "left_semi")
-                rows.append(inter.agg(
-                    F.lit(f"{a}&{b}").alias("key"),
-                    F.count("*").cast("long").alias("n")))
-        out = rows[0]
-        for r in rows[1:]:
-            out = out.unionByName(r)
-        return out.orderBy("key")
+                aggs.append(F.sum(F.col(f"_f_{a}") * F.col(f"_f_{b}"))
+                            .cast("long").alias(f"{a}&{b}"))
+        row = flags.agg(*aggs).collect()[0]
+        out = sorted((k, int(row[k]) if row[k] is not None else 0)
+                     for k in row.asDict())
+        return self.spark.createDataFrame(out, "key string, n long")
 
     def highlight(self, df: DataFrame, query: str, n: int = 10,
                   frag: int = 30) -> DataFrame:
