@@ -426,3 +426,48 @@ def test_query_cli_similarity_rescore_highlight_complete(spark, tmp_path):
     want = s.complete("s", 4).collect()
     assert [(g["term"], g["df"]) for g in got] == \
         [(r["term"], r["df"]) for r in want]
+
+
+def test_positions_cli_modes(spark, tmp_path):
+    """Positions CLI smoke: build + every query mode agrees with the
+    library surface it wraps."""
+    sys.path.insert(0, "jobs")
+    import positions as pos_cli
+
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.fixtures.corpus import corpus_pandas
+    from data_text_search_spark.operators import positions as P
+    from data_text_search_spark.operators.index_build import build_index
+
+    pdf = corpus_pandas(150).reset_index().rename(columns={"index": "doc_id"})
+    cdf = spark.createDataFrame(pdf).selectExpr("doc_id",
+                                                "content as text")
+    corpus_path = str(tmp_path / "c.parquet")
+    cdf.write.parquet(corpus_path)
+    root = str(tmp_path / "pos")
+
+    got = pos_cli.main(["--root", root, "--build",
+                        "--corpus", corpus_path])
+    assert got[0]["n_docs"] == 150
+
+    got = pos_cli.main(["--root", root, "--phrase", "def def", "--k", "5"])
+    want = P.phrase_count(spark, root, "def def").limit(5).collect()
+    assert [(g["doc_id"], g["phrase_count"]) for g in got] == \
+        [(r["doc_id"], r["phrase_count"]) for r in want]
+
+    got = pos_cli.main(["--root", root, "--near", "def", "class",
+                        "--slop", "4", "--k", "5"])
+    want = P.span_near(spark, root, "def", "class", 4).limit(5).collect()
+    assert [(g["doc_id"], g["min_dist"]) for g in got] == \
+        [(r["doc_id"], r["min_dist"]) for r in want]
+
+    got = pos_cli.main(["--root", root, "--window", "def", "class",
+                        "return", "--width", "10", "--k", "5"])
+    assert all("min_span" in g for g in got)
+
+    idx_root = str(tmp_path / "bm25")
+    build_index(spark, spark.createDataFrame(pdf), idx_root, BM25Config(),
+                id_col="doc_id", shards=2, groups=1)
+    got = pos_cli.main(["--root", root, "--phrase-prefix", "def re",
+                        "--index", idx_root, "--k", "5"])
+    assert all(g["phrase_count"] >= 1 for g in got)
