@@ -471,6 +471,59 @@ def q_bm25_batch_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"), F.col("score_abs"))
 
 
+def _federated(spark: SparkSession, sf_dir: str):
+    """Build (once per session+sf) TWO disjoint compact indexes over the
+    documents table split by doc_id parity, and open them through
+    FederatedSearcher — the multi-index deployment shape (generations /
+    tenant slices searched as one corpus with exact global stats)."""
+    key = ("fed", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.federation import (
+            FederatedSearcher,
+        )
+        from data_text_search_spark.operators.index_build import build_index
+
+        docs = _documents(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="dts_fed_")
+        roots = []
+        for i in range(2):
+            root = f"{base}/m{i}"
+            build_index(spark, docs.filter(F.col("doc_id") % 2 == i), root,
+                        BM25Config(alpha=APP_CFG.alpha,
+                                   impact_codec="compact"),
+                        text_col="text", id_col="doc_id")
+            roots.append(root)
+        fed = FederatedSearcher(spark, roots)
+        fed.warm()
+        _CACHE[key] = (None, fed)
+    return _CACHE[key][1]
+
+
+def q_bm25_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship query answered by TWO half-corpus indexes through
+    operators/federation.py (exact global df/avgdl fusion + per-member
+    block-max kernels with rescaled bounds), hash-checked against the
+    SAME full-corpus DuckDB oracle as bm25_topk — federation over
+    disjoint members is provably indistinguishable from one combined
+    index."""
+    fed = _federated(spark, sf_dir)
+    res = fed.search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
+def q_bm25_batch_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_batch across the federation (per-member batch kernels with
+    the global-stat override, one scatter-gather merge) vs the same
+    UNION-ALL oracle as bm25_batch_physical."""
+    fed = _federated(spark, sf_dir)
+    res = fed.search_batch(BATCH_QUERIES, 10)
+    return res.select("query_id", "doc_id",
+                      F.round("score", 4).alias("score"), F.col("score_abs"))
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prepared(spark, sf_dir).select("doc_id", "doc_len")
 
@@ -1463,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "significant_terms_indexed": q_significant_terms_indexed,
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
+        "bm25_federated": q_bm25_federated,
+        "bm25_batch_federated": q_bm25_batch_federated,
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_delta": q_bm25_topk_delta,
         "bm25_topk_clean": q_bm25_topk_clean,
@@ -1585,6 +1640,10 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
+        "bm25_federated": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                             alpha=APP_CFG.alpha),
+        "bm25_batch_federated": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
+                                                    alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                                     alpha=APP_CFG.alpha),
         "bm25_topk_delta": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

@@ -768,6 +768,8 @@ class IndexSearcher:
                     spark.sparkContext.broadcast(arr) if arr.size > 1_000_000
                     else arr)
         self._term_map: dict[str, tuple[int, float, int]] | None = None
+        # lazy federation dictionary (term_meta): includes pruned terms
+        self._meta_map: dict | None | bool = None
         # search_local's driver-side LRU of decoded-ready posting blocks
         # (term -> pandas rows) + its postings budget; rebuilt on refresh()
         self._local_blocks: dict[str, pd.DataFrame] = {}
@@ -787,6 +789,32 @@ class IndexSearcher:
                 for r in self.term_stats.select("term", "term_bucket",
                                                 "idf", "df").collect()
             }
+
+    def term_meta(self, terms) -> dict[str, tuple[int, float, bool, int]]:
+        """(df, local idf, pruned, term_bucket) for the given terms present
+        in this index's dictionary INCLUDING alpha-pruned entries (their
+        true df still counts toward federated global df) — the per-member
+        statistics operators/federation.py combines. Served from a lazily
+        collected driver map when the vocabulary fits (same budget as
+        warm()), else one vocabulary-directed filtered collect."""
+        if self._meta_map is None:
+            if self._term_stats_all.count() <= self.DRIVER_TERM_CACHE_MAX:
+                self._meta_map = {
+                    r["term"]: (int(r["df"]), float(r["idf"]),
+                                bool(r["pruned"]), int(r["term_bucket"]))
+                    for r in self._term_stats_all.select(
+                        "term", "df", "idf", "pruned",
+                        "term_bucket").collect()}
+            else:
+                self._meta_map = False  # too large: stay distributed
+        if self._meta_map:
+            return {t: self._meta_map[t] for t in terms
+                    if t in self._meta_map}
+        rows = (self._term_stats_all.filter(F.col("term").isin(list(terms)))
+                .select("term", "df", "idf", "pruned",
+                        "term_bucket").collect())
+        return {r["term"]: (int(r["df"]), float(r["idf"]), bool(r["pruned"]),
+                            int(r["term_bucket"])) for r in rows}
 
     def _kernel_parts(self) -> int:
         """Partition count for the per-shard kernel stage: the default
@@ -1030,7 +1058,8 @@ class IndexSearcher:
         return res
 
     def _search_batch_impl(self, queries: list[str], n: int,
-                           keep=None) -> "pd.DataFrame | DataFrame":
+                           keep=None, *, idf_override=None,
+                           avgdl_override=None) -> "pd.DataFrame | DataFrame":
         """Batches are deduplicated DRIVER-SIDE before anything else runs:
         real query streams are Zipfian (hot queries repeat), and every
         serial per-query cost — tokenization, the kernel's per-termset
@@ -1041,7 +1070,23 @@ class IndexSearcher:
         (2) distinct effective (term, count) multisets over PRESENT
             terms — "b a" == "a b" == "a b zzz-unknown" (identical
             results by construction: absent terms contribute nothing).
-        Results are identical to the undeduplicated run (pytest-pinned)."""
+        Results are identical to the undeduplicated run (pytest-pinned).
+
+        `idf_override` / `avgdl_override` (compact codec only): score with
+        EXTERNAL statistics instead of this index's own — the federation
+        layer's hook (operators/federation.py computes exact global
+        df/idf/avgdl across member indexes). The batch kernel recomputes
+        impacts from raw (tf, doc_len) and never consults the stored
+        block bounds, so an override changes only the idf/avgdl operands.
+        Terms absent from `idf_override` (globally pruned) are excluded
+        exactly like dictionary-absent terms."""
+        if idf_override is not None:
+            if self.codec != "compact":
+                raise ValueError("stats override needs the compact codec "
+                                 "(raw tf/doc_len per posting)")
+            if keep is not None:
+                raise ValueError("stats override with a filter-context "
+                                 "keep set is not supported")
         spark = self.spark
         uniq_strs, inv_str = np.unique(np.asarray(queries, dtype=object),
                                        return_inverse=True)
@@ -1060,6 +1105,13 @@ class IndexSearcher:
             term_set = {r["term"] for r in present}
             buckets = sorted({r["term_bucket"] for r in present})
             qidf = {r["term"]: r["idf"] for r in present}
+        if idf_override is not None:
+            bucket_of = ({t: self._term_map[t][0] for t in term_set}
+                         if self._term_map is not None
+                         else {r["term"]: r["term_bucket"] for r in present})
+            term_set = {t for t in term_set if t in idf_override}
+            qidf = {t: float(idf_override[t]) for t in term_set}
+            buckets = sorted({bucket_of[t] for t in term_set})
         if not term_set:
             return _merge_topn_driver(empty, n)
         # distinct effective termsets → effective query ids
@@ -1092,7 +1144,9 @@ class IndexSearcher:
             allow = (spark.sparkContext.broadcast(arr)
                      if arr.size > 1_000_000 else arr)
         kernel = _batch_kernel_factory(qterms, n, self.codec, qidf,
-                                       self.avgdl, self.k1, self.b,
+                                       (self.avgdl if avgdl_override is None
+                                        else float(avgdl_override)),
+                                       self.k1, self.b,
                                        tomb=self._tomb_handle, allow=allow)
         kschema = "query_id int, doc_id long, score double"
         if self._units is not None:
