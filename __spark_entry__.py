@@ -524,6 +524,46 @@ def q_bm25_batch_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("score", 4).alias("score"), F.col("score_abs"))
 
 
+def _snapshot_searcher(spark: SparkSession, sf_dir: str):
+    """Snapshot the compact physical index (operators/snapshot.py: copy
+    committed files, distributed sha256 source-vs-copy verification,
+    manifest re-committed last) and open a searcher AT THE SNAPSHOT —
+    queries against it prove a snapshot is a complete, openable index."""
+    key = ("snap", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.index_query import (
+            IndexSearcher,
+        )
+        from data_text_search_spark.operators.snapshot import (
+            snapshot_index,
+            verify_snapshot,
+        )
+
+        src = _physical_searcher(spark, sf_dir, codec="compact")
+        dest = tempfile.mkdtemp(prefix="dts_snap_") + "/snap"
+        snapshot_index(spark, src.paths.root, dest)
+        rep = verify_snapshot(spark, dest)
+        if not rep["ok"]:
+            raise RuntimeError(f"snapshot failed verification: {rep}")
+        s = IndexSearcher(spark, dest)
+        s.warm()
+        _CACHE[key] = (None, s)
+    return _CACHE[key][1]
+
+
+def q_bm25_topk_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query answered from a VERIFIED SNAPSHOT of the compact
+    index (never the original root), hash-checked against the same
+    DuckDB oracle — snapshot/restore produces byte-faithful, queryable
+    copies."""
+    s = _snapshot_searcher(spark, sf_dir)
+    res = s.search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prepared(spark, sf_dir).select("doc_id", "doc_len")
 
@@ -1518,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_federated": q_bm25_federated,
         "bm25_batch_federated": q_bm25_batch_federated,
+        "bm25_topk_snapshot": q_bm25_topk_snapshot,
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_delta": q_bm25_topk_delta,
         "bm25_topk_clean": q_bm25_topk_clean,
@@ -1642,6 +1683,8 @@ def oracle_sql() -> dict[str, str]:
                                                    alpha=APP_CFG.alpha),
         "bm25_federated": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                              alpha=APP_CFG.alpha),
+        "bm25_topk_snapshot": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                                 alpha=APP_CFG.alpha),
         "bm25_batch_federated": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                     alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

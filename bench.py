@@ -161,6 +161,9 @@ def main() -> None:
     t0 = time.perf_counter()
     entrymod._federated(spark, sf_dir)
     results["federated_index_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    entrymod._snapshot_searcher(spark, sf_dir)
+    results["snapshot_build_verify"] = round(time.perf_counter() - t0, 3)
 
     # Contract rows: N_PASSES INTERLEAVED passes over the whole query
     # list, report the MEDIAN per row. One-draw timings on this VM are

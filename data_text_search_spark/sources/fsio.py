@@ -207,3 +207,51 @@ def rename(src: str, dst: str, spark: SparkSession | None = None) -> None:
     _, dp, _ = _jfs(dst, spark)
     if not fs.rename(sp, dp):
         raise OSError(f"rename {src} -> {dst} failed")
+
+
+def list_files(path: str,
+               spark: SparkSession | None = None) -> list[tuple[str, int]]:
+    """Recursive (file_path, byte_size) under a directory, sorted; a
+    plain file lists itself; [] when missing. Local: os.walk; remote:
+    FileSystem.listFiles(recursive) — one namenode/listing call stream,
+    no data movement."""
+    if is_local(path):
+        lp = local_path(path)
+        if os.path.isfile(lp):
+            return [(lp, os.path.getsize(lp))]
+        out = []
+        for root, _, files in os.walk(lp):
+            for f in files:
+                fp = os.path.join(root, f)
+                if os.path.exists(fp):
+                    out.append((fp, os.path.getsize(fp)))
+        return sorted(out)
+    fs, p, _ = _jfs(path, spark)
+    if not fs.exists(p):
+        return []
+    it = fs.listFiles(p, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
+def copy_file(src: str, dst: str,
+              spark: SparkSession | None = None) -> None:
+    """Stream-copy ONE file across any scheme pair, creating parent
+    dirs; overwrites an existing destination (callers decide staleness
+    by size/hash first). Local→local: shutil; anything else:
+    hadoop.fs.FileUtil.copy through the session JVM."""
+    if is_local(src) and is_local(dst):
+        ld = local_path(dst)
+        os.makedirs(os.path.dirname(ld), exist_ok=True)
+        shutil.copyfile(local_path(src), ld)
+        return
+    sfs, sp, jvm = _jfs(src, spark)
+    dfs, dp, _ = _jfs(dst, spark)
+    spark = spark or SparkSession.getActiveSession()
+    conf = spark.sparkContext._jsc.hadoopConfiguration()  # noqa: SLF001
+    if not jvm.org.apache.hadoop.fs.FileUtil.copy(
+            sfs, sp, dfs, dp, False, True, conf):
+        raise OSError(f"copy {src} -> {dst} failed")
