@@ -188,6 +188,24 @@ def q_bm25_qstring(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+# Lucene ^ boosts: fractional + integer boosts, a boosted required
+# phrase, and a boost on a must_not clause (parsed, ignored — it never
+# scores). Same compile on both sides, so the boosted counts reach the
+# kernel and the oracle's qcount column identically.
+QUERY_STRING_BOOST = '+hash^2.5 -slow^9 "table scan"^2 join^0.5 merge'
+
+
+def q_bm25_qstring_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string with Lucene ^ boosts: clause boosts multiply the
+    scoring term counts (fractions included), filters unchanged —
+    hash-matched against the identical shared-compile DuckDB replay."""
+    s = _physical_searcher(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = s.query_string(QUERY_STRING_BOOST, 10, df=docs)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 MLT_SEED_DOC = 7  # exists at every sf (doc_ids are 0..N-1)
 
 
@@ -1559,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_federated": q_bm25_federated,
         "bm25_batch_federated": q_bm25_batch_federated,
         "bm25_topk_snapshot": q_bm25_topk_snapshot,
+        "bm25_qstring_boost": q_bm25_qstring_boost,
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_delta": q_bm25_topk_delta,
         "bm25_topk_clean": q_bm25_topk_clean,
@@ -1685,6 +1704,9 @@ def oracle_sql() -> dict[str, str]:
                                              alpha=APP_CFG.alpha),
         "bm25_topk_snapshot": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                                  alpha=APP_CFG.alpha),
+        "bm25_qstring_boost": osql.query_string_sql(QUERY_STRING_BOOST,
+                                                    k=10,
+                                                    alpha=APP_CFG.alpha),
         "bm25_batch_federated": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                     alpha=APP_CFG.alpha),
         "bm25_topk_incremental": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

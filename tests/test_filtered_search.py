@@ -194,24 +194,51 @@ def test_parse_query_string():
         compile_query_string, parse_query_string,
     )
     cl = parse_query_string('+req -no "two words" plain "solo" -"a b"')
-    assert ("+", "term", ["req"]) in cl
-    assert ("-", "term", ["no"]) in cl
-    assert ("", "phrase", ["two", "words"]) in cl
-    assert ("", "term", ["plain"]) in cl
-    assert ("", "term", ["solo"]) in cl        # 1-token quote degrades
-    assert ("-", "phrase", ["a", "b"]) in cl
+    assert ("+", "term", ["req"], 1.0) in cl
+    assert ("-", "term", ["no"], 1.0) in cl
+    assert ("", "phrase", ["two", "words"], 1.0) in cl
+    assert ("", "term", ["plain"], 1.0) in cl
+    assert ("", "term", ["solo"], 1.0) in cl   # 1-token quote degrades
+    assert ("-", "phrase", ["a", "b"], 1.0) in cl
     # a bareword the tokenizer splits becomes one clause per token —
     # including punctuation tokens, which ARE vocabulary terms under
     # this engine's tokenizer spec
     assert parse_query_string("+state-of-art") == [
-        ("+", "term", ["state"]), ("+", "term", ["-"]),
-        ("+", "term", ["of"]), ("+", "term", ["-"]),
-        ("+", "term", ["art"])]
+        ("+", "term", ["state"], 1.0), ("+", "term", ["-"], 1.0),
+        ("+", "term", ["of"], 1.0), ("+", "term", ["-"], 1.0),
+        ("+", "term", ["art"], 1.0)]
     counts, must, must_not, ph, nph = compile_query_string(
         '+req -no "two words" plain')
     assert counts == {"req": 1, "two": 1, "words": 1, "plain": 1}
+    assert all(isinstance(v, int) for v in counts.values()), \
+        "unboosted queries must keep exact integer counts"
     assert must == ["req"] and must_not == ["no"]
     assert ph == [["two", "words"]] and nph == []
+
+
+def test_query_string_boosts():
+    from data_text_search_spark.functions.qsyntax import (
+        compile_query_string, parse_query_string,
+    )
+    cl = parse_query_string('alpha^2.5 +beta^3 "two words"^2 -neg^4 plain')
+    assert ("", "term", ["alpha"], 2.5) in cl
+    assert ("+", "term", ["beta"], 3.0) in cl
+    assert ("", "phrase", ["two", "words"], 2.0) in cl
+    assert ("-", "term", ["neg"], 4.0) in cl
+    assert ("", "term", ["plain"], 1.0) in cl
+    counts, must, must_not, ph, nph = compile_query_string(
+        'alpha^2.5 +beta^3 "two words"^2 -neg^4 plain alpha')
+    # boosts weight the scoring counts; must_not boosts are ignored
+    assert counts == {"alpha": 3.5, "beta": 3.0, "two": 2.0,
+                      "words": 2.0, "plain": 1}
+    assert must == ["beta"] and must_not == ["neg"]
+    assert ph == [["two", "words"]]
+    # a split bareword carries its boost to every token
+    assert parse_query_string("state-of-art^2")[0] == (
+        "", "term", ["state"], 2.0)
+    # ^0 is legal Lucene: the clause gates (if +) but scores nothing
+    c0, m0, _, _, _ = compile_query_string("+gate^0 score")
+    assert c0 == {"gate": 0.0, "score": 1} and m0 == ["gate"]
 
 
 def _contains_phrase(toks, ph):
