@@ -4,6 +4,12 @@
     spark-submit --py-files engine.zip jobs/query.py \
         --index s3a://bucket/index/ --query "hash join" --k 10
 
+A comma-separated --index federates: every root is searched as ONE
+corpus under exact global statistics (operators/federation.py;
+compact-codec members, plain --query / --queries-file modes):
+
+    jobs/query.py --index s3a://b/gen1,s3a://b/gen2 --query "..."
+
 Modes (mutually composable where sensible):
 - --query            one query, one job
 - --queries-file     one query per line, the whole set in a single job
@@ -111,6 +117,37 @@ def main(argv: list[str] | None = None) -> list[dict]:
     else:
         from data_text_search_spark.session import get_spark
         spark = get_spark(app_name="query", cores=args.cores)
+
+    if "," in args.index:
+        # federation: --index root1,root2,... searches every member as
+        # ONE corpus under exact global statistics (compact-codec
+        # members; operators/federation.py). Plain --query /
+        # --queries-file only — the side modes are single-index APIs.
+        from data_text_search_spark.operators.federation import (
+            FederatedSearcher,
+        )
+        if not (args.query or args.queries_file) or any(
+                (args.similarity, args.rescore_phrase, args.highlight,
+                 args.expand, args.synonyms, args.msm is not None)):
+            ap.error("a comma-separated --index (federated search) "
+                     "supports plain --query and --queries-file only")
+        fed = FederatedSearcher(spark, args.index.split(","))
+        fed.warm()
+        if args.query:
+            out = [{"rank": r["rank"], "doc_id": r["doc_id"],
+                    "score": r["score"], "score_abs": r["score_abs"]}
+                   for r in fed.search(args.query, args.k).collect()]
+        else:
+            with open(args.queries_file) as f:
+                queries = [ln.rstrip("\n") for ln in f if ln.strip()]
+            rows = fed.search_batch(queries, args.k).collect()
+            out = [{"query_id": r["query_id"], "rank": r["rank"],
+                    "doc_id": r["doc_id"], "score": r["score"]}
+                   for r in sorted(rows, key=lambda r: (r["query_id"],
+                                                        r["rank"]))]
+        for rec in out:
+            print(json.dumps(rec))
+        return out
 
     searcher = IndexSearcher(spark, args.index)
     if args.complete:

@@ -206,3 +206,35 @@ def test_federated_empty_and_absent_queries(spark, fed_setup):
     assert fed.search("", 10).count() == 0
     assert fed.search("zzzneverincorpus", 10).count() == 0
     assert fed.search_batch([], 10).count() == 0
+
+
+def test_query_cli_federated(spark, fed_setup, tmp_path):
+    """jobs/query.py with a comma-separated --index federates and agrees
+    with the combined single index; side modes are rejected."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    import query as query_cli
+
+    combined, roots = fed_setup
+    single = IndexSearcher(spark, combined)
+    single.warm()
+    q = QUERIES[0]["query_text"]
+    got = query_cli.main(["--index", ",".join(roots), "--query", q,
+                          "--k", "5"])
+    want = single.search(q, 5).collect()
+    assert [(r["doc_id"], r["rank"]) for r in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+
+    qs = [QUERIES[0]["query_text"], QUERIES[3]["query_text"]]
+    qf = tmp_path / "queries.txt"
+    qf.write_text("\n".join(qs) + "\n")
+    got = query_cli.main(["--index", ",".join(roots), "--queries-file",
+                          str(qf), "--k", "3"])
+    want = single.search_batch(qs, 3).collect()
+    assert sorted((r["query_id"], r["rank"], r["doc_id"]) for r in got) \
+        == sorted((r["query_id"], r["rank"], r["doc_id"]) for r in want)
+
+    with pytest.raises(SystemExit):
+        query_cli.main(["--index", ",".join(roots), "--query", q,
+                        "--expand"])
