@@ -1297,6 +1297,29 @@ def q_lmjm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("score_abs"))
 
 
+def q_lmdir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-Dirichlet ranking (Lucene LMDirichletSimilarity, μ=2000 — the
+    ES default) from the same compact index: matched-terms scoring with
+    the per-term clamp at 0, per-posting decomposable because doc_len
+    rides every compact posting."""
+    s = _physical_searcher(spark, sf_dir, codec="compact")
+    res = s.search_similarity(FLAGSHIP_QUERY, model="lmdir", n=10,
+                              mu=2000.0)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
+def q_bm25plus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25+ (Lv & Zhai 2011, δ=1): the lower-bounded variant that fixes
+    BM25's long-document penalty — same compact index, query-time
+    expression swap only."""
+    s = _physical_searcher(spark, sf_dir, codec="compact")
+    res = s.search_similarity(FLAGSHIP_QUERY, model="bm25plus", n=10,
+                              delta=1.0)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 def q_search_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES stats aggregation over the match set: count/min/max/avg/sum of
     n_chars across every doc matching the flagship query."""
@@ -1630,6 +1653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_search": q_regex_search,
         "tfidf_topk": q_tfidf_topk,
         "lmjm_topk": q_lmjm_topk,
+        "lmdir_topk": q_lmdir_topk,
+        "bm25plus_topk": q_bm25plus_topk,
         "search_stats": q_search_stats,
         "sort_by_field": q_sort_by_field,
         "function_score": q_function_score,
@@ -1795,6 +1820,11 @@ def oracle_sql() -> dict[str, str]:
                                           alpha=APP_CFG.alpha),
         "lmjm_topk": osql.lmjm_topk_sql(FLAGSHIP_QUERY, k=10, lam=0.1,
                                         alpha=APP_CFG.alpha),
+        "lmdir_topk": osql.lmdir_topk_sql(FLAGSHIP_QUERY, k=10, mu=2000.0,
+                                          alpha=APP_CFG.alpha),
+        "bm25plus_topk": osql.bm25plus_topk_sql(FLAGSHIP_QUERY, k=10,
+                                                delta=1.0,
+                                                alpha=APP_CFG.alpha),
         "search_stats": osql.stats_agg_sql(FLAGSHIP_QUERY,
                                            alpha=APP_CFG.alpha),
         "sort_by_field": osql.sort_by_field_sql(FLAGSHIP_QUERY, k=10,

@@ -1359,7 +1359,7 @@ class IndexSearcher:
 
     # ---- pluggable similarity modules (ES `similarity` setting) --------
 
-    SIMILARITIES = ("tfidf", "lmjm")
+    SIMILARITIES = ("tfidf", "lmjm", "lmdir", "bm25plus")
 
     def _query_term_df(self, terms) -> dict[str, int]:
         """Document frequency for the given (live) query terms — from the
@@ -1416,25 +1416,41 @@ class IndexSearcher:
         return {r["term"]: int(r["cf"]) for r in rows}
 
     def search_similarity(self, query: str, model: str = "tfidf",
-                          n: int = 10, lam: float = 0.1) -> DataFrame:
+                          n: int = 10, lam: float = 0.1,
+                          mu: float = 2000.0,
+                          delta: float = 1.0) -> DataFrame:
         """Top-n under a pluggable similarity, answered from the SAME
         persisted index as BM25 (Elasticsearch's per-field `similarity`
         setting): the compact codec stores raw (tf, doc_len) per posting,
         so the scoring function is a query-time expression — one physical
-        index serves BM25, classic TF-IDF, and an LM ranker with no
+        index serves BM25, classic TF-IDF, and LM rankers with no
         rebuild. Models:
 
         tfidf — Lucene ClassicSimilarity shape:
             Σ_t qtf · sqrt(tf) · (1 + ln((N+1)/(df+1)))² / sqrt(dl)
 
         lmjm — language model with Jelinek-Mercer smoothing (Zhai &
-        Lafferty 2001; per-posting decomposable, unlike Dirichlet, so it
-        runs in the same accumulate kernel):
+        Lafferty 2001; per-posting decomposable so it runs in the same
+        accumulate kernel):
             Σ_t qtf · ln(1 + ((1−λ)/λ) · (tf/dl) / (cf_t/T))
         with cf_t the collection frequency (collection_tf above) and
         T = avgdl·N the corpus token count. Docs score on matched terms
         only (standard: an unmatched doc's contribution is 0 and it
         ranks below every match).
+
+        lmdir — language model with Dirichlet smoothing, Lucene
+        LMDirichletSimilarity's matched-terms form (per-posting
+        decomposable because dl rides every compact posting):
+            Σ_t qtf · max(0, ln(1 + tf/(μ·cf_t/T)) + ln(μ/(dl+μ)))
+        (Lucene clamps each term's contribution at 0). ES default
+        μ = 2000.
+
+        bm25plus — BM25+ (Lv & Zhai, CIKM 2011): the lower-bounding
+        δ fixes BM25's long-document penalty,
+            Σ_t qtf · ln((N+1)/df_t) · (tf(k1+1)/(tf+K) + δ),
+        K = k1(1−b+b·dl/avgdl), with the positive idf form the paper
+        uses (δ makes any matched doc score, so a negative Robertson
+        idf would invert the floor). δ = 1.0 per the paper.
 
         Terms the index alpha-pruned for BM25 are invisible to every
         similarity (they have no postings) — exactly Lucene: a term
@@ -1461,17 +1477,34 @@ class IndexSearcher:
 
             def impact_fn(term, tfs, dls):
                 return np.sqrt(tfs) * w[term] / np.sqrt(dls)
+        elif model == "bm25plus":
+            dfm = self._query_term_df(qcounts)
+            npl1 = float(self.n_docs) + 1.0
+            w = {t: math.log(npl1 / dfm[t]) for t in qcounts}
+            k1, b, avgdl = float(self.k1), float(self.b), float(self.avgdl)
+
+            def impact_fn(term, tfs, dls):
+                kk = k1 * (1 - b + b * dls / avgdl)
+                return w[term] * (tfs * (k1 + 1) / (tfs + kk) + delta)
         else:
             cf = self.collection_tf(list(qcounts))
             total = self.avgdl * float(self.n_docs)
-            coef = (1.0 - lam) / lam
             pr = {t: cf[t] / total for t in qcounts if cf.get(t)}
             qcounts = {t: c for t, c in qcounts.items() if t in pr}
             if not qcounts:
                 return self.spark.createDataFrame([], empty)
+            if model == "lmjm":
+                coef = (1.0 - lam) / lam
 
-            def impact_fn(term, tfs, dls):
-                return np.log1p(coef * (tfs / dls) / pr[term])
+                def impact_fn(term, tfs, dls):
+                    return np.log1p(coef * (tfs / dls) / pr[term])
+            else:  # lmdir
+                mu = float(mu)
+
+                def impact_fn(term, tfs, dls):
+                    return np.maximum(
+                        np.log1p(tfs / (mu * pr[term]))
+                        + np.log(mu / (dls + mu)), 0.0)
 
         kernel = _sim_topk_kernel_factory(qcounts, n, impact_fn,
                                           tomb=self._tomb_handle)

@@ -998,6 +998,57 @@ FROM contrib GROUP BY doc_id
 ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
 
 
+def lmdir_topk_sql(query: str, k: int = 10, mu: float = 2000.0,
+                   alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.search_similarity(model='lmdir') — Lucene
+    LMDirichletSimilarity, matched terms only with the per-term clamp
+    at 0: Σ qtf·greatest(0, ln(1 + tf/(μ·cf/T)) + ln(μ/(dl+μ)))."""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+total AS (SELECT sum(doc_len)::double AS t FROM doc_stats),
+contrib AS (
+  SELECT tf.doc_id,
+         q.qcount * greatest(
+           ln(1 + tf.tf / ({mu} * s.cf / (SELECT t FROM total)))
+             + ln({mu} / (ds.doc_len + {mu})), 0) AS c
+  FROM tf
+  JOIN stats s USING (term)
+  JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
+def bm25plus_topk_sql(query: str, k: int = 10, k1: float = 1.5,
+                      b: float = 0.75, delta: float = 1.0,
+                      alpha: float = -5.0) -> str:
+    """Twin of IndexSearcher.search_similarity(model='bm25plus') — BM25+
+    (Lv & Zhai 2011): Σ qtf·ln((N+1)/df)·(tf(k1+1)/(tf+K) + δ)."""
+    return f"""WITH {_base_ctes()},
+q(term, qcount) AS (VALUES {_values_for_query(query)}),
+contrib AS (
+  SELECT tf.doc_id,
+         q.qcount * ln(((SELECT n FROM corpus) + 1.0) / s.df)
+           * (tf.tf * ({k1} + 1)
+                / (tf.tf + {k1} * (1 - {b} + {b} * ds.doc_len
+                                   / (SELECT avgdl FROM corpus)))
+              + {delta}) AS c
+  FROM tf
+  JOIN stats s USING (term)
+  JOIN q USING (term)
+  JOIN doc_stats ds USING (doc_id)
+  WHERE s.idf > {alpha}
+)
+SELECT doc_id, round(sum(c), 4) AS score,
+       abs(round(sum(c), 2)) AS score_abs
+FROM contrib GROUP BY doc_id
+ORDER BY sum(c) DESC, doc_id ASC LIMIT {k}"""
+
+
 def _match_set_cte(query: str, alpha: float = -5.0) -> str:
     """Docs containing >=1 LIVE (idf > alpha) query term — the match set
     the index sees (pruned terms have no postings)."""

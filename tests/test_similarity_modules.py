@@ -81,12 +81,70 @@ def _py_lmjm(stats, query: str, k: int, lam: float) -> list[tuple[int, float]]:
     return _py_topk(scores, k)
 
 
-@pytest.mark.parametrize("model", ["tfidf", "lmjm"])
+def _py_lmdir(stats, query: str, k: int, mu: float) -> list[tuple[int, float]]:
+    scores: dict[int, float] = defaultdict(float)
+    for term, qtf in Counter(tokenize_py(query)).items():
+        if term not in stats["tf"]:
+            continue
+        pr = stats["cf"][term] / stats["total"]
+        for doc, tfv in stats["tf"][term].items():
+            c = (math.log1p(tfv / (mu * pr))
+                 + math.log(mu / (stats["dl"][doc] + mu)))
+            scores[doc] += qtf * max(c, 0.0)
+    return _py_topk(scores, k)
+
+
+def _py_bm25plus(stats, query: str, k: int, k1: float, b: float,
+                 delta: float) -> list[tuple[int, float]]:
+    scores: dict[int, float] = defaultdict(float)
+    n = stats["n"]
+    avgdl = stats["total"] / n
+    for term, qtf in Counter(tokenize_py(query)).items():
+        if term not in stats["tf"]:
+            continue
+        w = math.log((n + 1.0) / stats["df"][term])
+        for doc, tfv in stats["tf"][term].items():
+            kk = k1 * (1 - b + b * stats["dl"][doc] / avgdl)
+            scores[doc] += qtf * w * (tfv * (k1 + 1) / (tfv + kk) + delta)
+    return _py_topk(scores, k)
+
+
+_PY_MODELS = {
+    "tfidf": lambda st, q, k: _py_tfidf(st, q, k),
+    "lmjm": lambda st, q, k: _py_lmjm(st, q, k, 0.1),
+    "lmdir": lambda st, q, k: _py_lmdir(st, q, k, 2000.0),
+    "bm25plus": lambda st, q, k: _py_bm25plus(st, q, k, 1.5, 0.75, 1.0),
+}
+
+
+@pytest.mark.parametrize("model", sorted(_PY_MODELS))
 def test_similarity_vs_python_oracle(searcher, stats, model):
     got = [(r["doc_id"], r["score"])
            for r in searcher.search_similarity(QUERY, model, 10).collect()]
-    want = (_py_tfidf(stats, QUERY, 10) if model == "tfidf"
-            else _py_lmjm(stats, QUERY, 10, 0.1))
+    want = _PY_MODELS[model](stats, QUERY, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, gs), (_, ws) in zip(got, want):
+        assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9)
+
+
+def test_lmdir_clamp_active(searcher, stats):
+    """μ small enough that long docs go negative pre-clamp — the clamp
+    must bite (otherwise the test proves nothing) and the engine must
+    agree with the clamped python truth."""
+    mu = 5.0
+    clamped = 0
+    for term, _ in Counter(tokenize_py(QUERY)).items():
+        if term not in stats["tf"]:
+            continue
+        pr = stats["cf"][term] / stats["total"]
+        for doc, tfv in stats["tf"][term].items():
+            if (math.log1p(tfv / (mu * pr))
+                    + math.log(mu / (stats["dl"][doc] + mu))) < 0:
+                clamped += 1
+    assert clamped > 0, "fixture: no negative pre-clamp contribution"
+    got = [(r["doc_id"], r["score"]) for r in
+           searcher.search_similarity(QUERY, "lmdir", 10, mu=mu).collect()]
+    want = _py_lmdir(stats, QUERY, 10, mu)
     assert [d for d, _ in got] == [d for d, _ in want]
     for (_, gs), (_, ws) in zip(got, want):
         assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9)
