@@ -104,10 +104,9 @@ def _rescale_bounds_kernel(inner, rmap: dict[str, float],
     `rmap[t]` = idf_g/idf_l (NaN → use the universal fallback `fb[t]`);
     `dl_ratio` = avgdl_g/avgdl_l. Scores are recomputed exactly by the
     inner kernel; this only keeps its pruning certificates sound."""
-    # g is increasing in avgdl (a larger avgdl shrinks the length
-    # penalty), so: avgdl grew → upper bounds inflate by the ratio,
-    # lower bounds stand; avgdl shrank → lower bounds deflate, upper
-    # bounds stand. Applied on |g| extrema before the idf sign flip.
+    # ρ = g_fed/g_local ranges over [min(1, R), max(1, R)] with
+    # R = avgdl_g/avgdl_l (monotone in dl between those endpoints —
+    # module docstring step 3 carries the proof)
     up = max(1.0, dl_ratio)
     dn = min(1.0, dl_ratio)
 
