@@ -177,13 +177,15 @@ def q_bm25_qstring(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IndexSearcher.query_string): '+required -forbidden "exact phrase"
     optional'. should/must terms and the required phrase's tokens
     score; must / must_not terms and the phrase gate membership as
-    pure filters. The DuckDB oracle runs the IDENTICAL compile
-    (functions.qsyntax) and replays the filters as EXISTS predicates
-    plus a verbatim token-window phrase match
+    pure filters — the phrase gate answers from the POSITIONAL SIDECAR
+    (no corpus readback at query time; positions.phrase_count is the
+    window verify's pytest-pinned twin). The DuckDB oracle runs the
+    IDENTICAL compile (functions.qsyntax) and replays the filters as
+    EXISTS predicates plus a verbatim token-window phrase match
     (oracle_sql.query_string_sql)."""
     s = _physical_searcher(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    res = s.query_string(QUERY_STRING, 10, df=docs)
+    res = s.query_string(QUERY_STRING, 10,
+                         positions_root=_positions_root(spark, sf_dir))
     return res.select("doc_id", F.round("score", 4).alias("score"),
                       F.col("score_abs"))
 
@@ -198,10 +200,11 @@ QUERY_STRING_BOOST = '+hash^2.5 -slow^9 "table scan"^2 join^0.5 merge'
 def q_bm25_qstring_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_string with Lucene ^ boosts: clause boosts multiply the
     scoring term counts (fractions included), filters unchanged —
-    hash-matched against the identical shared-compile DuckDB replay."""
+    hash-matched against the identical shared-compile DuckDB replay.
+    Phrase gate from the positional sidecar (see q_bm25_qstring)."""
     s = _physical_searcher(spark, sf_dir)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    res = s.query_string(QUERY_STRING_BOOST, 10, df=docs)
+    res = s.query_string(QUERY_STRING_BOOST, 10,
+                         positions_root=_positions_root(spark, sf_dir))
     return res.select("doc_id", F.round("score", 4).alias("score"),
                       F.col("score_abs"))
 

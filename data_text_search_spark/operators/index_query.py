@@ -2506,7 +2506,8 @@ class IndexSearcher:
 
     def query_string(self, qs: str, n: int = 10, df: DataFrame = None,
                      keep=None, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     positions_root: str = None) -> DataFrame:
         """Lucene classic query-string syntax over this index:
         ``+required -forbidden "exact phrase" optional`` (the shared
         parse lives in functions.qsyntax — the DuckDB oracle replays
@@ -2517,13 +2518,21 @@ class IndexSearcher:
         index is positionless — documented divergence from Lucene's
         positional phrase scoring).
 
-        Quoted phrases need the corpus `df` (the verbatim window verify
-        reads raw text; the tokenized checkpoint stores unordered
-        (term, tf) pairs) — phrase-free query strings run entirely from
-        the index. An absent must term and a nowhere-occurring required
-        phrase both return the typed empty result; a query with no
-        positive scoring term is typed-empty too (pure-negative queries
-        are boolean_search's pure-NOT territory)."""
+        Phrase gating has two executions with identical rows
+        (positions.phrase_count and the window verify are pytest-pinned
+        twins):
+        - ``positions_root`` (preferred at scale): quoted phrases gate
+          from the POSITIONAL SIDECAR — term-pruned block reads, zero
+          corpus readback at query time. Ignored on clean=True indexes
+          (the sidecar tokenizes raw text; the window verify under the
+          index's own prep stays authoritative there).
+        - corpus ``df``: checkpoint-pruned window verify over raw text.
+        One of the two is required when the query carries quoted
+        phrases; phrase-free query strings run entirely from the index.
+        An absent must term and a nowhere-occurring required phrase
+        both return the typed empty result; a query with no positive
+        scoring term is typed-empty too (pure-negative queries are
+        boolean_search's pure-NOT territory)."""
         from data_text_search_spark.functions.qsyntax import (
             compile_query_string,
         )
@@ -2533,10 +2542,12 @@ class IndexSearcher:
         empty = RESULT_SCHEMA + ", rank int, score_abs double"
         if not counts:
             return spark.createDataFrame([], empty)
-        if (phrases or not_phrases) and df is None:
+        if self.manifest["config"].get("clean"):
+            positions_root = None
+        if (phrases or not_phrases) and df is None and positions_root is None:
             raise ValueError(
-                "query_string: quoted phrases need the corpus `df` "
-                "(exact phrase verify reads raw text)")
+                "query_string: quoted phrases need the corpus `df` or a "
+                "positions_root sidecar (membership gating)")
         both = must + must_not
         pr: dict[str, bool] = {}
         if both:
@@ -2556,6 +2567,19 @@ class IndexSearcher:
             return d.select("doc_id")
 
         def phrase_docs(toks: list[str]) -> DataFrame:
+            if positions_root is not None:
+                from data_text_search_spark.operators.positions import (
+                    phrase_count,
+                )
+                hits = phrase_count(spark, positions_root,
+                                    " ".join(toks)).select("doc_id")
+                tdf = self._tombstone_df()
+                # the sidecar predates deletions; scoring masks
+                # tombstones on the must side, but a must_not gate
+                # anti-joins RAW sidecar hits, so strip them here for
+                # both polarities (cheap: hits are already tiny)
+                return (hits if tdf is None
+                        else hits.join(tdf, "doc_id", "left_anti"))
             return (self.phrase_search(df, " ".join(toks),
                                        text_col=text_col, id_col=id_col)
                     .select(F.col(id_col).cast("long").alias("doc_id")))

@@ -67,6 +67,9 @@ def main(argv: list[str] | None = None) -> list[dict]:
     ap.add_argument("--query-string", default=None, metavar="QS",
                     help="Lucene classic syntax: '+req -forbid "
                          '"phrase" opt\'')
+    ap.add_argument("--positions", default=None, metavar="ROOT",
+                    help="positions sidecar root: --query-string phrase "
+                         "gates answer from it instead of --corpus")
     ap.add_argument("--corpus", default=None, metavar="PARQUET",
                     help="corpus parquet for --query-string phrases")
     ap.add_argument("--msm", type=int, default=None, metavar="M",
@@ -200,7 +203,8 @@ def main(argv: list[str] | None = None) -> list[dict]:
                for r in res.collect()]
     elif args.query_string:
         docs = (spark.read.parquet(args.corpus) if args.corpus else None)
-        res = searcher.query_string(args.query_string, args.k, df=docs)
+        res = searcher.query_string(args.query_string, args.k, df=docs,
+                                    positions_root=args.positions)
         out = [{"rank": r["rank"], "doc_id": r["doc_id"],
                 "score": r["score"], "score_abs": r["score_abs"]}
                for r in res.collect()]

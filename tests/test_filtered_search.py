@@ -283,6 +283,27 @@ def test_query_string_matches_oracle(spark, corpus, index):
         == _rows(s.boolean_search("def return", must=["def"], n=10))
 
 
+def test_query_string_positions_gate_identity(spark, corpus, index,
+                                              tmp_path):
+    """The positional-sidecar phrase gate returns rows IDENTICAL to the
+    corpus window-verify gate on every clause polarity (must phrase,
+    must_not phrase) — and works with no corpus df at all."""
+    from data_text_search_spark.operators.positions import build_positions
+    pdf, df = corpus
+    s = IndexSearcher(spark, index)
+    proot = str(tmp_path / "pos")
+    build_positions(spark, df, proot, text_col="content")
+    for qs in ('+def -lambda "class def" return',
+               '"def get_heap" -"class lambda" yield',
+               '+return "nowhere at all phrase" def'):
+        want = _rows(s.query_string(qs, 10, df=df, text_col="content"))
+        got = _rows(s.query_string(qs, 10, positions_root=proot))
+        assert got == want, qs
+    # phrase with NEITHER df nor sidecar -> explicit error still raised
+    with pytest.raises(ValueError):
+        s.query_string('"import os"', 10)
+
+
 def test_boolean_search_with_pruned_must_term(spark, corpus, tmp_path):
     pdf, df = corpus
     root = str(tmp_path / "idx")
