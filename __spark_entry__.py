@@ -1050,6 +1050,22 @@ def q_lsh_dup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.join(exact, ["id_a", "id_b", "cosine"], "left_anti")
 
 
+def q_semdedup_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/value CERTIFICATE for SemDeDup cluster dedup (oracle:
+    typed empty set): every (id_a, id_b, cosine) the cluster-bounded
+    path emits must appear verbatim in the exact all-pairs result
+    (itself hash-matched against DuckDB in the cosine_dup_pairs row) —
+    intra-cluster comparison is exact cosine, so the anti-join is empty
+    unless clustering/compare/rounding is wrong. Planted-copy recall
+    asserted in pytest (cross-cluster misses are the documented
+    SemDeDup trade)."""
+    from data_text_search_spark.operators import similarity
+    emb = _embeddings(spark, sf_dir)
+    sem = similarity.semdedup_pairs(emb, threshold=0.4, n_clusters=16)
+    exact = _exact_cos_pairs(spark, sf_dir)
+    return sem.join(exact, ["id_a", "id_b", "cosine"], "left_anti")
+
+
 def q_cosine_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 int8 embedding storage under the oracle gate: quantize →
     dequantize → exact cosine top-k, hash-matched against a DuckDB
@@ -1639,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_cert": q_ann_batch_cert,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "lsh_dup_cert": q_lsh_dup_cert,
+        "semdedup_cert": q_semdedup_cert,
         "lsh_dup_recall_cert": q_lsh_dup_recall_cert,
         "ann_lsh_cert": q_ann_lsh_cert,
         "ivf_cert": q_ivf_cert,
@@ -1766,6 +1783,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_cert": osql.empty_sql(
             {"doc_a": "BIGINT", "doc_b": "BIGINT", "hamming": "INTEGER"}),
         "lsh_dup_cert": osql.empty_sql(
+            {"id_a": "BIGINT", "id_b": "BIGINT", "cosine": "DOUBLE"}),
+        "semdedup_cert": osql.empty_sql(
             {"id_a": "BIGINT", "id_b": "BIGINT", "cosine": "DOUBLE"}),
         "lsh_dup_recall_cert": osql.empty_sql(
             {"id_a": "BIGINT", "id_b": "BIGINT"}),

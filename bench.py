@@ -191,7 +191,7 @@ def main() -> None:
     # before the first cert that needs them, and clear at pass end so the
     # next pass's ngram_jaccard/cosine_dup_pairs rows stay fresh timings
     CERT_SEEDS = {"minhash_lsh_cert": "ngram", "minhash_recall_cert": "ngram",
-                  "lsh_dup_cert": "cos"}
+                  "lsh_dup_cert": "cos", "semdedup_cert": "cos"}
     # (lsh_dup_recall_cert seeds nothing: its input is the embeddings
     # UNION planted copies, so no exact pair set is shared)
     samples: dict[str, list[float]] = {name: [] for name in contract}

@@ -847,3 +847,89 @@ def ivf_search_batch(spark: SparkSession, root: str, queries: DataFrame,
             .filter(F.col("_rn") <= k)
             .select("qid", "vec_id", "score")
             .orderBy("qid", F.desc("score"), F.asc("vec_id")))
+
+
+# --------------------------------------------------- SemDeDup clusters
+
+def semdedup_pairs(df: DataFrame, threshold: float = 0.9,
+                   n_clusters: int = 64,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   sample_rows: int = 100_000, sample_mod: int = 1,
+                   iters: int = 15,
+                   cluster_cap: int = 100_000) -> DataFrame:
+    """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al.,
+    arXiv:2303.09540): spherical-k-means clusters bound the pairwise
+    comparison, then EXACT cosine within each cluster — (id_a, id_b,
+    cosine) for intra-cluster pairs with cosine >= threshold, id_a <
+    id_b. Feed the pairs to dedup.dup_clusters /
+    dedup.dedup_keep_canonical to resolve keep/drop sets, exactly like
+    the LSH and exact pair generators.
+
+    Exact precision (every emitted pair is a true >= threshold pair —
+    the per-round semdedup_cert anti-joins the output against the exact
+    all-pairs set); approximate recall (a near-dup pair split across a
+    cluster boundary is missed — the SemDeDup trade; planted-copy
+    recall pinned in pytest). Centroid training reads the same BOUNDED
+    deterministic sample as build_ivf_index; comparisons are one BLAS
+    matmul per cluster with per-pass memory O((cluster size)²) — at
+    corpus scale pick n_clusters so clusters stay ~sqrt-sized, and
+    `cluster_cap` hard-bounds the quadratic term: an oversized cluster
+    compares only its cluster_cap LOWEST ids (deterministic;
+    recall-only effect, precision certificate unaffected)."""
+    vecs = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("embedding"))
+    samp = vecs
+    if sample_mod > 1:
+        samp = samp.filter(F.pmod(F.xxhash64("vec_id"),
+                                  F.lit(sample_mod)) == 0)
+    rows = (samp.orderBy("vec_id").limit(sample_rows)
+            .select("embedding").collect())
+    if not rows:
+        raise ValueError(
+            "semdedup_pairs: centroid training sample is empty — lower "
+            "sample_mod or check the input table")
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cent = _spherical_kmeans(mat, n_clusters, iters)
+    spark = df.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent.T.copy())
+    th, cap = float(threshold), int(cluster_cap)
+
+    def assigner(batches):
+        ct = b_cent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nm = np.linalg.norm(m, axis=1)
+            nm[nm == 0] = 1.0
+            cell = np.argmax((m / nm[:, None]) @ ct, axis=1).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": pdf["embedding"],
+                                "cell": cell})
+
+    def pairs_kernel(key, pdf):
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id").head(cap)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nm = np.linalg.norm(m, axis=1)
+        nm[nm == 0] = 1.0
+        # same arithmetic + rounding as cosine_dup_pairs' exact kernels,
+        # so certificate anti-joins match bit-for-bit
+        sims = np.round((m @ m.T) / nm[:, None] / nm[None, :], 6)
+        li, gi = np.nonzero((sims >= th) & (ids[:, None] < ids[None, :]))
+        if not len(li):
+            return empty
+        return pd.DataFrame({"id_a": ids[li], "id_b": ids[gi],
+                             "cosine": sims[li, gi]})
+
+    assigned = vecs.mapInPandas(
+        assigner, schema="vec_id long, embedding array<double>, cell int")
+    return (assigned.groupBy("cell")
+            .applyInPandas(pairs_kernel,
+                           schema="id_a long, id_b long, cosine double")
+            .orderBy("id_a", "id_b"))

@@ -75,7 +75,17 @@ def main(argv: list[str] | None = None) -> None:
     kn.add_argument("--vec-col", default="embedding")
     kn.add_argument("--exclude-self", action="store_true")
 
-    for p in (b, s, bs, kn):
+    sd = sub.add_parser("semdedup")
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--out", required=True,
+                    help="parquet of (id_a, id_b, cosine) near-dup pairs")
+    sd.add_argument("--threshold", type=float, default=0.9)
+    sd.add_argument("--n-clusters", type=int, default=64)
+    sd.add_argument("--cluster-cap", type=int, default=100_000)
+    sd.add_argument("--id-col", default="vec_id")
+    sd.add_argument("--vec-col", default="embedding")
+
+    for p in (b, s, bs, kn, sd):
         p.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -128,6 +138,14 @@ def main(argv: list[str] | None = None) -> None:
                                               k=args.k, nprobe=args.nprobe)
         res.write.mode("overwrite").parquet(args.out)
         print(json.dumps({"rows": spark.read.parquet(args.out).count()}))
+    elif args.cmd == "semdedup":
+        df = spark.read.parquet(args.input)
+        res = similarity.semdedup_pairs(
+            df, threshold=args.threshold, n_clusters=args.n_clusters,
+            cluster_cap=args.cluster_cap, vec_col=args.vec_col,
+            id_col=args.id_col)
+        res.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"pairs": spark.read.parquet(args.out).count()}))
     else:
         left = spark.read.parquet(args.left)
         right = spark.read.parquet(args.right)

@@ -143,6 +143,14 @@ def test_embedding_index_cli(spark, tmp_path):
     assert kn.count() == 500 * 3
     assert all(r["qid"] != r["vec_id"] for r in kn.collect())
 
+    sout = str(tmp_path / "semdedup")
+    embedding_index.main(["semdedup", "--input", src, "--out", sout,
+                          "--threshold", "0.5", "--n-clusters", "8"])
+    sd = spark.read.parquet(sout)
+    assert set(sd.columns) == {"id_a", "id_b", "cosine"}
+    assert all(r["id_a"] < r["id_b"] and r["cosine"] >= 0.5
+               for r in sd.collect())
+
 
 def test_corpus_pipeline_curation_gates(spark, tmp_path):
     """--scrub collapses docs differing only in redacted spans into one

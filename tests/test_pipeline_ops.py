@@ -460,6 +460,67 @@ def test_cosine_dup_pairs_exact_vs_lsh(embeddings):
     assert len(lsh) >= 0.8 * len(exact), (len(lsh), len(exact))
 
 
+def test_semdedup_single_cluster_equals_exact(embeddings):
+    """With n_clusters=1 every row shares the one cluster, so SemDeDup
+    degenerates to the exact all-pairs computation — identical pairs AND
+    identical rounded cosines (pins arithmetic/rounding parity with
+    cosine_dup_pairs, the certificate's anti-join key)."""
+    exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             similarity.cosine_dup_pairs(embeddings, threshold=0.5).collect()}
+    sem = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           similarity.semdedup_pairs(embeddings, threshold=0.5,
+                                     n_clusters=1).collect()}
+    assert sem == exact
+    assert len(sem) > 0
+
+
+def test_semdedup_precision_and_planted_recall(spark, embeddings):
+    """Clustered SemDeDup: perfect precision (subset of exact with equal
+    cosines) on the raw table, and planted noisy copies (cos ~0.97) are
+    found — each lands in its base vector's cluster at k=8 over 500+20
+    rows. Zero-vector rows must not crash the normalize."""
+    exact = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             similarity.cosine_dup_pairs(embeddings, threshold=0.5).collect()}
+    sem = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           similarity.semdedup_pairs(embeddings, threshold=0.5,
+                                     n_clusters=8).collect()}
+    assert set(sem) <= set(exact)
+    for k, v in sem.items():
+        assert exact[k] == v
+    rows = embeddings.orderBy("vec_id").limit(20).collect()
+    rs = np.random.RandomState(11)
+    planted = []
+    for i, r in enumerate(rows):
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        noisy = v + rs.standard_normal(v.size) * 0.1 * np.linalg.norm(v) / np.sqrt(v.size)
+        planted.append((900_000 + i, [float(x) for x in noisy]))
+    planted.append((900_099, [0.0] * len(rows[0]["embedding"])))
+    big = embeddings.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted,
+                              "vec_id long, embedding array<double>"))
+    got = {(r["id_a"], r["id_b"]) for r in
+           similarity.semdedup_pairs(big, threshold=0.8,
+                                     n_clusters=8).collect()}
+    found = sum(int((int(r["vec_id"]), 900_000 + i) in got)
+                for i, r in enumerate(rows))
+    assert found >= 18, f"planted-copy recall {found}/20"
+
+
+def test_semdedup_cluster_cap_deterministic(embeddings):
+    """cluster_cap bounds the quadratic term: capped output is a subset
+    of uncapped (recall-only effect) and is stable across runs."""
+    full = {(r["id_a"], r["id_b"]) for r in
+            similarity.semdedup_pairs(embeddings, threshold=0.5,
+                                      n_clusters=4).collect()}
+    cap1 = {(r["id_a"], r["id_b"]) for r in
+            similarity.semdedup_pairs(embeddings, threshold=0.5,
+                                      n_clusters=4, cluster_cap=100).collect()}
+    cap2 = {(r["id_a"], r["id_b"]) for r in
+            similarity.semdedup_pairs(embeddings, threshold=0.5,
+                                      n_clusters=4, cluster_cap=100).collect()}
+    assert cap1 <= full and cap1 == cap2
+
+
 def test_cosine_dup_pairs_block_equals_broadcast(embeddings):
     """The distributed block-matmul path (no driver collect) must equal
     the broadcast path exactly — same pairs, same rounded cosines."""
