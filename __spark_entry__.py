@@ -233,6 +233,21 @@ def q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.suggest(MISSPELLED, n=5, max_edits=2)
 
 
+PHRASE_MISSPELLED = "tabel scann"  # 1 edit each from the hot bigram
+
+
+def q_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES phrase suggester: per-token dictionary candidates re-ranked as
+    SEQUENCES by a stupid-backoff bigram LM whose counts come from the
+    positional sidecar — 'tabel scann' should correct to 'table scan'
+    because that bigram actually occurs. Scores are left-associated
+    double products; the DuckDB twin multiplies in the identical order
+    (oracle_sql.phrase_suggest_sql), so values hash-match."""
+    s = _physical_searcher(spark, sf_dir)
+    return s.phrase_suggest(PHRASE_MISSPELLED,
+                            _positions_root(spark, sf_dir), n=5)
+
+
 def q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facet counts (Elasticsearch terms-aggregation shape) over the
     flagship query's full match set, bucketed by documents.lang."""
@@ -1606,6 +1621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facet_ranges": q_facet_ranges,
         "search_collapse": q_search_collapse,
         "spell_suggest": q_spell_suggest,
+        "phrase_suggest": q_phrase_suggest,
         "significant_terms": q_significant_terms,
         "fielded_search": q_fielded_search,
         "match_count": q_match_count,
@@ -1727,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": osql.search_facets_sql(FLAGSHIP_QUERY, "lang",
                                                 alpha=APP_CFG.alpha),
         "spell_suggest": osql.suggest_sql(MISSPELLED, n=5, max_edits=2),
+        "phrase_suggest": osql.phrase_suggest_sql(PHRASE_MISSPELLED, n=5),
         "significant_terms": osql.significant_terms_sql(
             FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
         "fielded_search": osql.fielded_search_sql(

@@ -2220,6 +2220,89 @@ class IndexSearcher:
                 .limit(n)
                 .select("term", "distance", "df"))
 
+    def phrase_suggest(self, text: str, positions_root: str, n: int = 3,
+                       max_edits: int = 2, max_candidates: int = 5,
+                       backoff: float = 0.4) -> DataFrame:
+        """ES phrase suggester ("did you mean" for MULTI-token queries;
+        Lucene PhraseSuggester shape): per-token candidates from the
+        TERM DICTIONARY (suggest()'s ranking — distance asc, df desc,
+        term asc, top max_candidates — plus the original token), then
+        candidate SEQUENCES ranked by a stupid-backoff bigram language
+        model (Brants et al., EMNLP'07) whose counts come from the
+        POSITIONAL SIDECAR: P(w|prev) = bigram(prev,w)/cf(prev) when
+        the bigram occurs, else backoff·cf(w)/T; the first token scores
+        unigram cf(w)/T. Score = left-associated product of the factors
+        (IEEE doubles — the DuckDB twin multiplies in the same order,
+        so values hash-match bit-for-bit).
+
+        Scale shape: ONE vocab-sized dictionary scan for all tokens'
+        candidates + ONE term-pruned sidecar kernel job for every
+        unigram/bigram count the model needs (bounded by candidates²
+        per adjacency, never the corpus); sequence enumeration is
+        driver-side over ≤ max_candidates+1 options per position
+        (guarded). Like suggest(), stats are stale under tombstones by
+        design. Returns (suggestion, score), score desc, suggestion
+        asc, top n."""
+        import itertools
+        from functools import reduce as _reduce
+        from operator import or_ as _or
+
+        from data_text_search_spark.operators.fuzzy import _fuzzy_match_cond
+        from data_text_search_spark.operators.positions import lm_counts
+        spark = self.spark
+        out_schema = "suggestion string, score double"
+        toks = tokenize_py(text)
+        if not toks:
+            return spark.createDataFrame([], out_schema)
+        uniq = list(dict.fromkeys(toks))
+        ts = self._term_stats_all.select(
+            "term", F.col("df").cast("long").alias("df"))
+        cond = _reduce(_or, [_fuzzy_match_cond(F.col("term"), F.lit(t),
+                                               max_edits) for t in uniq])
+        dcols = [F.levenshtein(F.col("term"), F.lit(t)).alias(f"_d{k}")
+                 for k, t in enumerate(uniq)]
+        rows = ts.filter(cond).select("term", "df", *dcols).collect()
+        upos = {t: k for k, t in enumerate(uniq)}
+        cands: list[list[str]] = []
+        for t in toks:
+            k = upos[t]
+            near = sorted(((r[f"_d{k}"], -r["df"], r["term"])
+                           for r in rows if r[f"_d{k}"] <= max_edits))
+            cl = [term for _, _, term in near[:max_candidates]]
+            if t not in cl:
+                cl.append(t)
+            cands.append(cl)
+        total_seqs = 1
+        for cl in cands:
+            total_seqs *= len(cl)
+        if total_seqs > 50_000:
+            raise ValueError(
+                f"phrase_suggest: {total_seqs} candidate sequences — "
+                "lower max_candidates or shorten the query")
+        all_terms = sorted({t for cl in cands for t in cl})
+        pairs = sorted({(a, b)
+                        for i in range(len(cands) - 1)
+                        for a in cands[i] for b in cands[i + 1]})
+        lm = lm_counts(spark, positions_root, all_terms, pairs)
+        T = int(spark.read.parquet(
+            *committed_doc_stats_paths(self.paths.root, self.manifest))
+            .agg(F.sum("doc_len")).first()[0] or 0)
+        if T == 0:
+            return spark.createDataFrame([], out_schema)
+        bo = float(backoff)
+        scored = []
+        for seq in itertools.product(*cands):
+            score = lm.get((seq[0], ""), 0) / T
+            for prev, w in zip(seq, seq[1:]):
+                bg = lm.get((prev, w), 0)
+                if bg > 0:
+                    score = score * (bg / lm[(prev, "")])
+                else:
+                    score = score * (bo * (lm.get((w, ""), 0) / T))
+            scored.append((" ".join(seq), float(score)))
+        scored.sort(key=lambda s: (-s[1], s[0]))
+        return spark.createDataFrame(scored[:n], out_schema)
+
     def profile(self, query: str, n: int = 10) -> dict:
         """ES _profile analog: execute the query with per-phase wall
         timings — parse (tokenize), dictionary (term lookup), kernel job

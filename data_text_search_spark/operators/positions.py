@@ -403,6 +403,75 @@ def _span_window_kernel_factory(terms: list[str], width: int):
     return kernel
 
 
+def _lm_counts_kernel_factory(terms: list[str], pairs: list[tuple[str, str]]):
+    """Per-partition kernel for the phrase-suggester language model:
+    per requested term its OCCURRENCE total (Σ tf over this partition's
+    docs), and per requested ordered pair (a, b) its ADJACENT-bigram
+    total (Σ over docs of |(pos(a)+1) ∩ pos(b)| — the 2-token
+    PhraseQuery count). One row per surviving key per partition; the
+    caller sums across partitions. Unigram rows carry b = ''."""
+    want_terms = sorted(set(terms))
+    want_pairs = sorted(set(pairs))
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="object"),
+                              "b": pd.Series([], dtype="object"),
+                              "cnt": pd.Series([], dtype="int64")})
+        if pdf.empty:
+            return empty
+        data = {}
+        for term, rows in pdf.groupby("term"):
+            data[str(term)] = _decode_term(rows)
+        out_a, out_b, out_c = [], [], []
+        for t in want_terms:
+            if t in data:
+                out_a.append(t)
+                out_b.append("")
+                out_c.append(int(data[t][1][-1]))
+        for a, b in want_pairs:
+            if a not in data or b not in data:
+                continue
+            docs_a, offs_a, pos_a = data[a]
+            docs_b, offs_b, pos_b = data[b]
+            cand = np.intersect1d(docs_a, docs_b, assume_unique=True)
+            total = 0
+            for d in cand:
+                i = int(np.searchsorted(docs_a, d))
+                j = int(np.searchsorted(docs_b, d))
+                total += int(np.intersect1d(
+                    pos_a[offs_a[i]:offs_a[i + 1]] + 1,
+                    pos_b[offs_b[j]:offs_b[j + 1]],
+                    assume_unique=True).size)
+            if total:
+                out_a.append(a)
+                out_b.append(b)
+                out_c.append(total)
+        if not out_a:
+            return empty
+        return pd.DataFrame({"a": pd.Series(out_a, dtype="object"),
+                             "b": pd.Series(out_b, dtype="object"),
+                             "cnt": pd.Series(out_c, dtype="int64")})
+
+    return kernel
+
+
+def lm_counts(spark: SparkSession, root: str, terms: list[str],
+              pairs: list[tuple[str, str]]) -> dict:
+    """Aggregate language-model counts from the positional sidecar:
+    {('t', ''): occurrence total, ('a', 'b'): adjacent-bigram total} for
+    the requested terms/ordered pairs — term-pruned block reads, ONE
+    kernel job, result bounded by |terms| + |pairs| (never the corpus).
+    Absent keys mean zero."""
+    if not terms and not pairs:
+        return {}
+    all_terms = sorted(set(terms) | {t for p in pairs for t in p})
+    out = _run_kernel(spark, root, all_terms,
+                      _lm_counts_kernel_factory(terms, pairs),
+                      "a string, b string, cnt long")
+    agg = out.groupBy("a", "b").agg(F.sum("cnt").alias("cnt")).collect()
+    return {(r["a"], r["b"]): int(r["cnt"]) for r in agg}
+
+
 def _run_kernel(spark: SparkSession, root: str, terms: list[str], kernel,
                 schema: str) -> DataFrame:
     """Read only the query terms' blocks (term-sorted files → row-group

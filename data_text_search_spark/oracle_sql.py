@@ -1388,6 +1388,62 @@ SELECT doc_id, min(s)::bigint AS min_span FROM spans GROUP BY doc_id
 HAVING min(s) < {int(width)} ORDER BY min_span ASC, doc_id ASC"""
 
 
+def phrase_suggest_sql(text: str, n: int = 3, max_edits: int = 2,
+                       max_candidates: int = 5,
+                       backoff: float = 0.4) -> str:
+    """Twin of IndexSearcher.phrase_suggest: per-token candidates =
+    top-max_candidates dictionary terms by (levenshtein asc, df desc,
+    term asc) UNION the original token; sequences scored by the same
+    stupid-backoff bigram LM with LEFT-ASSOCIATED double products in
+    the engine's factor order, so scores hash-match bit-for-bit."""
+    toks = tokenize_py(text)
+    if not toks:
+        return empty_sql({"suggestion": "VARCHAR", "score": "DOUBLE"})
+    m = len(toks)
+    cand_ctes = []
+    for i, t in enumerate(toks):
+        esc = t.replace("'", "''")
+        cand_ctes.append(f"""
+cand{i} AS (
+  SELECT term FROM (
+    SELECT term FROM dict WHERE levenshtein(term, '{esc}') <= {int(max_edits)}
+    ORDER BY levenshtein(term, '{esc}') ASC, df DESC, term ASC
+    LIMIT {int(max_candidates)})
+  UNION SELECT '{esc}')""")
+    seq_cols = ", ".join(f"c{i}.term AS w{i}" for i in range(m))
+    seq_from = ", ".join(f"cand{i} c{i}" for i in range(m))
+    joins = ["CROSS JOIN tcount tt",
+             "LEFT JOIN uni u0 ON u0.term = seq.w0"]
+    factors = ["(CAST(COALESCE(u0.cf, 0) AS DOUBLE) / CAST(tt.t AS DOUBLE))"]
+    for i in range(1, m):
+        joins.append(f"LEFT JOIN uni u{i} ON u{i}.term = seq.w{i}")
+        joins.append(f"LEFT JOIN big b{i} ON b{i}.a = seq.w{i - 1} "
+                     f"AND b{i}.b = seq.w{i}")
+        factors.append(
+            f"(CASE WHEN COALESCE(b{i}.c, 0) > 0 "
+            f"THEN CAST(b{i}.c AS DOUBLE) / CAST(u{i - 1}.cf AS DOUBLE) "
+            f"ELSE {float(backoff)!r} * (CAST(COALESCE(u{i}.cf, 0) AS DOUBLE)"
+            f" / CAST(tt.t AS DOUBLE)) END)")
+    sugg = " || ' ' || ".join(f"seq.w{i}" for i in range(m))
+    score = " * ".join(factors)
+    return f"""
+WITH docs AS (SELECT doc_id, {TOKENIZE.format(col="text")} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(generate_series(1, len(toks))) AS ord FROM docs),
+uni AS (SELECT term, count(*) AS cf FROM pos GROUP BY term),
+tcount AS (SELECT count(*) AS t FROM pos),
+big AS (SELECT p1.term AS a, p2.term AS b, count(*) AS c
+        FROM pos p1 JOIN pos p2
+          ON p1.doc_id = p2.doc_id AND p2.ord = p1.ord + 1
+        GROUP BY 1, 2),
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term),
+{", ".join(cand_ctes)},
+seq AS (SELECT {seq_cols} FROM {seq_from})
+SELECT {sugg} AS suggestion, {score} AS score
+FROM seq {" ".join(joins)}
+ORDER BY score DESC, suggestion ASC LIMIT {int(n)}"""
+
+
 def phrase_prefix_sql(phrase: str, max_expansions: int = 50,
                       alpha: float = -5.0) -> str:
     """Twin of positions.phrase_prefix_count (ES match_phrase_prefix):

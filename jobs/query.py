@@ -92,6 +92,9 @@ def main(argv: list[str] | None = None) -> list[dict]:
     ap.add_argument("--complete", default=None, metavar="PREFIX",
                     help="completion suggester: top dictionary terms "
                          "for PREFIX by document frequency")
+    ap.add_argument("--suggest-phrase", default=None, metavar="TEXT",
+                    help="phrase suggester: bigram-LM re-ranked "
+                         "multi-token corrections (needs --positions)")
     ap.add_argument("--fb-docs", type=int, default=10)
     ap.add_argument("--fb-terms", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
@@ -100,11 +103,15 @@ def main(argv: list[str] | None = None) -> list[dict]:
     modes = [bool(args.query), bool(args.queries_file),
              args.more_like is not None, bool(args.stream_dir),
              bool(args.prefix), bool(args.regex), bool(args.wildcard),
-             bool(args.query_string), bool(args.complete)]
+             bool(args.query_string), bool(args.complete),
+             bool(args.suggest_phrase)]
     if sum(modes) != 1:
         ap.error("need exactly one of --query / --queries-file / "
                  "--more-like / --stream-dir / --prefix / --regex / "
-                 "--wildcard / --query-string / --complete")
+                 "--wildcard / --query-string / --complete / "
+                 "--suggest-phrase")
+    if args.suggest_phrase and not args.positions:
+        ap.error("--suggest-phrase needs --positions (bigram LM source)")
     if (args.rescore_phrase or args.highlight) and not args.corpus:
         ap.error("--rescore-phrase / --highlight need --corpus")
     if args.stream_dir and not args.stream_sink:
@@ -156,6 +163,11 @@ def main(argv: list[str] | None = None) -> list[dict]:
     if args.complete:
         out = [{"term": r["term"], "df": r["df"]}
                for r in searcher.complete(args.complete, args.k).collect()]
+    elif args.suggest_phrase:
+        out = [{"suggestion": r["suggestion"], "score": r["score"]}
+               for r in searcher.phrase_suggest(
+                   args.suggest_phrase, args.positions,
+                   n=args.k).collect()]
     elif args.query:
         if args.similarity:
             res = searcher.search_similarity(args.query, args.similarity,

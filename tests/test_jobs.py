@@ -435,6 +435,17 @@ def test_query_cli_similarity_rescore_highlight_complete(spark, tmp_path):
     assert [(g["term"], g["df"]) for g in got] == \
         [(r["term"], r["df"]) for r in want]
 
+    from data_text_search_spark.operators.positions import build_positions
+    proot = str(tmp_path / "cpos")
+    build_positions(spark, cdf, proot, text_col="content")
+    got = query_cli.main(["--index", root, "--suggest-phrase",
+                          "clas deff", "--positions", proot,
+                          "--k", "3"])
+    want = s.phrase_suggest("clas deff", proot, n=3).collect()
+    assert [(g["suggestion"], g["score"]) for g in got] == \
+        [(r["suggestion"], r["score"]) for r in want]
+    assert got and got[0]["suggestion"] == "class def"
+
 
 def test_positions_cli_modes(spark, tmp_path):
     """Positions CLI smoke: build + every query mode agrees with the

@@ -187,3 +187,104 @@ def test_phrase_prefix_no_expansions(spark, pos_root, corpus_pdf):
     ts = spark.createDataFrame(sorted(uni.items()), "term string, df long")
     assert P.phrase_prefix_count(spark, pos_root, "def zzzzz",
                                  ts).count() == 0
+
+
+# ------------------------------------------------------ phrase suggester
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _phrase_suggest_truth(texts, query, n=3, max_edits=2, cand_n=5,
+                          backoff=0.4):
+    """Independent python reference of the phrase-suggest spec."""
+    import itertools
+    from collections import Counter
+    uni, big, df = Counter(), Counter(), Counter()
+    T = 0
+    for t in texts:
+        tk = tokenize_py(t)
+        T += len(tk)
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+        df.update(set(tk))
+    cands = []
+    for q in tokenize_py(query):
+        near = sorted((( _lev(term, q), -df[term], term) for term in df
+                       if _lev(term, q) <= max_edits))
+        cl = [t for _, _, t in near[:cand_n]]
+        if q not in cl:
+            cl.append(q)
+        cands.append(cl)
+    scored = []
+    for seq in itertools.product(*cands):
+        s = uni.get(seq[0], 0) / T
+        for p, w in zip(seq, seq[1:]):
+            bg = big.get((p, w), 0)
+            s = s * (bg / uni[p]) if bg > 0 else \
+                s * (backoff * (uni.get(w, 0) / T))
+        scored.append((" ".join(seq), float(s)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored[:n]
+
+
+@pytest.fixture(scope="module")
+def suggest_env(spark, tmp_path_factory):
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.operators.index_build import build_index
+    from data_text_search_spark.operators.index_query import IndexSearcher
+    texts = ["the red fox jumps over the red fox",
+             "the red fox runs", "a red ox sleeps by the red fox",
+             "fax machine hums", "red fax paper", "an odd bax token"]
+    base = tmp_path_factory.mktemp("sugg")
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    build_index(spark, df, str(base / "idx"), BM25Config(),
+                text_col="text", id_col="doc_id", shards=2, groups=1)
+    P.build_positions(spark, df, str(base / "pos"))
+    return texts, IndexSearcher(spark, str(base / "idx")), str(base / "pos")
+
+
+def test_lm_counts_vs_python(spark, suggest_env):
+    from collections import Counter
+    texts, _, proot = suggest_env
+    uni, big = Counter(), Counter()
+    for t in texts:
+        tk = tokenize_py(t)
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+    terms = ["red", "fox", "fax", "zzz"]
+    pairs = [("red", "fox"), ("red", "fax"), ("fox", "red"),
+             ("zzz", "red")]
+    got = P.lm_counts(spark, proot, terms, pairs)
+    for t in terms:
+        assert got.get((t, ""), 0) == uni.get(t, 0), t
+    for p in pairs:
+        assert got.get(p, 0) == big.get(p, 0), p
+
+
+def test_phrase_suggest_vs_python_truth(suggest_env):
+    texts, s, proot = suggest_env
+    for q, n in [("red fax", 4), ("teh red fix", 3), ("fox", 2),
+                 ("zzz qqq", 3)]:
+        got = [(r["suggestion"], r["score"])
+               for r in s.phrase_suggest(q, proot, n=n).collect()]
+        assert got == _phrase_suggest_truth(texts, q, n=n), q
+    # the headline behavior: the bigram LM picks the real correction
+    top = s.phrase_suggest("red fax", proot, n=1).first()
+    assert top["suggestion"] == "red fox"
+
+
+def test_phrase_suggest_edges(suggest_env):
+    texts, s, proot = suggest_env
+    assert s.phrase_suggest("", proot).count() == 0
+    assert s.phrase_suggest("?!", proot, n=2).count() == 2  # punct tokens
+    with pytest.raises(ValueError, match="candidate sequences"):
+        s.phrase_suggest(" ".join(["fax"] * 20), proot)
