@@ -537,6 +537,43 @@ def _federated(spark: SparkSession, sf_dir: str):
     return _CACHE[key][1]
 
 
+def _routed(spark: SparkSession, sf_dir: str):
+    """Build (once per session+sf) a ROUTED index over the documents
+    table with lang as the routing column, and open it through
+    RoutedSearcher (global-stat federation with routing-value execution
+    pruning — the ES _routing deployment shape)."""
+    key = ("routed", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.routing import (
+            RoutedSearcher,
+            build_routed_index,
+        )
+        root = tempfile.mkdtemp(prefix="dts_routed_") + "/idx"
+        build_routed_index(spark, _documents(spark, sf_dir), root, "lang",
+                           BM25Config(alpha=APP_CFG.alpha,
+                                      impact_codec="compact"),
+                           text_col="text", id_col="doc_id")
+        rs = RoutedSearcher(spark, root)
+        rs.warm()
+        _CACHE[key] = (None, rs)
+    return _CACHE[key][1]
+
+
+def q_bm25_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed search (ES _routing with EXACT stats): only the lang='en'
+    member's postings are read — no kernel job is submitted for any
+    other member — while N/avgdl/df stay global across all members, so
+    rows hash-match the SAME filter-context DuckDB oracle as
+    bm25_topk_filtered (score every doc under full-corpus stats, filter
+    the scored set to lang='en')."""
+    rs = _routed(spark, sf_dir)
+    res = rs.search(FLAGSHIP_QUERY, 10, routing="en")
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      "score_abs")
+
+
 def q_bm25_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship query answered by TWO half-corpus indexes through
     operators/federation.py (exact global df/avgdl fusion + per-member
@@ -1633,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_compact": q_bm25_topk_compact,
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_federated": q_bm25_federated,
+        "bm25_routed": q_bm25_routed,
         "bm25_batch_federated": q_bm25_batch_federated,
         "bm25_topk_snapshot": q_bm25_topk_snapshot,
         "bm25_qstring_boost": q_bm25_qstring_boost,
@@ -1762,6 +1800,10 @@ def oracle_sql() -> dict[str, str]:
             FLAGSHIP_QUERY, n=20, min_fg_df=2, alpha=APP_CFG.alpha),
         "bm25_batch_physical": osql.bm25_batch_sql(BATCH_QUERIES, k=10,
                                                    alpha=APP_CFG.alpha),
+        "bm25_routed": osql.bm25_topk_sql(
+            FLAGSHIP_QUERY, k=10, alpha=APP_CFG.alpha,
+            doc_filter="tf.doc_id IN (SELECT doc_id FROM documents "
+                       "WHERE lang = 'en')"),
         "bm25_federated": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                              alpha=APP_CFG.alpha),
         "bm25_topk_snapshot": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,

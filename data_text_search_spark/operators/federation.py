@@ -186,13 +186,30 @@ class FederatedSearcher:
 
     # ---- global statistics ------------------------------------------
 
-    def _global_stats(self, terms) -> tuple[dict[str, float], list[dict]]:
+    def _resolve_members(self, members) -> "set[str] | None":
+        """Normalize a member-restriction list (root strings) to a set;
+        None = scan every member. Unknown roots raise — a typo would
+        silently return an empty slice otherwise."""
+        if members is None:
+            return None
+        sel = set(members)
+        unknown = sel - set(self.roots)
+        if unknown:
+            raise ValueError(
+                f"unknown federation member(s) {sorted(unknown)}; "
+                f"members are {self.roots}")
+        return sel
+
+    def _global_stats(self, terms,
+                      scan_roots=None) -> tuple[dict[str, float], list[dict]]:
         """(global idf for LIVE terms, per-member term_meta). Live =
         global idf above the alpha cutoff and not a stopword — the same
         flag-not-delete rule the combined build would apply. Raises if a
-        live term was alpha-pruned inside a member (its postings were
-        never encoded there: exact federated scoring is impossible until
-        that member is rebuilt)."""
+        live term was alpha-pruned inside a SCANNED member (its postings
+        were never encoded there: exact federated scoring is impossible
+        until that member is rebuilt). Statistics always aggregate over
+        EVERY member — a `scan_roots` restriction (routed search) prunes
+        execution, never the stats."""
         metas = [m.term_meta(terms) for m in self.members]
         qidf: dict[str, float] = {}
         for t in terms:
@@ -204,7 +221,8 @@ class FederatedSearcher:
             if not idf_g > self.alpha:
                 continue  # globally pruned — excluded exactly like the build
             missing = [r for meta, r in zip(metas, self.roots)
-                       if t in meta and meta[t][2]]
+                       if t in meta and meta[t][2]
+                       and (scan_roots is None or r in scan_roots)]
             if missing:
                 raise ValueError(
                     f"term {t!r} is live under federated statistics "
@@ -218,22 +236,33 @@ class FederatedSearcher:
 
     # ---- single query ------------------------------------------------
 
-    def search(self, query: str, n: int = 10) -> DataFrame:
+    def search(self, query: str, n: int = 10,
+               members: "list[str] | None" = None) -> DataFrame:
         """BM25 top-n over all members under exact global statistics —
         row-identical to one combined index over the union corpus
         (pytest-pinned). Per member: one block-max pruned kernel job with
         rescaled bounds; then the same driver scatter-gather merge a
-        single index uses across its shards."""
+        single index uses across its shards.
+
+        `members` restricts EXECUTION to the named roots (routed
+        search — no job is ever submitted for the others, so their
+        postings are never read) while the statistics stay global:
+        rows are identical to filter-context search over the combined
+        corpus with the members' doc set as the allow list
+        (pytest-pinned via operators.routing)."""
+        sel = self._resolve_members(members)
         counts = Counter(tokenize_py(query))
         spark = self.spark
         if not counts:
             return spark.createDataFrame([], OUT_SCHEMA)
-        qidf, metas = self._global_stats(sorted(counts))
+        qidf, metas = self._global_stats(sorted(counts), scan_roots=sel)
         if not qidf:
             return spark.createDataFrame([], OUT_SCHEMA)
         parts: list[pd.DataFrame] = []
         k1p1 = self.k1 + 1.0
-        for m, meta in zip(self.members, metas):
+        for m, meta, root in zip(self.members, metas, self.roots):
+            if sel is not None and root not in sel:
+                continue
             qcounts = {t: counts[t] for t in qidf if t in meta}
             if not qcounts:
                 continue
@@ -259,20 +288,25 @@ class FederatedSearcher:
 
     # ---- batch -------------------------------------------------------
 
-    def search_batch(self, queries: list[str], n: int = 10) -> DataFrame:
+    def search_batch(self, queries: list[str], n: int = 10,
+                     members: "list[str] | None" = None) -> DataFrame:
         """Top-n per query across all members, one Spark job per member
         (the batch kernel recomputes impacts from raw tf/doc_len and
         never reads block bounds, so the stat override needs no bound
         algebra). Returns search_batch's exact schema (query_id = the
-        position in `queries`)."""
+        position in `queries`). `members` restricts execution exactly
+        like search()'s — stats stay global."""
+        sel = self._resolve_members(members)
         spark = self.spark
         all_terms = sorted({t for q in set(queries)
                             for t in tokenize_py(q)})
         if not all_terms:
             return spark.createDataFrame([], IndexSearcher.OUT_SCHEMA_BATCH)
-        qidf, _ = self._global_stats(all_terms)
+        qidf, _ = self._global_stats(all_terms, scan_roots=sel)
         parts: list[pd.DataFrame] = []
-        for m in self.members:
+        for m, root in zip(self.members, self.roots):
+            if sel is not None and root not in sel:
+                continue
             res = m._search_batch_impl(queries, n, idf_override=qidf,
                                        avgdl_override=self.avgdl)
             if isinstance(res, DataFrame):

@@ -95,6 +95,9 @@ def main(argv: list[str] | None = None) -> list[dict]:
     ap.add_argument("--suggest-phrase", default=None, metavar="TEXT",
                     help="phrase suggester: bigram-LM re-ranked "
                          "multi-token corrections (needs --positions)")
+    ap.add_argument("--routing", default=None, metavar="V[,V...]",
+                    help="routed index roots only: execute just these "
+                         "routing values' members (stats stay global)")
     ap.add_argument("--fb-docs", type=int, default=10)
     ap.add_argument("--fb-terms", type=int, default=10)
     ap.add_argument("--k", type=int, default=10)
@@ -127,6 +130,43 @@ def main(argv: list[str] | None = None) -> list[dict]:
     else:
         from data_text_search_spark.session import get_spark
         spark = get_spark(app_name="query", cores=args.cores)
+
+    from data_text_search_spark.operators.routing import (
+        RoutedSearcher,
+        load_routing_manifest,
+    )
+    if "," not in args.index and load_routing_manifest(args.index,
+                                                       spark):
+        # routed index root: plain --query / --queries-file with an
+        # optional --routing restriction (the side modes are
+        # single-index APIs, same scope rule as federation)
+        if not (args.query or args.queries_file) or any(
+                (args.similarity, args.rescore_phrase, args.highlight,
+                 args.expand, args.synonyms, args.msm is not None)):
+            ap.error("a routed --index supports plain --query and "
+                     "--queries-file only")
+        rs = RoutedSearcher(spark, args.index)
+        rs.warm()
+        routing = args.routing.split(",") if args.routing else None
+        if args.query:
+            out = [{"rank": r["rank"], "doc_id": r["doc_id"],
+                    "score": r["score"], "score_abs": r["score_abs"]}
+                   for r in rs.search(args.query, args.k,
+                                      routing=routing).collect()]
+        else:
+            with open(args.queries_file) as f:
+                queries = [ln.rstrip("\n") for ln in f if ln.strip()]
+            rows = rs.search_batch(queries, args.k,
+                                   routing=routing).collect()
+            out = [{"query_id": r["query_id"], "rank": r["rank"],
+                    "doc_id": r["doc_id"], "score": r["score"]}
+                   for r in sorted(rows, key=lambda r: (r["query_id"],
+                                                        r["rank"]))]
+        for rec in out:
+            print(json.dumps(rec))
+        return out
+    if args.routing:
+        ap.error("--routing needs a routed index root (routing.json)")
 
     if "," in args.index:
         # federation: --index root1,root2,... searches every member as

@@ -447,6 +447,43 @@ def test_query_cli_similarity_rescore_highlight_complete(spark, tmp_path):
     assert got and got[0]["suggestion"] == "class def"
 
 
+def test_query_cli_routed(spark, tmp_path):
+    """Routed-root CLI: --routing restricts execution, rows identical
+    to the library surface; --routing on a plain index is a usage
+    error."""
+    sys.path.insert(0, "jobs")
+    import query as query_cli
+
+    from data_text_search_spark.config import BM25Config
+    from data_text_search_spark.fixtures.corpus import corpus_pandas
+    from data_text_search_spark.operators.routing import (
+        RoutedSearcher,
+        build_routed_index,
+    )
+
+    from pyspark.sql import functions as F
+
+    pdf = corpus_pandas(150).reset_index().rename(columns={"index": "doc_id"})
+    cdf = spark.createDataFrame(pdf).withColumn(
+        "bucket", (F.col("doc_id") % 2).cast("string"))
+    root = str(tmp_path / "ridx")
+    build_routed_index(spark, cdf, root, "bucket",
+                       BM25Config(impact_codec="compact"),
+                       text_col="content", id_col="doc_id")
+    rs = RoutedSearcher(spark, root)
+    q = "hash join table scan def"
+    got = query_cli.main(["--index", root, "--query", q,
+                          "--routing", "1", "--k", "5"])
+    want = rs.search(q, 5, routing="1").collect()
+    assert [(g["doc_id"], g["rank"]) for g in got] == \
+        [(r["doc_id"], r["rank"]) for r in want]
+    assert got and all(g["doc_id"] % 2 == 1 for g in got)
+    got_all = query_cli.main(["--index", root, "--query", q, "--k", "5"])
+    want_all = rs.search(q, 5).collect()
+    assert [(g["doc_id"], g["rank"]) for g in got_all] == \
+        [(r["doc_id"], r["rank"]) for r in want_all]
+
+
 def test_positions_cli_modes(spark, tmp_path):
     """Positions CLI smoke: build + every query mode agrees with the
     library surface it wraps."""
