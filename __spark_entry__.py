@@ -561,6 +561,33 @@ def _routed(spark: SparkSession, sf_dir: str):
     return _CACHE[key][1]
 
 
+def _alias_catalog(spark: SparkSession, sf_dir: str):
+    """Register (once) an alias over the SAME two federated member roots
+    _federated builds — the deployment surface a 100-TB reader actually
+    uses (a stable name over rolling generations)."""
+    key = ("alias", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.aliases import AliasCatalog
+        fed = _federated(spark, sf_dir)
+        cat = AliasCatalog(spark, tempfile.mkdtemp(prefix="dts_cat_"))
+        cat.create("docs", fed.roots)
+        _CACHE[key] = (None, cat)
+    return _CACHE[key][1]
+
+
+def q_bm25_topk_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search through an ALIAS (ES alias layer): 'docs' resolves to the
+    two generation members and opens federated (exact global stats), so
+    rows hash-match the SAME full-corpus DuckDB oracle as bm25_topk —
+    the alias indirection must cost nothing in correctness."""
+    cat = _alias_catalog(spark, sf_dir)
+    res = cat.open("docs").search(FLAGSHIP_QUERY, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      "score_abs")
+
+
 def q_bm25_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routed search (ES _routing with EXACT stats): only the lang='en'
     member's postings are read — no kernel job is submitted for any
@@ -1671,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_physical": q_bm25_batch_physical,
         "bm25_federated": q_bm25_federated,
         "bm25_routed": q_bm25_routed,
+        "bm25_topk_alias": q_bm25_topk_alias,
         "bm25_batch_federated": q_bm25_batch_federated,
         "bm25_topk_snapshot": q_bm25_topk_snapshot,
         "bm25_qstring_boost": q_bm25_qstring_boost,
@@ -1806,6 +1834,8 @@ def oracle_sql() -> dict[str, str]:
                        "WHERE lang = 'en')"),
         "bm25_federated": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                              alpha=APP_CFG.alpha),
+        "bm25_topk_alias": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
+                                              alpha=APP_CFG.alpha),
         "bm25_topk_snapshot": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                                  alpha=APP_CFG.alpha),
         "bm25_qstring_boost": osql.query_string_sql(QUERY_STRING_BOOST,
