@@ -1497,6 +1497,41 @@ def q_phrase_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_count(spark, root, PHRASE_QUERY)
 
 
+def _positions_incr_root(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) a SEGMENTED positional sidecar: base on the even
+    doc_ids, one appended segment with the odd ones — the incremental
+    maintenance shape (positions.append_positions_segment)."""
+    key = ("posincr", _session_token(spark), sf_dir)
+    if key not in _CACHE:
+        import tempfile
+
+        from data_text_search_spark.operators.positions import (
+            append_positions_segment,
+            build_positions,
+        )
+        docs = _documents(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="dts_posincr_") + "/pos"
+        build_positions(spark, docs.filter(F.col("doc_id") % 2 == 0),
+                        root, text_col="text", id_col="doc_id")
+        append_positions_segment(spark, root,
+                                 docs.filter(F.col("doc_id") % 2 == 1),
+                                 text_col="text", id_col="doc_id")
+        _CACHE[key] = (None, root)
+    return _CACHE[key][1]
+
+
+def q_phrase_positional_incremental(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Positional phrase search over a SEGMENTED sidecar (base + one
+    appended segment) — the kernels read base and committed segment
+    blocks as one scan, and rows hash-match the SAME full-corpus DuckDB
+    oracle as phrase_positional: incremental maintenance must cost
+    nothing in correctness."""
+    from data_text_search_spark.operators.positions import phrase_count
+    return phrase_count(spark, _positions_incr_root(spark, sf_dir),
+                        PHRASE_QUERY)
+
+
 SPAN_TERMS = ("hash", "join")
 SPAN_SLOP = 3
 
@@ -1764,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_highlight": q_search_highlight,
         "cardinality_cert": q_cardinality_cert,
         "phrase_positional": q_phrase_positional,
+        "phrase_positional_incremental": q_phrase_positional_incremental,
         "span_near": q_span_near,
         "search_percentiles": q_search_percentiles,
         "completion_suggest": q_completion_suggest,
@@ -1951,6 +1987,8 @@ def oracle_sql() -> dict[str, str]:
         "cardinality_cert": osql.empty_sql(
             {"approx": "BIGINT", "exact": "BIGINT", "rel_err": "DOUBLE"}),
         "phrase_positional": osql.phrase_search_sql(PHRASE_QUERY),
+        "phrase_positional_incremental":
+            osql.phrase_search_sql(PHRASE_QUERY),
         "span_near": osql.span_near_sql(SPAN_TERMS[0], SPAN_TERMS[1],
                                         SPAN_SLOP),
         "search_percentiles": osql.percentiles_agg_sql(FLAGSHIP_QUERY,

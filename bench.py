@@ -156,6 +156,9 @@ def main() -> None:
     entrymod._positions_root(spark, sf_dir)
     results["positions_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
+    entrymod._positions_incr_root(spark, sf_dir)
+    results["positions_incr_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
     entrymod._stopword_searcher(spark, sf_dir)
     results["stopword_index_build"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()

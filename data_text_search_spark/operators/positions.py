@@ -18,11 +18,16 @@ occurrence count is the size of the final intersection. `span_near` is
 the unordered two-term SpanNearQuery core: min token distance between
 any occurrence pair, matched against a slop.
 
-Maintenance scope: the sidecar is rebuilt per corpus snapshot.
-Incremental segments would follow the main index's segment pattern
-(streaming/incremental.py) but are out of scope here — documented, and
-the build is a single linear pass so snapshot rebuilds are cheap
-relative to the main index build.
+Maintenance: `append_positions_segment` follows the main index's
+segment pattern (streaming/incremental.py): a new doc batch encodes
+into `root/segments/s<seq>/blocks` with the SAME shard count and shard
+function as the base, and the manifest — the commit point, written
+LAST — records the segment list. Kernels read base + committed
+segments as one scan; _decode_term's doc-sort already merges the
+per-segment runs (a doc lives wholly in one segment, so a (term, doc)
+still lives in exactly one block). Disjoint doc ids across base and
+segments are the caller's contract, exactly as for the main index's
+append_segment. A full rebuild remains the compaction path.
 
 Positions are 1-BASED token indexes (matching the DuckDB oracle's
 generate_series(1, len(toks)) list convention).
@@ -168,16 +173,12 @@ def _encode_positions_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     })
 
 
-def build_positions(spark: SparkSession, corpus: DataFrame, root: str,
-                    text_col: str = "text", id_col: str = "doc_id",
-                    shards: int | None = None) -> dict:
-    """Build the positional sidecar. One linear pass: tokenize with
-    positions (Arrow pre-agg, one row per (doc, distinct term)), attach
-    the main index's doc-hash shard in JVM expression space, ONE uniform
-    shard repartition, per-shard block encode, partitioned write."""
-    from data_text_search_spark.sources import fsio
-
-    S = int(shards or spark.sparkContext.defaultParallelism * 2)
+def _write_position_blocks(spark: SparkSession, corpus: DataFrame,
+                           dest: str, text_col: str, id_col: str,
+                           S: int) -> int:
+    """Tokenize-with-positions → shard → block-encode → partitioned
+    write (the shared build body of base and segment builds). Returns
+    the batch's doc count."""
     rows = (corpus.select(F.col(id_col).alias("doc_id"),
                           F.col(text_col).cast("string").alias("text"))
             .mapInPandas(_tokenize_positions_rows(), schema=_ROWS_SCHEMA)
@@ -189,14 +190,62 @@ def build_positions(spark: SparkSession, corpus: DataFrame, root: str,
      .applyInPandas(lambda pdf: _encode_positions_shard(pdf),
                     schema=_BLOCKS_SCHEMA)
      .write.mode("overwrite").partitionBy("shard")
-     .parquet(f"{root}/blocks"))
-    n_docs = corpus.count()
+     .parquet(dest))
+    return corpus.count()
+
+
+def build_positions(spark: SparkSession, corpus: DataFrame, root: str,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    shards: int | None = None) -> dict:
+    """Build the positional sidecar. One linear pass: tokenize with
+    positions (Arrow pre-agg, one row per (doc, distinct term)), attach
+    the main index's doc-hash shard in JVM expression space, ONE uniform
+    shard repartition, per-shard block encode, partitioned write."""
+    from data_text_search_spark.sources import fsio
+
+    S = int(shards or spark.sparkContext.defaultParallelism * 2)
+    n_docs = _write_position_blocks(spark, corpus, f"{root}/blocks",
+                                    text_col, id_col, S)
     manifest = {"complete": True, "tokenizer": TOKEN_PATTERN,
-                "n_docs": int(n_docs), "shards": S,
+                "n_docs": int(n_docs), "shards": S, "segments": [],
                 "positions": "1-based token index"}
     fsio.write_text_atomic(f"{root}/manifest.json",
                            json.dumps(manifest, indent=1), spark)
     return manifest
+
+
+def append_positions_segment(spark: SparkSession, root: str,
+                             new_docs: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> dict:
+    """Append a doc batch to an existing sidecar as a SEGMENT — the
+    main index's incremental pattern (streaming/incremental.py): blocks
+    encode into `segments/s<seq>/blocks` with the base's shard count
+    and shard function, and the manifest (the commit point) is written
+    LAST, so a crash mid-append leaves the previous committed state
+    fully queryable and the half-written segment invisible. Disjoint
+    doc ids vs base + earlier segments are the caller's contract (same
+    as append_segment). Empty batches are a no-op."""
+    from data_text_search_spark.sources import fsio
+
+    m = load_positions_manifest(root)
+    if not m or not m.get("complete"):
+        raise ValueError(f"no complete positions sidecar at {root}")
+    if m.get("tokenizer") != TOKEN_PATTERN:
+        raise ValueError("tokenizer mismatch: rebuild the positions "
+                         "sidecar with the current token spec")
+    segs = list(m.get("segments") or [])
+    seq = f"s{len(segs) + 1:04d}"
+    n_new = _write_position_blocks(
+        spark, new_docs, f"{root}/segments/{seq}/blocks",
+        text_col, id_col, int(m["shards"]))
+    if n_new == 0:
+        return m
+    m["segments"] = segs + [seq]
+    m["n_docs"] = int(m["n_docs"]) + int(n_new)
+    fsio.write_text_atomic(f"{root}/manifest.json",
+                           json.dumps(m, indent=1), spark)
+    return m
 
 
 def load_positions_manifest(root: str) -> dict | None:
@@ -487,8 +536,14 @@ def _run_kernel(spark: SparkSession, root: str, terms: list[str], kernel,
         # an empty corpus writes no parquet parts (partitionBy of an
         # empty frame), so the read below could not infer a schema
         return spark.createDataFrame([], schema)
-    blocks = (spark.read.parquet(f"{root}/blocks")
-              .filter(F.col("term").isin(sorted(set(terms)))))
+    paths = [f"{root}/blocks"] + [f"{root}/segments/{s}/blocks"
+                                  for s in (m.get("segments") or [])]
+    # one read per root: base and segment dirs sit at different depths,
+    # which trips Spark's common-base partition discovery when globbed
+    # into a single read (CONFLICTING_DIRECTORY_STRUCTURES)
+    blocks = reduce(DataFrame.unionByName,
+                    [spark.read.parquet(p) for p in paths])
+    blocks = blocks.filter(F.col("term").isin(sorted(set(terms))))
     parts = max(spark.sparkContext.defaultParallelism, 1)
     return (blocks.repartition(parts, "shard")
             .mapInPandas(_map_batches(kernel), schema=schema))

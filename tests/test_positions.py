@@ -288,3 +288,55 @@ def test_phrase_suggest_edges(suggest_env):
     assert s.phrase_suggest("?!", proot, n=2).count() == 2  # punct tokens
     with pytest.raises(ValueError, match="candidate sequences"):
         s.phrase_suggest(" ".join(["fax"] * 20), proot)
+
+
+# ------------------------------------------------- incremental segments
+
+def test_positions_segment_equals_rebuild(spark, corpus, tmp_path):
+    """Base on half the corpus + one appended segment == full rebuild,
+    for every kernel family (phrase, span, LM counts)."""
+    half_a = corpus.filter("doc_id % 2 = 0").selectExpr(
+        "doc_id", "content as text")
+    half_b = corpus.filter("doc_id % 2 = 1").selectExpr(
+        "doc_id", "content as text")
+    full = corpus.selectExpr("doc_id", "content as text")
+    inc, reb = str(tmp_path / "inc"), str(tmp_path / "reb")
+    P.build_positions(spark, half_a, inc, shards=4)
+    m = P.append_positions_segment(spark, inc, half_b)
+    assert m["segments"] == ["s0001"] and m["n_docs"] == 300
+    P.build_positions(spark, full, reb, shards=4)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    assert rows(P.phrase_count(spark, inc, "class def")) == \
+        rows(P.phrase_count(spark, reb, "class def"))
+    assert rows(P.span_near(spark, inc, "def", "return", 6)) == \
+        rows(P.span_near(spark, reb, "def", "return", 6))
+    assert P.lm_counts(spark, inc, ["def", "class"],
+                       [("class", "def")]) == \
+        P.lm_counts(spark, reb, ["def", "class"], [("class", "def")])
+
+
+def test_positions_segment_guards_and_multi(spark, corpus, tmp_path):
+    third = [corpus.filter(f"doc_id % 3 = {i}").selectExpr(
+        "doc_id", "content as text") for i in range(3)]
+    inc = str(tmp_path / "inc3")
+    P.build_positions(spark, third[0], inc, shards=4)
+    P.append_positions_segment(spark, inc, third[1])
+    m = P.append_positions_segment(spark, inc, third[2])
+    assert m["segments"] == ["s0001", "s0002"]
+    reb = str(tmp_path / "reb3")
+    P.build_positions(
+        spark, corpus.selectExpr("doc_id", "content as text"), reb)
+    a = sorted(tuple(r) for r in
+               P.phrase_count(spark, inc, "def def").collect())
+    b = sorted(tuple(r) for r in
+               P.phrase_count(spark, reb, "def def").collect())
+    assert a == b and a
+    # empty batch: no-op, no new segment
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    m2 = P.append_positions_segment(spark, inc, empty)
+    assert m2["segments"] == ["s0001", "s0002"]
+    with pytest.raises(ValueError, match="no complete positions"):
+        P.append_positions_segment(spark, str(tmp_path / "nope"), empty)
