@@ -53,6 +53,11 @@ STDOUT_OMIT = frozenset({
     "completion_suggest", "date_histogram", "histogram_moving_avg",
     "search_sample", "sort_by_field", "search_stats",
     "search_percentiles",
+    # rows whose trend a cheaper/identical-machinery row already tracks:
+    # alias = federation + name resolution (bm25_federated), segmented
+    # sidecar = phrase_positional's kernel over a union scan,
+    # spell_suggest = one dictionary scan (suggest ranking is pytest'd)
+    "bm25_topk_alias", "phrase_positional_incremental", "spell_suggest",
 })
 
 

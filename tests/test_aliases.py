@@ -90,6 +90,30 @@ def test_rollover_conditions_and_append(spark, corpus, alias_env,
     assert _rows(got)[0][0] == _rows(want)[0][0]
 
 
+def test_alias_cli(spark, alias_env, tmp_path):
+    """CLI smoke: every subcommand round-trips through the library."""
+    import sys
+    sys.path.insert(0, "jobs")
+    import alias as alias_cli
+    cat_root = str(tmp_path / "clicat")
+    _, g0, g1 = alias_env
+    out = alias_cli.main(["--catalog", cat_root, "create", "docs",
+                          "--roots", g0])
+    assert out["indexes"] == [g0]
+    out = alias_cli.main(["--catalog", cat_root, "update", "docs",
+                          "--add", g1])
+    # update preserves the write index unless --write names a new one
+    assert out["indexes"] == [g0, g1] and out["write"] == g0
+    out = alias_cli.main(["--catalog", cat_root, "rollover", "docs",
+                          "--new-root", g1, "--max-docs", "1"])
+    assert out["rolled"] and out["write"] == g1
+    assert alias_cli.main(["--catalog", cat_root, "list"]).keys() == {"docs"}
+    out = alias_cli.main(["--catalog", cat_root, "resolve", "docs"])
+    assert out["indexes"] == [g0, g1]
+    alias_cli.main(["--catalog", cat_root, "delete", "docs"])
+    assert alias_cli.main(["--catalog", cat_root, "list"]) == {}
+
+
 def test_registry_is_versioned(alias_env):
     """Each commit is a fresh .v<seq> object; exactly one survives GC —
     the same crash-safety argument as the index manifest protocol."""
