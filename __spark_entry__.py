@@ -197,6 +197,24 @@ def q_bm25_qstring(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERY_STRING_BOOST = '+hash^2.5 -slow^9 "table scan"^2 join^0.5 merge'
 
 
+# fuzzy (~N / bare ~), trailing-star prefix, a boosted plain term, and
+# a fuzzy must_not — every expansion-clause polarity in one string
+QUERY_STRING_EXPAND = '+tabl~1 sca* -dupp~1 merge^1.5'
+
+
+def q_bm25_qstring_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_string with Lucene FuzzyQuery / PrefixQuery clauses: ~N and
+    trailing-* expand against the TERM DICTIONARY (each expansion scores
+    with the clause boost; +/- gate on ANY expansion). The DuckDB twin
+    derives the SAME expansions itself (starts_with / levenshtein over
+    the corpus vocabulary) — one shared parse, two INDEPENDENT
+    expansions, so a wrong dictionary lookup cannot hide."""
+    s = _physical_searcher(spark, sf_dir)
+    res = s.query_string(QUERY_STRING_EXPAND, 10)
+    return res.select("doc_id", F.round("score", 4).alias("score"),
+                      F.col("score_abs"))
+
+
 def q_bm25_qstring_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """query_string with Lucene ^ boosts: clause boosts multiply the
     scoring term counts (fractions included), filters unchanged —
@@ -1737,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_batch_federated": q_bm25_batch_federated,
         "bm25_topk_snapshot": q_bm25_topk_snapshot,
         "bm25_qstring_boost": q_bm25_qstring_boost,
+        "bm25_qstring_fuzzy": q_bm25_qstring_fuzzy,
         "bm25_topk_incremental": q_bm25_topk_incremental,
         "bm25_topk_delta": q_bm25_topk_delta,
         "bm25_topk_clean": q_bm25_topk_clean,
@@ -1875,6 +1894,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_snapshot": osql.bm25_topk_sql(FLAGSHIP_QUERY, k=10,
                                                  alpha=APP_CFG.alpha),
         "bm25_qstring_boost": osql.query_string_sql(QUERY_STRING_BOOST,
+                                                    k=10,
+                                                    alpha=APP_CFG.alpha),
+        "bm25_qstring_fuzzy": osql.query_string_sql(QUERY_STRING_EXPAND,
                                                     k=10,
                                                     alpha=APP_CFG.alpha),
         "bm25_batch_federated": osql.bm25_batch_sql(BATCH_QUERIES, k=10,

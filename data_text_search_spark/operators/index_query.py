@@ -2220,6 +2220,28 @@ class IndexSearcher:
                 .limit(n)
                 .select("term", "distance", "df"))
 
+    def _expand_clause(self, kind: str, tok: str,
+                       arg: "int | None") -> list[str]:
+        """Dictionary expansion for query-string prefix/fuzzy clauses:
+        sorted LIVE-vocabulary terms (alpha-pruned included — the
+        checkpoint branch scores them exactly) matching the clause.
+        One vocab-sized scan, never postings or the corpus; a clause
+        matching more than 10k dictionary terms is refused (Lucene's
+        maxClauseCount shape — an unanchored prefix would otherwise
+        turn one query term into the whole vocabulary)."""
+        from data_text_search_spark.operators.fuzzy import _fuzzy_match_cond
+        ts = self._term_stats_all.select("term")
+        if kind == "prefix":
+            cond = F.col("term").startswith(tok)
+        else:
+            cond = _fuzzy_match_cond(F.col("term"), F.lit(tok), int(arg))
+        rows = ts.filter(cond).limit(10_001).collect()
+        if len(rows) > 10_000:
+            raise ValueError(
+                f"query_string: clause {tok!r} ({kind}) expands to more "
+                "than 10000 dictionary terms — anchor it further")
+        return sorted(r["term"] for r in rows)
+
     def phrase_suggest(self, text: str, positions_root: str, n: int = 3,
                        max_edits: int = 2, max_candidates: int = 5,
                        backoff: float = 0.4) -> DataFrame:
@@ -2620,9 +2642,25 @@ class IndexSearcher:
             compile_query_string,
         )
         spark = self.spark
-        counts, must, must_not, phrases, not_phrases = \
+        counts, must, must_not, phrases, not_phrases, exps = \
             compile_query_string(qs)
         empty = RESULT_SCHEMA + ", rank int, score_abs double"
+        # prefix/fuzzy clauses expand against the term dictionary
+        # (suggest()'s vocabulary — alpha-pruned terms included); every
+        # expansion scores with the clause boost, '+' gates on ANY
+        # expansion matching (an OR group), '-' excludes them all
+        must_any: list[list[str]] = []
+        for sign, kind, tok, arg, boost in exps:
+            terms = self._expand_clause(kind, tok, arg)
+            if sign == "-":
+                must_not = sorted(set(must_not) | set(terms))
+            else:
+                for e in terms:
+                    counts[e] += boost if boost != 1.0 else 1
+                if sign == "+":
+                    if not terms:
+                        return spark.createDataFrame([], empty)
+                    must_any.append(terms)
         if not counts:
             return spark.createDataFrame([], empty)
         if self.manifest["config"].get("clean"):
@@ -2631,7 +2669,7 @@ class IndexSearcher:
             raise ValueError(
                 "query_string: quoted phrases need the corpus `df` or a "
                 "positions_root sidecar (membership gating)")
-        both = must + must_not
+        both = must + must_not + [t for g in must_any for t in g]
         pr: dict[str, bool] = {}
         if both:
             ts = self._term_stats_all
@@ -2678,6 +2716,13 @@ class IndexSearcher:
         for t in must:
             kdf = (docs_of(t) if kdf is None
                    else kdf.join(docs_of(t), "doc_id", "left_semi"))
+        for group in must_any:
+            gdf = docs_of(group[0])
+            for t in group[1:]:
+                gdf = gdf.unionByName(docs_of(t))
+            gdf = gdf.distinct()
+            kdf = gdf if kdf is None else kdf.join(gdf, "doc_id",
+                                                   "left_semi")
         for ph in phrases:
             pd_ = phrase_docs(ph)
             kdf = pd_ if kdf is None else kdf.join(pd_, "doc_id",

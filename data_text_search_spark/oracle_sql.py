@@ -249,8 +249,9 @@ def query_string_sql(qs: str, k: int = 10, k1: float = 1.5,
     from data_text_search_spark.functions.qsyntax import (
         compile_query_string,
     )
-    counts, must, must_not, phrases, not_phrases = compile_query_string(qs)
-    if not counts:
+    counts, must, must_not, phrases, not_phrases, exps = \
+        compile_query_string(qs)
+    if not counts and not any(s != "-" for s, *_ in exps):
         return empty_sql({"doc_id": "bigint", "score": "double",
                           "score_abs": "double"})
 
@@ -259,6 +260,33 @@ def query_string_sql(qs: str, k: int = 10, k1: float = 1.5,
         ex = (f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = ds.doc_id "
               f"AND tf.term = '{tq}')")
         return ex if positive else f"NOT {ex}"
+
+    # prefix/fuzzy expansion clauses: the oracle derives the expansion
+    # ITSELF over the corpus vocabulary (starts_with / levenshtein on a
+    # dict CTE) — independent of the engine's dictionary lookup, so a
+    # wrong expansion cannot hide behind shared literals
+    def exp_cond(col: str, kind: str, tok: str, arg) -> str:
+        tq = tok.replace("'", "''")
+        if kind == "prefix":
+            return f"starts_with({col}, '{tq}')"
+        return f"levenshtein({col}, '{tq}') <= {int(arg)}"
+
+    def exp_pred(kind: str, tok: str, arg, positive: bool) -> str:
+        ex = (f"EXISTS (SELECT 1 FROM tf WHERE tf.doc_id = ds.doc_id "
+              f"AND {exp_cond('tf.term', kind, tok, arg)})")
+        return ex if positive else f"NOT {ex}"
+
+    q_arms = []
+    exp_preds = []
+    for sign, kind, tok, arg, boost in exps:
+        if sign == "-":
+            exp_preds.append(exp_pred(kind, tok, arg, False))
+            continue
+        qc = boost if boost != 1.0 else 1
+        q_arms.append(f"SELECT term, {qc} AS qcount FROM qdict "
+                      f"WHERE {exp_cond('term', kind, tok, arg)}")
+        if sign == "+":
+            exp_preds.append(exp_pred(kind, tok, arg, True))
 
     def phrase_pred(toks: list[str], positive: bool) -> str:
         m = len(toks)
@@ -273,10 +301,19 @@ def query_string_sql(qs: str, k: int = 10, k1: float = 1.5,
     preds = ([term_pred(t, True) for t in must]
              + [term_pred(t, False) for t in must_not]
              + [phrase_pred(p, True) for p in phrases]
-             + [phrase_pred(p, False) for p in not_phrases])
+             + [phrase_pred(p, False) for p in not_phrases]
+             + exp_preds)
     where = ("\n  WHERE " + "\n    AND ".join(preds)) if preds else ""
+    parts = []
+    if counts:
+        parts.append(f"SELECT * FROM (VALUES {_values_for_counts(counts)}"
+                     f") AS v(term, qcount)")
+    parts.extend(q_arms)
+    q_cte = ("SELECT term, SUM(qcount) AS qcount FROM (\n  "
+             + "\n  UNION ALL\n  ".join(parts) + "\n) GROUP BY term")
     return f"""WITH {_base_ctes()},
-q(term, qcount) AS (VALUES {_values_for_counts(counts)}),
+qdict AS (SELECT DISTINCT term FROM tf),
+q AS ({q_cte}),
 dtoks AS (SELECT doc_id, {TOKENIZE.format(col="text")} AS toks FROM documents),
 cand AS (
   SELECT doc_id FROM doc_stats ds{where}

@@ -53,7 +53,10 @@ def run_pipeline(spark, corpus, text_col: str = "text",
                  max_dup_line_frac: float | None = None,
                  decontam_eval: "DataFrame | None" = None,
                  decontam_span: int = 13,
-                 remove_dup_spans: int | None = None):
+                 remove_dup_spans: int | None = None,
+                 embeddings: "DataFrame | None" = None,
+                 semantic_threshold: float | None = None,
+                 semantic_clusters: int = 64):
     """Returns (cleaned DataFrame with analytics columns, stats dict)."""
     from pyspark.sql import functions as F
 
@@ -114,6 +117,22 @@ def run_pipeline(spark, corpus, text_col: str = "text",
             drop = pairs.select(F.col("doc_b").alias(id_col)).distinct()
             df = df.join(drop, id_col, "left_anti")
         stats["after_near_dedup"] = df.count()
+
+    # 2.5 optional SEMANTIC dedup (SemDeDup shape) — an embeddings
+    #     table (id, vector) keyed like the corpus: k-means-bounded
+    #     intra-cluster exact-cosine pairs, resolved with the SAME
+    #     keep-canonical policy as stage 2's cluster mode (paraphrase
+    #     families that lexical shingles miss)
+    if embeddings is not None and semantic_threshold is not None:
+        from data_text_search_spark.operators import similarity
+        pairs = similarity.semdedup_pairs(
+            embeddings, threshold=semantic_threshold,
+            n_clusters=semantic_clusters, id_col=embeddings.columns[0],
+            vec_col=embeddings.columns[1])
+        pairs = pairs.select(F.col("id_a").alias("doc_a"),
+                             F.col("id_b").alias("doc_b"))
+        df = dedup.dedup_keep_canonical(df, pairs, id_col=id_col)
+        stats["after_semantic_dedup"] = df.count()
 
     # 2.7 optional train/test decontamination — any document sharing a
     #     verbatim decontam_span-token window with the eval set is
@@ -238,6 +257,12 @@ def main(argv: list[str] | None = None) -> dict:
                          "sharing a verbatim --decontam-span token window "
                          "with it is dropped (GPT-3 13-gram rule)")
     ap.add_argument("--decontam-span", type=int, default=13)
+    ap.add_argument("--embeddings", default=None, metavar="PARQUET",
+                    help="(id, vector) table keyed like --id-col: "
+                         "enables the semantic-dedup stage")
+    ap.add_argument("--semantic-threshold", type=float, default=None,
+                    help="SemDeDup cosine threshold (needs --embeddings)")
+    ap.add_argument("--semantic-clusters", type=int, default=64)
     ap.add_argument("--remove-dup-spans", type=int, default=None,
                     metavar="SPAN",
                     help="excise cross-doc duplicated SPAN-token windows "
@@ -274,7 +299,11 @@ def main(argv: list[str] | None = None) -> dict:
         decontam_eval=(spark.read.parquet(args.decontam_eval)
                        if args.decontam_eval else None),
         decontam_span=args.decontam_span,
-        remove_dup_spans=args.remove_dup_spans)
+        remove_dup_spans=args.remove_dup_spans,
+        embeddings=(spark.read.parquet(args.embeddings)
+                    if args.embeddings else None),
+        semantic_threshold=args.semantic_threshold,
+        semantic_clusters=args.semantic_clusters)
     out.write.mode("overwrite").parquet(args.output)
     stats["output_docs"] = spark.read.parquet(args.output).count()
     print(json.dumps(stats))

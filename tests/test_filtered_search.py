@@ -207,7 +207,7 @@ def test_parse_query_string():
         ("+", "term", ["state"], 1.0), ("+", "term", ["-"], 1.0),
         ("+", "term", ["of"], 1.0), ("+", "term", ["-"], 1.0),
         ("+", "term", ["art"], 1.0)]
-    counts, must, must_not, ph, nph = compile_query_string(
+    counts, must, must_not, ph, nph, _ = compile_query_string(
         '+req -no "two words" plain')
     assert counts == {"req": 1, "two": 1, "words": 1, "plain": 1}
     assert all(isinstance(v, int) for v in counts.values()), \
@@ -226,7 +226,7 @@ def test_query_string_boosts():
     assert ("", "phrase", ["two", "words"], 2.0) in cl
     assert ("-", "term", ["neg"], 4.0) in cl
     assert ("", "term", ["plain"], 1.0) in cl
-    counts, must, must_not, ph, nph = compile_query_string(
+    counts, must, must_not, ph, nph, _ = compile_query_string(
         'alpha^2.5 +beta^3 "two words"^2 -neg^4 plain alpha')
     # boosts weight the scoring counts; must_not boosts are ignored
     assert counts == {"alpha": 3.5, "beta": 3.0, "two": 2.0,
@@ -237,7 +237,7 @@ def test_query_string_boosts():
     assert parse_query_string("state-of-art^2")[0] == (
         "", "term", ["state"], 2.0)
     # ^0 is legal Lucene: the clause gates (if +) but scores nothing
-    c0, m0, _, _, _ = compile_query_string("+gate^0 score")
+    c0, m0, _, _, _, _ = compile_query_string("+gate^0 score")
     assert c0 == {"gate": 0.0, "score": 1} and m0 == ["gate"]
 
 
@@ -256,7 +256,7 @@ def test_query_string_matches_oracle(spark, corpus, index):
     pdf, df = corpus
     s = IndexSearcher(spark, index)
     qs = '+def -lambda "class def" return'
-    counts, must, must_not, phrases, not_phrases = \
+    counts, must, must_not, phrases, not_phrases, _ = \
         compile_query_string(qs)
     toks = {int(d): tokenize_py(t.lower())
             for d, t in zip(pdf["doc_id"], pdf["content"])}
@@ -281,6 +281,83 @@ def test_query_string_matches_oracle(spark, corpus, index):
     # phrase-free strings run without the corpus df
     assert _rows(s.query_string("+def return", 10)) \
         == _rows(s.boolean_search("def return", must=["def"], n=10))
+
+
+def test_parse_query_string_expansion_clauses():
+    from data_text_search_spark.functions.qsyntax import (
+        compile_query_string, parse_query_string,
+    )
+    cl = parse_query_string('pre* +fix*^2 term~1 bare~ -neg~0 mid*dle a~b')
+    assert ("", "prefix", ["pre"], 1.0) in cl
+    assert ("+", "prefix", ["fix"], 2.0) in cl
+    assert ("", "fuzzy:1", ["term"], 1.0) in cl
+    assert ("", "fuzzy:2", ["bare"], 1.0) in cl       # bare ~ = 2 edits
+    assert ("-", "fuzzy:0", ["neg"], 1.0) in cl
+    # only TRAILING suffixes are syntax; inner */~ stay tokenizer input
+    assert ("", "term", ["mid"], 1.0) in cl and ("", "term", ["dle"], 1.0) in cl
+    assert ("", "term", ["a"], 1.0) in cl and ("", "term", ["b"], 1.0) in cl
+    # a suffix on a word the tokenizer splits is dropped (multi-token)
+    assert all(k == "term" for _, k, t, _ in
+               parse_query_string("state-of-art~1") if t[0] in
+               ("state", "of", "art"))
+    counts, must, must_not, ph, nph, exps = compile_query_string(
+        'plain pre*^2 +req~1 -no*')
+    assert counts == {"plain": 1}
+    assert ("", "prefix", "pre", None, 2.0) in exps
+    assert ("+", "fuzzy", "req", 1, 1.0) in exps
+    assert ("-", "prefix", "no", None, 1.0) in exps
+    assert must == [] and must_not == []
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_query_string_fuzzy_prefix_vs_python(spark, corpus, index):
+    """Expansion clauses against the python replay: every dictionary
+    term within the clause expands into the scoring counts (clause
+    boost as count), '+' gates on ANY expansion, '-' on none."""
+    from collections import Counter
+
+    from tests.oracle_bm25 import oracle_search_counts
+    pdf, _ = corpus
+    s = IndexSearcher(spark, index)
+    vocab = Counter()
+    toks = {}
+    for d, t in zip(pdf["doc_id"], pdf["content"]):
+        tk = tokenize_py(t.lower())
+        toks[int(d)] = tk
+        vocab.update(set(tk))
+    qs = 'retu* +clas~1 -lambd~1 def'
+    pre = sorted(t for t in vocab if t.startswith("retu"))
+    fz_must = sorted(t for t in vocab if _lev(t, "clas") <= 1)
+    fz_not = sorted(t for t in vocab if _lev(t, "lambd") <= 1)
+    assert pre and fz_must and fz_not  # the fixture must exercise all 3
+    counts = Counter({"def": 1})
+    for t in pre + fz_must:
+        counts[t] += 1
+    keep = {d for d, tl in toks.items()
+            if any(m in tl for m in fz_must)
+            and not any(m in tl for m in fz_not)}
+    want_all = oracle_search_counts(pdf["content"].tolist(), counts,
+                                    n=len(pdf))
+    hits = [(d, sc) for d, sc in want_all if d in keep][:10]
+    got = _rows(s.query_string(qs, 10, text_col="content"))
+    assert [d for d, _ in got] == [d for d, _ in hits] and got
+    assert all(math.isclose(g, w, abs_tol=1e-9)
+               for (_, g), (_, w) in zip(got, hits))
+    # + clause expanding to nothing -> typed empty; should-only
+    # no-match expansion with another scorer -> that scorer alone
+    assert s.query_string("+zzzqqq~0 def", 10).count() == 0
+    a = _rows(s.query_string("zzzqqq* def", 10))
+    assert a == _rows(s.search("def", 10))
 
 
 def test_query_string_positions_gate_identity(spark, corpus, index,

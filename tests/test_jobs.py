@@ -38,6 +38,42 @@ def test_corpus_pipeline_cli(spark, tmp_path):
     assert kept == {0, 4}
 
 
+def test_corpus_pipeline_semantic_dedup(spark, tmp_path):
+    """--embeddings + --semantic-threshold: paraphrase pairs (high
+    cosine, low shingle overlap) collapse to the canonical id; docs
+    without a near-identical vector pass through."""
+    sys.path.insert(0, "jobs")
+    import numpy as np
+
+    import corpus_pipeline
+
+    texts = ["the cat sat on the warm mat tonight",
+             "a feline rested upon the heated rug this evening",
+             "completely different content about spark query engines",
+             "unrelated prose about distributed joins and shuffles"]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(src)
+    rs = np.random.RandomState(5)
+    base = rs.standard_normal(16)
+    vecs = [base, base + rs.standard_normal(16) * 0.02,  # paraphrase pair
+            rs.standard_normal(16), rs.standard_normal(16)]
+    emb = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "doc_id long, embedding array<double>").write.parquet(emb)
+    dst = str(tmp_path / "clean_sem")
+    stats = corpus_pipeline.main([
+        "--input", src, "--output", dst,
+        "--near-dup-threshold", "-1",
+        "--embeddings", emb, "--semantic-threshold", "0.95",
+        "--semantic-clusters", "2"])
+    assert stats["after_semantic_dedup"] == 3
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(dst).select("doc_id").collect()}
+    assert kept == {0, 2, 3}  # canonical (min id) of the pair survives
+
+
 def test_corpus_pipeline_near_dup_disabled(spark, tmp_path):
     sys.path.insert(0, "jobs")
     import corpus_pipeline
