@@ -58,6 +58,10 @@ STDOUT_OMIT = frozenset({
     # sidecar = phrase_positional's kernel over a union scan,
     # spell_suggest = one dictionary scan (suggest ranking is pytest'd)
     "bm25_topk_alias", "phrase_positional_incremental", "spell_suggest",
+    # qstring trend is tracked by bm25_qstring (plain) and
+    # bm25_qstring_fuzzy (adds the dictionary-expansion scan); the
+    # boost variant is byte-identical machinery to plain
+    "bm25_qstring_boost",
 })
 
 
