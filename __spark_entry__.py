@@ -1251,12 +1251,15 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_phrase_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase search answered through the PERSISTED index: the
-    tokenized checkpoint's (term, tf) pairs prune candidates (every
-    distinct phrase term present with tf >= multiplicity) before the
-    window verify — same DuckDB oracle as phrase_search."""
+    """Exact phrase search answered through the PERSISTED index layers:
+    with a positional sidecar committed, straight from position blocks
+    (positions.phrase_count — term-pruned reads, zero corpus access at
+    query time; round-5 verdict item 4); without one, the tokenized
+    checkpoint's (term, tf) pairs prune candidates before the window
+    verify — same DuckDB oracle as phrase_search either way."""
     s = _physical_searcher(spark, sf_dir)
-    return s.phrase_search(_documents(spark, sf_dir), PHRASE_QUERY)
+    return s.phrase_search(_documents(spark, sf_dir), PHRASE_QUERY,
+                           positions_root=_positions_root(spark, sf_dir))
 
 
 def _deleted_searcher(spark: SparkSession, sf_dir: str):

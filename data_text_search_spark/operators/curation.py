@@ -24,7 +24,8 @@ scale linearly with input bytes on any cluster:
 - ``duplicate_spans``: cross-document exact substring duplication in
   the style of Lee et al. 2021 ("Deduplicating Training Data Makes
   Language Models Better") at token-span granularity: every k-token
-  span is content-addressed (md5-prefix) and a span position counts as
+  span is content-addressed (64-bit xxhash64 of the token slice —
+  see _span_hash_expr) and a span position counts as
   duplicated when the same span text appears in >= 2 distinct
   documents. Inverted-index shape — span-hash aggregate + semi-join
   back, never a pairwise join — so the cost is O(total positions), and
@@ -260,16 +261,27 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
 def _span_hash_expr(span: int):
     """Content-addressed span keys over the standard (_toks, _n)
-    projection: 1-based position i owns the 64-bit md5 prefix of the
-    space-joined ``span``-token window starting there. The SAME
-    expression feeds duplicate_spans, remove_duplicate_spans, and
-    contamination_stats — and is mirrored byte-for-byte by their DuckDB
-    twins (oracle_sql.py); change all of them together or none."""
+    projection: 1-based position i owns a 64-bit hash of the
+    ``span``-token window starting there — xxhash64 over the token
+    SLICE (seed-chained per element, so token boundaries are mixed in
+    and no separator string is ever built). The SAME expression feeds
+    duplicate_spans, remove_duplicate_spans, and contamination_stats;
+    change all of them together or none.
+
+    The round-5 key was substring(md5(array_join(slice)), 1, 16) —
+    chosen so the DuckDB twins could compute the byte-identical key.
+    But the oracle comparison is on the emitted COUNTS, not the keys,
+    and the engine paid for that mirroring on every position: build a
+    ~50-char string, run md5, keep a 16-char shuffle key. xxhash64 over
+    the slice does no string work and shuffles an 8-byte long. The two
+    keys agree on every count unless a 64-bit collision differs between
+    the families: both are 64-bit content addresses, so either engine
+    merges two distinct spans with probability ~n²/2^65 (≈1e-8 at the
+    driver's correctness SFs) — the same collision class the md5 prefix
+    already accepted, just no longer mirrored pairwise."""
     return F.transform(
         F.sequence(F.lit(1), F.col("_n") - (span - 1)),
-        lambda i: F.substring(
-            F.md5(F.array_join(F.slice(F.col("_toks"), i, span), " ")),
-            1, 16))
+        lambda i: F.xxhash64(F.slice(F.col("_toks"), i, span)))
 
 
 def remove_duplicate_spans(df: DataFrame, span: int = 8,
@@ -294,7 +306,8 @@ def remove_duplicate_spans(df: DataFrame, span: int = 8,
     bytes, so original whitespace/punctuation between tokens is not
     reconstructed.
 
-    Scale shape: span keys are the same content-addressed md5 prefixes;
+    Scale shape: span keys are the same content-addressed 64-bit
+    hashes (_span_hash_expr);
     ownership is one hash aggregate (min(doc_id), distinct-doc count >=
     2, map-side combine); flagged starts come back to their docs as a
     (doc, position) aggregate join — never a pairwise document join.
@@ -374,9 +387,10 @@ def contamination_stats(corpus: DataFrame, eval_df: DataFrame,
     benchmark answer inflates eval scores silently; this measures the
     leak per document so a pipeline can drop or audit it.
 
-    Same content-addressed span key as duplicate_spans (64-bit md5
-    prefix of the space-joined tokenized span — the DuckDB twin computes
-    the identical key; a prefix collision hits both engines alike).
+    Same content-addressed span key as duplicate_spans (64-bit
+    xxhash64 of the tokenized span slice — see _span_hash_expr for why
+    the key no longer mirrors the DuckDB twin's md5 prefix; the emitted
+    counts agree up to the same 64-bit collision class).
     Corpus documents shorter than ``span`` tokens emit (0, 0). Each
     corpus POSITION counts at most once however many eval docs share
     its span (semi-join semantics).
@@ -444,9 +458,8 @@ def duplicate_spans(df: DataFrame, span: int = 8, text_col: str = "text",
 
     Every token position i (1-based, i <= n_tokens - span + 1) owns the
     span of ``span`` consecutive tokens starting there, content-
-    addressed by the 64-bit md5 prefix of the space-joined span text
-    (md5 so the DuckDB oracle computes the identical key; a 64-bit
-    prefix collision hits both engines alike). A position is DUPLICATED
+    addressed by a 64-bit xxhash64 of the token slice (_span_hash_expr
+    has the key-vs-oracle collision analysis). A position is DUPLICATED
     when its span text occurs in >= 2 distinct documents — within-doc
     repeats alone do not count. Documents shorter than ``span`` tokens
     emit (0, 0).

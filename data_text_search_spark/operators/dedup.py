@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from data_text_search_spark.functions import hof
 from data_text_search_spark.functions.text import lower_expr, tokenize_expr
 
 # ---------------------------------------------------------------- exact
@@ -34,16 +35,21 @@ from data_text_search_spark.functions.text import lower_expr, tokenize_expr
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(doc_id, canonical_doc_id, group_size) — exact dedup on the
-    whitespace-normalized lowercase content (hash-groupBy; the canonical
-    representative is the smallest doc_id, deterministic)."""
+    whitespace-normalized lowercase content (the canonical
+    representative is the smallest doc_id, deterministic).
+
+    One shuffle: window aggregates over the fingerprint partition. The
+    round-5 groupBy+join-back form computed the normalize+sha2
+    fingerprint twice (once per join side) and paid two exchanges of
+    64-char keys."""
+    from pyspark.sql.window import Window
     norm = F.trim(F.regexp_replace(lower_expr(text_col), r"\s+", " "))
     fp = df.select(F.col(id_col).alias("doc_id"), F.sha2(norm, 256).alias("fp"))
-    groups = fp.groupBy("fp").agg(
-        F.min("doc_id").alias("canonical_doc_id"),
-        F.count("*").alias("group_size"),
-    )
-    return (fp.join(groups, "fp")
-            .select("doc_id", "canonical_doc_id", "group_size"))
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_doc_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"))
 
 
 # ------------------------------------------------------- shingles (shared)
@@ -52,18 +58,50 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text",
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
              n: int = 3) -> DataFrame:
     """(doc_id, shingle) — distinct word n-grams of the engine tokenizer's
-    output, space-joined. Docs with < n tokens produce no shingles."""
-    toks = tokenize_expr(text_col)
-    # guard: F.sequence(1, 0) yields a DESCENDING [1, 0] — short docs must
-    # produce an empty shingle list instead
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    output, space-joined. Docs with < n tokens produce no shingles.
+    The tokenize is lambda-bound (functions.hof.once) so it runs once
+    per row — referenced bare inside the window transform it would be
+    re-evaluated per window position (the round-5 plan did exactly
+    that)."""
+
+    def spans(toks):
+        # guard: F.sequence(1, 0) yields a DESCENDING [1, 0] — short docs
+        # must produce an empty shingle list instead
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    sh = hof.once(tokenize_expr(text_col), spans)
     return (df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+            .distinct())
+
+
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str,
+                     n: int) -> DataFrame:
+    """(doc_id, shingle bigint) — the distinct word-n-gram set of each
+    doc under a 64-bit content address: xxhash64 over the n-token SLICE
+    (seed-chained per element — token boundaries are mixed in, no
+    separator string is ever materialized). One distinct over (doc,
+    long) rows; the round-5 form first distinct'd (doc, string) shingle
+    rows and then distinct'd their md5 prefixes again — two corpus-sized
+    exchanges carrying text. Collision class is the same 64-bit mass the
+    md5 prefix already accepted (see curation._span_hash_expr for the
+    vs-oracle analysis)."""
+
+    def spans(toks):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.xxhash64(F.slice(toks, i, n))),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    sh = hof.once(tokenize_expr(text_col), spans)
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(sh).alias("shingle"))
             .distinct())
 
 
@@ -82,20 +120,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     *every* shared shingle is ultra-common). Jaccard for surviving
     candidates is still computed over the FULL shingle sets, so emitted
     values are exact. None (the default) = the uncapped exact oracle."""
-    sh = shingles(df, text_col, id_col, n)
+    sh = _hashed_shingles(df, text_col, id_col, n)
     if max_shingle_df is None:
-        # self-join key: the 64-bit (16-hex-char) md5 prefix of the
-        # shingle, not the raw n-gram string — the candidate exchange
-        # moves fixed 16-byte keys instead of arbitrary-length text
-        # (round-4 verdict item 6). md5 is computed IDENTICALLY by the
-        # DuckDB oracle (unlike xxhash64, which DuckDB lacks), so a
-        # prefix collision — ~1e-7 birthday mass even at 10^9 distinct
-        # shingles, an epsilon on one pair's jaccard if it ever fires —
-        # merges the same two shingles in BOTH engines and cross-engine
-        # parity stays exact by construction.
-        sh = (sh.select("doc_id",
-                        F.substring(F.md5("shingle"), 1, 16).alias("shingle"))
-              .distinct())
+        # self-join key: the 64-bit xxhash64 span address — the
+        # candidate exchange moves fixed 8-byte longs instead of
+        # arbitrary-length text, and no per-span string or md5 is ever
+        # computed (the round-4/5 form built every span string, md5'd
+        # it, and distinct'd twice; see _hashed_shingles).
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         a = sh.alias("a")
         b = sh.alias("b")
@@ -115,13 +146,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard")
         )
-    # capped path: candidate generation joins on xxhash64(shingle) — an
-    # 8-byte key; a collision can only ADD a candidate pair, which the
-    # exact set-verify below filters (the df cap itself is a heuristic
-    # ceiling, so counting it over hashed keys is equivalent in practice)
-    shh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    rare = shh.join(
-        shh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    # capped path: same 8-byte span keys; a collision can only ADD a
+    # candidate pair, which the exact set-verify below filters (the df
+    # cap itself is a heuristic ceiling, so counting it over hashed keys
+    # is equivalent in practice)
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         .filter(F.col("_df") <= max_shingle_df).select("shingle"),
         "shingle")
     a, b = rare.alias("a"), rare.alias("b")
@@ -132,9 +162,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .distinct())
     # exact verification over the full (hashed) shingle sets — the cap
     # bounds candidates, never the Jaccard value itself
-    sets = (sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-            .groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("h")).alias("hs")))
+    sets = (sh.groupBy("doc_id")
+            .agg(F.sort_array(F.collect_set("shingle")).alias("hs")))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -405,10 +434,17 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     between the two paths is pytest-pinned; pass driver_max_edges=0 to
     force the distributed path.
     """
-    edges = (pairs.select(F.col(a_col).cast("long").alias("src"),
-                          F.col(b_col).cast("long").alias("dst"))
-             .union(pairs.select(F.col(b_col).cast("long").alias("src"),
-                                 F.col(a_col).cast("long").alias("dst")))
+    # materialize the (possibly expensive) pair computation ONCE before
+    # symmetrizing: a union of `pairs` with its own swap re-runs the
+    # whole upstream plan twice (the round-5 dup_clusters row paid its
+    # cosine_dup_pairs input two times — 15.8 s where the pairs
+    # themselves cost 7.8 s)
+    half = (pairs.select(F.col(a_col).cast("long").alias("src"),
+                         F.col(b_col).cast("long").alias("dst"))
+            .localCheckpoint(eager=True))
+    edges = (half
+             .union(half.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
              .distinct())
     edges = edges.localCheckpoint(eager=True)
     if edges.count() <= driver_max_edges:

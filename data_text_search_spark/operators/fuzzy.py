@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_text_search_spark.functions.hof import explode_keep as _explode_keep
+from data_text_search_spark.functions.hof import once as _once
 from data_text_search_spark.functions.text import tokenize_expr, tokenize_py
 
 
@@ -51,7 +53,13 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
     reference PhraseMatcher(attr='LOWER') candidates filtered by
     Levenshtein.distance(query, span) <= max. Distributed as a sliding
     token window of the query's length, space-joined, levenshtein-filtered.
-    Score semantics identical to Z3."""
+    Score semantics identical to Z3.
+
+    Scale shape: map-only — per doc, one JVM HOF pass counts the
+    matching windows in place (no window explode, no (doc, span) rows,
+    no groupBy shuffle; the round-5 form exploded every window and paid
+    a corpus-sized aggregate). Tokenize runs once per row via the _once
+    lambda binding. The orderBy is presentation only."""
     qtokens = tokenize_py(query)
     n = len(qtokens)
     if n == 0:
@@ -59,27 +67,35 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
             [], f"{id_col} long, match_count long, n_chars int, "
                 "score double, score_abs double")
     qphrase = " ".join(qtokens)
-    toks = F.col("_toks")
-    windows = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    # n_chars = length of the space-joined TOKENIZED text — the reference
-    # scores against df_list = ' '.join(tokens) (spacy_search_funcs.py:34,100-104)
-    spans = (df.withColumn("_toks", tokenize_expr(text_col))
-             .select(F.col(id_col),
-                     F.length(F.array_join("_toks", " ")).alias("n_chars"),
-                     F.explode(windows).alias("span")))
-    matched = spans.filter(
-        _fuzzy_match_cond(F.col("span"), F.lit(qphrase), max_mistakes))
-    return (
-        matched.groupBy(id_col, "n_chars")
-        .agg(F.count("*").alias("match_count"))
-        .withColumn("score", F.col("match_count") / F.col("n_chars") * 100.0)
-        .withColumn("score_abs", F.abs(F.round("score", 2)))
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score_abs"), F.asc(id_col))
+
+    def row_of(toks: Column) -> Column:
+        windows = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        hits = F.size(F.filter(
+            windows,
+            lambda i: _fuzzy_match_cond(
+                F.concat_ws(" ", F.slice(toks, i, n)),
+                F.lit(qphrase), max_mistakes)))
+        cnt = (F.when(F.size(toks) >= n, hits)
+               .otherwise(F.lit(0)).cast("long"))
+        # n_chars = length of the space-joined TOKENIZED text — the
+        # reference scores against df_list = ' '.join(tokens)
+        # (spacy_search_funcs.py:34,100-104)
+        return F.struct(
+            cnt.alias("match_count"),
+            F.length(F.array_join(toks, " ")).cast("int").alias("n_chars"))
+
+    out = _explode_keep(
+        df, [F.col(id_col)],
+        _once(tokenize_expr(text_col), row_of),
+        lambda r: r["match_count"] > 0)
+    return (out.select(
+                F.col(id_col), F.col("_r.n_chars").alias("n_chars"),
+                F.col("_r.match_count").alias("match_count"))
+            .withColumn("score",
+                        F.col("match_count") / F.col("n_chars") * 100.0)
+            .withColumn("score_abs", F.abs(F.round("score", 2)))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score_abs"), F.asc(id_col))
     )
 
 
@@ -92,11 +108,16 @@ def phrase_search(spark: SparkSession, df: DataFrame, query: str,
     machinery (spacy_search_funcs.py:58-92), where the levenshtein
     verify collapses to array equality.
 
-    Scale shape: one narrow map-only pass — tokenize, then count window
-    matches with a single JVM higher-order filter over the position
-    range (no explode: a doc contributes ONE row and never materializes
-    its windows). Zero shuffle, zero UDF; the orderBy is presentation
-    only. For index-pruned candidates use IndexSearcher.phrase_search.
+    Scale shape: one narrow map-only pass — tokenize ONCE per row (the
+    _once lambda binding; the round-5 plan let PushDownPredicate inline
+    the tokenize into the window lambda of a pushed filter, re-running
+    the regex once per window position), then count window matches with
+    a single JVM higher-order filter over the position range (no
+    explode of windows; a doc contributes one row). The window match is
+    element-wise with left-to-right short-circuit — most windows cost
+    one element compare, never an array slice allocation. Zero shuffle,
+    zero UDF; the orderBy is presentation only. For index-pruned
+    candidates use IndexSearcher.phrase_search.
 
     Returns (id_col, phrase_count) with phrase_count >= 1, ordered
     count desc, id asc."""
@@ -104,15 +125,24 @@ def phrase_search(spark: SparkSession, df: DataFrame, query: str,
     n = len(qtokens)
     if n == 0:
         return spark.createDataFrame([], f"{id_col} long, phrase_count long")
-    qarr = F.array(*[F.lit(t) for t in qtokens])
-    toks = F.col("_toks")
-    hits = F.size(F.filter(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.slice(toks, i, n) == qarr))
-    return (df.withColumn("_toks", tokenize_expr(text_col))
-            .filter(F.size("_toks") >= n)
-            .select(F.col(id_col), hits.cast("long").alias("phrase_count"))
-            .filter(F.col("phrase_count") > 0)
+
+    def row_of(toks: Column) -> Column:
+        def win(i: Column) -> Column:
+            cond = None
+            for j, qt in enumerate(qtokens):
+                c = F.element_at(toks, i + j) == F.lit(qt)
+                cond = c if cond is None else cond & c
+            return cond
+
+        hits = F.size(F.filter(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)), win))
+        return (F.when(F.size(toks) >= n, hits)
+                .otherwise(F.lit(0)).cast("long"))
+
+    out = _explode_keep(df, [F.col(id_col)],
+                        _once(tokenize_expr(text_col), row_of),
+                        lambda c: c > 0)
+    return (out.select(F.col(id_col), F.col("_r").alias("phrase_count"))
             .orderBy(F.desc("phrase_count"), F.asc(id_col)))
 
 
@@ -180,13 +210,6 @@ def fuzzy_search(spark: SparkSession, df: DataFrame, query: str,
         return spark.createDataFrame(
             [], f"{id_col} long, match_count long, n_chars int, "
                 "score double, score_abs double")
-    # reference denominator: len(' '.join(tokens)) — spacy_search_funcs.py:34,100-104
-    toks = (df.withColumn("_toks", tokenize_expr(text_col))
-            .select(F.col(id_col),
-                    F.length(F.array_join("_toks", " ")).alias("n_chars"),
-                    F.explode("_toks").alias("tok")))
-    qdf = F.broadcast(spark.createDataFrame([(t,) for t in qtokens], "qtok string"))
-    cond = _fuzzy_match_cond(F.col("tok"), F.col("qtok"), max_mistakes)
     if strategy == "auto":
         strategy = ("scan" if _plan_size_bytes(df) <= AUTO_SCAN_MAX_BYTES
                     else "vocab")
@@ -196,17 +219,55 @@ def fuzzy_search(spark: SparkSession, df: DataFrame, query: str,
         # then matched (tok, qtok) pairs — tiny — broadcast back. A doc
         # occurrence matching two query tokens still counts twice, as in
         # the scan form and the reference.
+        # reference denominator: len(' '.join(tokens)) —
+        # spacy_search_funcs.py:34,100-104
+        toks = (df.withColumn("_toks", tokenize_expr(text_col))
+                .select(F.col(id_col),
+                        F.length(F.array_join("_toks", " ")).alias("n_chars"),
+                        F.explode("_toks").alias("tok")))
+        qdf = F.broadcast(spark.createDataFrame([(t,) for t in qtokens],
+                                                "qtok string"))
+        cond = _fuzzy_match_cond(F.col("tok"), F.col("qtok"), max_mistakes)
         vocab = toks.select("tok").distinct()
         matched_toks = F.broadcast(vocab.join(qdf, cond))
         matched = toks.join(matched_toks, "tok")
-    else:
-        matched = toks.join(qdf, cond)
-    return (
-        matched.groupBy(id_col, "n_chars")
-        .agg(F.count("*").alias("match_count"))
-        .withColumn("score",
-                    F.col("match_count") / F.col("n_chars") * 100.0)
-        .withColumn("score_abs", F.abs(F.round("score", 2)))
-        .filter(F.col("score") > 0)
-        .orderBy(F.desc("score_abs"), F.asc(id_col))
+        return (
+            matched.groupBy(id_col, "n_chars")
+            .agg(F.count("*").alias("match_count"))
+            .withColumn("score",
+                        F.col("match_count") / F.col("n_chars") * 100.0)
+            .withColumn("score_abs", F.abs(F.round("score", 2)))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score_abs"), F.asc(id_col))
+        )
+
+    # 'scan': map-only — per doc, one JVM HOF pass per query token counts
+    # matching occurrences in place (thresholded levenshtein inside the
+    # lambda; an occurrence matching two query tokens counts twice via
+    # the sum, as in the vocab form and the reference). No token explode,
+    # no join, no groupBy shuffle — the round-5 scan exploded every
+    # occurrence into a corpus-sized theta-join + aggregate. Tokenize
+    # runs once per row (_once lambda binding).
+    def row_of(toks: Column) -> Column:
+        cnt = None
+        for qt in qtokens:
+            c = F.size(F.filter(
+                toks, lambda x: _fuzzy_match_cond(x, F.lit(qt),
+                                                  max_mistakes)))
+            cnt = c if cnt is None else cnt + c
+        return F.struct(
+            cnt.cast("long").alias("match_count"),
+            F.length(F.array_join(toks, " ")).cast("int").alias("n_chars"))
+
+    out = _explode_keep(df, [F.col(id_col)],
+                        _once(tokenize_expr(text_col), row_of),
+                        lambda r: r["match_count"] > 0)
+    return (out.select(F.col(id_col),
+                       F.col("_r.n_chars").alias("n_chars"),
+                       F.col("_r.match_count").alias("match_count"))
+            .withColumn("score",
+                        F.col("match_count") / F.col("n_chars") * 100.0)
+            .withColumn("score_abs", F.abs(F.round("score", 2)))
+            .filter(F.col("score") > 0)
+            .orderBy(F.desc("score_abs"), F.asc(id_col))
     )

@@ -273,9 +273,13 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
     """
     BROADCAST_MAX_BYTES = 512 << 20
     if strategy == "auto":
-        n = df.count()
-        first = df.select(F.size(vec_col).alias("d")).first()
-        dim = int(first["d"]) if first and first["d"] is not None else 0
+        # one job for both stats (count + a first-row dim), not two
+        # back-to-back actions each paying the scheduling floor
+        r = df.agg(F.count(F.lit(1)).alias("n"),
+                   F.first(F.size(vec_col), ignorenulls=True)
+                   .alias("d")).first()
+        n = int(r["n"])
+        dim = int(r["d"]) if r["d"] is not None else 0
         strategy = ("broadcast"
                     if n <= broadcast_max_rows
                     and n * dim * 8 <= BROADCAST_MAX_BYTES else "block")
@@ -285,31 +289,49 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.9,
     return _dup_pairs_block(base, threshold, block_rows, max_blocks)
 
 
+def _candidate_pairs(sims: np.ndarray, th: float):
+    """(row_idx, col_idx, rounded_cosine) for entries with round(sims, 6)
+    >= th — rounding only the CANDIDATES. round(x, 6) >= th implies
+    x >= th - 1e-6 for any th on the 1e-6 grid or off it, so the raw
+    prefilter is a strict superset and the re-filter on the rounded
+    values is exact. The round-5 kernels rounded the FULL n×m matrix and
+    materialized a second n×m boolean for the id-order mask — two extra
+    full-matrix passes that cost as much as the matmul itself."""
+    li, gi = np.nonzero(sims >= th - 1e-6)
+    if not li.size:
+        return li, gi, np.empty(0, dtype=np.float64)
+    vals = np.round(sims[li, gi], 6)
+    m = vals >= th
+    return li[m], gi[m], vals[m]
+
+
 def _dup_pairs_broadcast(base: DataFrame, threshold: float) -> DataFrame:
     rows = base.collect()
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
+    # pre-normalize ONCE: the batch matmul then yields cosines directly,
+    # instead of two further full-matrix division passes per batch
+    mat /= norms[:, None]
     spark = base.sparkSession
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
     th = float(threshold)
 
     def block(batches):
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
+        all_ids, all_mat = b_ids.value, b_mat.value
         for pdf in batches:
             bid = pdf["id"].to_numpy(dtype=np.int64)
             bv = np.array(pdf["v"].tolist(), dtype=np.float64)
             bn = np.linalg.norm(bv, axis=1)
             bn[bn == 0] = 1.0
-            sims = (bv @ all_mat.T) / bn[:, None] / all_norms[None, :]
-            sims = np.round(sims, 6)
-            li, gi = np.nonzero((sims >= th) & (bid[:, None] < all_ids[None, :]))
+            sims = (bv / bn[:, None]) @ all_mat.T
+            li, gi, vals = _candidate_pairs(sims, th)
+            keep = bid[li] < all_ids[gi]
             yield pd.DataFrame({
-                "id_a": bid[li], "id_b": all_ids[gi],
-                "cosine": sims[li, gi]})
+                "id_a": bid[li[keep]], "id_b": all_ids[gi[keep]],
+                "cosine": vals[keep]})
 
     return base.mapInPandas(block, schema="id_a long, id_b long, cosine double")
 
@@ -344,19 +366,22 @@ def _dup_pairs_block(base: DataFrame, threshold: float,
         av = np.array(A["v"].tolist(), dtype=np.float64)
         an = np.linalg.norm(av, axis=1)
         an[an == 0] = 1.0
+        av = av / an[:, None]
         if i == j:
-            bid, bv, bn = aid, av, an
+            bid, bv = aid, av
         else:
             bid = Bm["id"].to_numpy(dtype=np.int64)
             bv = np.array(Bm["v"].tolist(), dtype=np.float64)
             bn = np.linalg.norm(bv, axis=1)
             bn[bn == 0] = 1.0
-        sims = np.round((av @ bv.T) / an[:, None] / bn[None, :], 6)
-        keep = (sims >= th) & (aid[:, None] != bid[None, :])
-        li, gi = np.nonzero(keep)
+            bv = bv / bn[:, None]
+        sims = av @ bv.T
+        li, gi, vals = _candidate_pairs(sims, th)
+        m = aid[li] != bid[gi]
+        li, gi, vals = li[m], gi[m], vals[m]
         ia, ib = aid[li], bid[gi]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[li, gi]})
+        out = pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": vals})
         if i == j:
             # diagonal block: each unordered pair appears twice (x,y)+(y,x)
             out = out.drop_duplicates(["id_a", "id_b"])
