@@ -6,7 +6,14 @@ Supported subset (Lucene QueryParser's everyday core):
     +term      required (must) — also scores, as in Lucene
     -term      forbidden (must_not) — never scores
     term       optional (should) — scores
-    "a b c"    exact phrase, required; -"a b c" forbidden
+    "a b c"    exact phrase, required; -"a b c" forbidden.
+               Documented divergence: a ~N suffix on a MULTI-token
+               quoted clause (Lucene's phrase slop, ``"a b"~2``) is
+               parsed and IGNORED — the clause gates as an EXACT
+               phrase, which is strictly narrower than Lucene's slop
+               match. Both the engine and the DuckDB oracle share this
+               parse, so the two sides agree; proximity queries are
+               positions.span_near / span_window territory.
     term^2.5   boost: the clause's scoring weight is multiplied by the
                (non-negative) number — Lucene's ^ boost. Works on
                quoted phrases too ("a b"^3 boosts every phrase token);

@@ -8,12 +8,15 @@ this engine's roots, composed from pieces that already exist:
 - an alias resolves to ONE root (plain `IndexSearcher`) or MANY
   (`FederatedSearcher` — exact global statistics, so a multi-member
   alias scores identically to one combined index; federation.py),
-- the registry (`aliases.json`) commits through the SAME versioned
-  last-writer-wins protocol as index manifests (fresh `.v<seq>`
-  object per commit, readers take the highest, GC after — no instant
-  without a complete registry on ANY filesystem; index_build.py's
-  manifest rationale), so alias re-points are atomic: a reader sees
-  the old membership or the new, never a torn list,
+- the registry (`aliases.json`) commits through the index manifests'
+  versioned protocol (fresh `.v<seq>` object per commit, readers take
+  the highest, GC after — no instant without a complete registry on
+  ANY filesystem; index_build.py's manifest rationale) hardened with a
+  CAS on the version number (create-only write of seq+1; a lost race
+  re-applies the mutation on the winner's state), so alias re-points
+  are atomic AND concurrent ops on different aliases compose — a
+  reader sees the old membership or the new, never a torn list, and a
+  slower writer can never silently erase a faster one's change,
 - ES-style rollover for batch-built generations: `needs_rollover`
   checks the current write member's committed manifest (docs /
   segment count — no data scan), `rollover` atomically appends an
@@ -35,7 +38,6 @@ from pyspark.sql import SparkSession
 
 from data_text_search_spark.operators.index_build import (
     _manifest_versions,
-    _write_manifest_atomic,
     load_manifest,
 )
 from data_text_search_spark.sources import fsio
@@ -51,25 +53,66 @@ class AliasCatalog:
         self.root = root
         self._path = f"{root}/{REGISTRY}"
 
-    # ---- registry IO (versioned last-writer-wins) ---------------------
+    # ---- registry IO (versioned, CAS on the version number) -----------
 
-    def _load(self) -> dict:
-        versions = _manifest_versions(self._path, self.spark)
-        if not versions:
-            return {}
-        try:
-            return json.loads(fsio.read_text(versions[-1][1], self.spark))
-        except FileNotFoundError:
-            # concurrent commit GC'd the version we listed — the newer
-            # complete registry exists by construction; re-list once
+    def _load_versioned(self) -> tuple[dict, int]:
+        """(registry, seq of the version read; 0 = empty). Retries the
+        documented concurrent-GC race on ANY read error — non-local
+        filesystems surface it as Py4J/Java IO errors, not
+        FileNotFoundError — re-raising only when the object still
+        exists (a real fault), mirroring load_manifest."""
+        for _ in range(8):
             versions = _manifest_versions(self._path, self.spark)
             if not versions:
-                return {}
-            return json.loads(fsio.read_text(versions[-1][1], self.spark))
+                return {}, 0
+            seq, vpath = versions[-1]
+            try:
+                return (json.loads(fsio.read_text(vpath, self.spark)),
+                        seq)
+            except Exception:
+                if fsio.exists(vpath, self.spark):
+                    raise
+                continue  # GC'd under us — a newer version exists
+        raise RuntimeError(
+            f"alias registry at {self._path}: latest version vanished on "
+            "8 consecutive reads — concurrent commit storm or filesystem "
+            "fault")
 
-    def _commit(self, data: dict) -> None:
+    def _load(self) -> dict:
+        return self._load_versioned()[0]
+
+    def _mutate(self, fn) -> None:
+        """Read-modify-write with a CAS on the version number: `fn`
+        transforms a registry snapshot; the commit targets seq+1 via a
+        CREATE-ONLY write, so two concurrent ops on DIFFERENT aliases
+        can never silently erase each other (the round-5 protocol was
+        whole-file last-writer-wins: the slower writer took a fresh seq
+        and dropped the faster one's change). A lost CAS re-reads and
+        re-applies `fn` on the fresh state; `fn`'s own validation
+        errors (duplicate create, missing alias) propagate unchanged."""
         fsio.mkdirs(self.root, self.spark)
-        _write_manifest_atomic(self._path, data)
+        for _ in range(8):
+            reg, seq = self._load_versioned()
+            new = fn(dict(reg))
+            try:
+                fsio.write_text_new(
+                    f"{self._path}.v{seq + 1:016d}",
+                    json.dumps(new, indent=1, sort_keys=True), self.spark)
+            except FileExistsError:
+                continue  # lost the race — retry on the winner's state
+            # post-commit GC (best-effort, like _write_manifest_atomic)
+            # — only versions we SUPERSEDED: a concurrent committer may
+            # already have landed seq+2, which must survive
+            for old_seq, old in _manifest_versions(self._path, self.spark):
+                if old_seq <= seq:
+                    try:
+                        fsio.delete(old, self.spark)
+                    except Exception:
+                        pass
+            return
+        raise RuntimeError(
+            f"alias registry at {self._path}: lost 8 consecutive CAS "
+            "commits — unreasonable write contention")
 
     # ---- alias CRUD ----------------------------------------------------
 
@@ -84,41 +127,48 @@ class AliasCatalog:
         with update()/rollover() so intent is explicit."""
         if not roots:
             raise ValueError("an alias needs at least one index root")
-        reg = self._load()
-        if name in reg:
-            raise ValueError(f"alias {name!r} already exists — use "
-                             "update() or rollover() to re-point it")
         w = write or roots[-1]
         if w not in roots:
             raise ValueError(f"write index {w!r} is not a member")
-        reg[name] = {"indexes": list(roots), "write": w}
-        self._commit(reg)
+
+        def _do(reg: dict) -> dict:
+            if name in reg:
+                raise ValueError(f"alias {name!r} already exists — use "
+                                 "update() or rollover() to re-point it")
+            reg[name] = {"indexes": list(roots), "write": w}
+            return reg
+
+        self._mutate(_do)
 
     def update(self, name: str, add: list[str] = (),
                remove: list[str] = (), write: str | None = None) -> None:
         """Atomic membership swap (ES _aliases actions semantics: one
         commit applies every action — a reader sees all or none)."""
-        reg = self._load()
-        if name not in reg:
-            raise KeyError(f"no alias {name!r}")
-        ent = reg[name]
-        roots = [r for r in ent["indexes"] if r not in set(remove)]
-        roots += [r for r in add if r not in roots]
-        if not roots:
-            raise ValueError(f"update would leave alias {name!r} empty — "
-                             "use delete()")
-        w = write or ent["write"]
-        if w not in roots:
-            w = roots[-1]
-        reg[name] = {"indexes": roots, "write": w}
-        self._commit(reg)
+        def _do(reg: dict) -> dict:
+            if name not in reg:
+                raise KeyError(f"no alias {name!r}")
+            ent = reg[name]
+            roots = [r for r in ent["indexes"] if r not in set(remove)]
+            roots += [r for r in add if r not in roots]
+            if not roots:
+                raise ValueError(f"update would leave alias {name!r} "
+                                 "empty — use delete()")
+            w = write or ent["write"]
+            if w not in roots:
+                w = roots[-1]
+            reg[name] = {"indexes": roots, "write": w}
+            return reg
+
+        self._mutate(_do)
 
     def delete(self, name: str) -> None:
-        reg = self._load()
-        if name not in reg:
-            raise KeyError(f"no alias {name!r}")
-        del reg[name]
-        self._commit(reg)
+        def _do(reg: dict) -> dict:
+            if name not in reg:
+                raise KeyError(f"no alias {name!r}")
+            del reg[name]
+            return reg
+
+        self._mutate(_do)
 
     # ---- resolution -----------------------------------------------------
 
@@ -180,11 +230,13 @@ class AliasCatalog:
         if not (load_manifest(new_root) or {}).get("complete"):
             raise ValueError(f"rollover target {new_root} has no "
                              "complete manifest — build it first")
-        reg = self._load()
-        ent = reg[name]
-        roots = list(ent["indexes"])
-        if new_root not in roots:
-            roots.append(new_root)
-        reg[name] = {"indexes": roots, "write": new_root}
-        self._commit(reg)
+        def _do(reg: dict) -> dict:
+            ent = reg[name]
+            roots = list(ent["indexes"])
+            if new_root not in roots:
+                roots.append(new_root)
+            reg[name] = {"indexes": roots, "write": new_root}
+            return reg
+
+        self._mutate(_do)
         return True

@@ -477,34 +477,35 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
 
 
 def _dup_clusters_driver(spark, edges: DataFrame) -> DataFrame:
-    """Union-find on the collected (already size-gated) edge list —
-    same (doc_id, min-reachable-id) output as the propagation path, in
-    one collect + one parallelize."""
-    rows = edges.collect()
-    if not rows:
+    """Connected components on the collected (already size-gated) edge
+    list — same (doc_id, min-reachable-id) output as the propagation
+    path. Fully VECTORIZED min-label propagation with pointer doubling
+    (np.minimum.at over the edge arrays + labels[labels] shortcutting,
+    O(log n) whole-array rounds) — the round-5 form ran a pure-Python
+    find/union loop over every edge, several seconds at the 2M-edge
+    gate; and Arrow transfers on both sides instead of row collects."""
+    pdf = edges.toPandas()
+    if pdf.empty:
         return spark.createDataFrame([], "doc_id long, cluster_id long")
-    src = np.fromiter((r["src"] for r in rows), dtype=np.int64)
-    dst = np.fromiter((r["dst"] for r in rows), dtype=np.int64)
-    ids = np.unique(np.concatenate([src, dst]))
-    pos = {int(v): i for i, v in enumerate(ids)}
-    parent = np.arange(len(ids), dtype=np.int64)
-
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:          # path compression
-            parent[i], i = root, parent[i]
-        return root
-
-    for a, b in zip(src, dst):
-        ra, rb = find(pos[int(a)]), find(pos[int(b)])
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)  # root = smaller index
-    roots = np.fromiter((find(i) for i in range(len(ids))), dtype=np.int64)
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[:src.size], inv[src.size:]
+    labels = np.arange(ids.size, dtype=np.int64)
+    while True:
+        new = labels.copy()
+        np.minimum.at(new, si, labels[di])   # neighbour min (both
+        #                                      directions: edges are
+        #                                      symmetrized by the caller)
+        new = np.minimum(new, new[new])      # pointer doubling
+        if np.array_equal(new, labels):
+            # fixpoint ⇒ labels[labels] == labels (labels only ever
+            # decrease and label[y] <= y), so labels are already roots
+            break
+        labels = new
     # ids is sorted, so the min index in a component IS the min id
-    out = [(int(ids[i]), int(ids[roots[i]])) for i in range(len(ids))]
-    return spark.createDataFrame(out, "doc_id long, cluster_id long")
+    out = pd.DataFrame({"doc_id": ids, "cluster_id": ids[labels]})
+    return spark.createDataFrame(out, schema="doc_id long, cluster_id long")
 
 
 def dedup_keep_canonical(df: DataFrame, pairs: DataFrame,

@@ -55,11 +55,15 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
     token window of the query's length, space-joined, levenshtein-filtered.
     Score semantics identical to Z3.
 
-    Scale shape: map-only — per doc, one JVM HOF pass counts the
-    matching windows in place (no window explode, no (doc, span) rows,
-    no groupBy shuffle; the round-5 form exploded every window and paid
-    a corpus-sized aggregate). Tokenize runs once per row via the _once
-    lambda binding. The orderBy is presentation only."""
+    Scale shape: window explode + whole-stage-codegen'd levenshtein
+    filter + a hits-only aggregate (only MATCHED spans reach the
+    shuffle — the filter sits below the groupBy, so the wide state is
+    bounded by matches, not windows). The window build runs in the
+    codegen'd Generate; a map-only interpreted-HOF variant was measured
+    SLOWER at sf1.0 (4.25 s vs 2.74 s — per-element interpreted
+    overhead on ~100M windows) and rejected. Tokenize is lambda-bound
+    (_once) so it runs once per row wherever the plan puts the window
+    expression."""
     qtokens = tokenize_py(query)
     n = len(qtokens)
     if n == 0:
@@ -69,33 +73,32 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
     qphrase = " ".join(qtokens)
 
     def row_of(toks: Column) -> Column:
-        windows = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-        hits = F.size(F.filter(
-            windows,
-            lambda i: _fuzzy_match_cond(
-                F.concat_ws(" ", F.slice(toks, i, n)),
-                F.lit(qphrase), max_mistakes)))
-        cnt = (F.when(F.size(toks) >= n, hits)
-               .otherwise(F.lit(0)).cast("long"))
+        windows = F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+        ).otherwise(F.array().cast("array<string>"))
         # n_chars = length of the space-joined TOKENIZED text — the
         # reference scores against df_list = ' '.join(tokens)
         # (spacy_search_funcs.py:34,100-104)
         return F.struct(
-            cnt.alias("match_count"),
-            F.length(F.array_join(toks, " ")).cast("int").alias("n_chars"))
+            F.length(F.array_join(toks, " ")).cast("int").alias("n_chars"),
+            windows.alias("windows"))
 
-    out = _explode_keep(
-        df, [F.col(id_col)],
-        _once(tokenize_expr(text_col), row_of),
-        lambda r: r["match_count"] > 0)
-    return (out.select(
-                F.col(id_col), F.col("_r.n_chars").alias("n_chars"),
-                F.col("_r.match_count").alias("match_count"))
-            .withColumn("score",
-                        F.col("match_count") / F.col("n_chars") * 100.0)
-            .withColumn("score_abs", F.abs(F.round("score", 2)))
-            .filter(F.col("score") > 0)
-            .orderBy(F.desc("score_abs"), F.asc(id_col))
+    base = df.select(F.col(id_col),
+                     _once(tokenize_expr(text_col), row_of).alias("_s"))
+    spans = base.select(F.col(id_col),
+                        F.col("_s.n_chars").alias("n_chars"),
+                        F.explode("_s.windows").alias("span"))
+    matched = spans.filter(
+        _fuzzy_match_cond(F.col("span"), F.lit(qphrase), max_mistakes))
+    return (
+        matched.groupBy(id_col, "n_chars")
+        .agg(F.count("*").alias("match_count"))
+        .withColumn("score", F.col("match_count") / F.col("n_chars") * 100.0)
+        .withColumn("score_abs", F.abs(F.round("score", 2)))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score_abs"), F.asc(id_col))
     )
 
 

@@ -586,8 +586,17 @@ def build_index(
         # (over surviving terms, like the reference's self.idf average)
         # rides the write job as an observe() metric — no read-back job
         ts_obs = Observation()
+        # cf = Σ tf over the corpus (collection frequency): one extra
+        # sum in the SAME aggregate, so LM similarities (lmjm/lmdir)
+        # read it as a dictionary lookup instead of paying a query-time
+        # posting-decode job (round-5 verdict item 3). Segment appends
+        # do NOT maintain cf for pre-existing terms (segment term_stats
+        # carry new terms only), so IndexSearcher.collection_tf trusts
+        # the column only while the manifest lists no segments — and
+        # merge_segments rebuilds term_stats through this stage, making
+        # cf fresh again.
         (td.groupBy("term")
-         .agg(F.count("*").alias("df"))
+         .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
          .withColumn(
              "idf",
              F.log(F.lit(float(n_docs)) - F.col("df") + 0.5)

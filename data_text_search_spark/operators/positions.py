@@ -175,23 +175,30 @@ def _encode_positions_shard(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def _write_position_blocks(spark: SparkSession, corpus: DataFrame,
                            dest: str, text_col: str, id_col: str,
-                           S: int) -> int:
+                           S: int) -> tuple[int, int]:
     """Tokenize-with-positions → shard → block-encode → partitioned
     write (the shared build body of base and segment builds). Returns
-    the batch's doc count."""
+    (batch doc count, encoded block rows written) — the block-row count
+    rides the write as an observe() metric; callers gate segment
+    commits on it (an all-empty-text batch writes NO parquet parts, and
+    a committed parts-less segment dir would fail schema inference on
+    every later read)."""
+    from pyspark.sql import Observation
     rows = (corpus.select(F.col(id_col).alias("doc_id"),
                           F.col(text_col).cast("string").alias("text"))
             .mapInPandas(_tokenize_positions_rows(), schema=_ROWS_SCHEMA)
             .withColumn("shard",
                         F.pmod(F.xxhash64("doc_id"),
                                F.lit(S)).cast("int")))
+    obs = Observation()
     (rows.repartition(S, "shard")
      .groupBy("shard")
      .applyInPandas(lambda pdf: _encode_positions_shard(pdf),
                     schema=_BLOCKS_SCHEMA)
+     .observe(obs, F.count(F.lit(1)).alias("n_rows"))
      .write.mode("overwrite").partitionBy("shard")
      .parquet(dest))
-    return corpus.count()
+    return corpus.count(), int(obs.get["n_rows"] or 0)
 
 
 def build_positions(spark: SparkSession, corpus: DataFrame, root: str,
@@ -204,10 +211,14 @@ def build_positions(spark: SparkSession, corpus: DataFrame, root: str,
     from data_text_search_spark.sources import fsio
 
     S = int(shards or spark.sparkContext.defaultParallelism * 2)
-    n_docs = _write_position_blocks(spark, corpus, f"{root}/blocks",
-                                    text_col, id_col, S)
+    n_docs, n_rows = _write_position_blocks(spark, corpus, f"{root}/blocks",
+                                            text_col, id_col, S)
+    # n_rows == 0 (all texts tokenize to nothing) leaves a parts-less
+    # blocks dir; _run_kernel's empty-read guard keys on it
     manifest = {"complete": True, "tokenizer": TOKEN_PATTERN,
-                "n_docs": int(n_docs), "shards": S, "segments": [],
+                "n_docs": int(n_docs), "n_rows": int(n_rows),
+                "base_rows": int(n_rows),
+                "shards": S, "segments": [],
                 "positions": "1-based token index"}
     fsio.write_text_atomic(f"{root}/manifest.json",
                            json.dumps(manifest, indent=1), spark)
@@ -236,13 +247,19 @@ def append_positions_segment(spark: SparkSession, root: str,
                          "sidecar with the current token spec")
     segs = list(m.get("segments") or [])
     seq = f"s{len(segs) + 1:04d}"
-    n_new = _write_position_blocks(
+    n_new, n_rows = _write_position_blocks(
         spark, new_docs, f"{root}/segments/{seq}/blocks",
         text_col, id_col, int(m["shards"]))
-    if n_new == 0:
+    if n_new == 0 or n_rows == 0:
+        # zero ENCODED rows (e.g. every text tokenizes to nothing) must
+        # not commit either: partitionBy wrote no parquet parts, and a
+        # committed parts-less segment dir would break schema inference
+        # for every phrase/span query until a rebuild
         return m
     m["segments"] = segs + [seq]
     m["n_docs"] = int(m["n_docs"]) + int(n_new)
+    if "n_rows" in m:
+        m["n_rows"] = int(m["n_rows"]) + int(n_rows)
     fsio.write_text_atomic(f"{root}/manifest.json",
                            json.dumps(m, indent=1), spark)
     return m
@@ -532,12 +549,19 @@ def _run_kernel(spark: SparkSession, root: str, terms: list[str], kernel,
     if m.get("tokenizer") != TOKEN_PATTERN:
         raise ValueError("tokenizer mismatch: rebuild the positions "
                          "sidecar with the current token spec")
-    if not m.get("n_docs"):
-        # an empty corpus writes no parquet parts (partitionBy of an
-        # empty frame), so the read below could not infer a schema
+    if not m.get("n_docs") or m.get("n_rows") == 0:
+        # an empty corpus — or one whose every text tokenizes to nothing
+        # (n_rows == 0, recorded at build) — writes no parquet parts
+        # (partitionBy of an empty frame), so the read below could not
+        # infer a schema; such a sidecar answers every query empty
+        # (segments are never committed rows-less, so n_rows only grows)
         return spark.createDataFrame([], schema)
-    paths = [f"{root}/blocks"] + [f"{root}/segments/{s}/blocks"
-                                  for s in (m.get("segments") or [])]
+    # a rows-less BASE dir (all-empty-text corpus later grown by
+    # segments) has no parquet parts and would fail its per-path read;
+    # segments are never committed rows-less, so only base needs the
+    # skip (legacy manifests lack base_rows -> always included)
+    paths = ([f"{root}/blocks"] if m.get("base_rows") != 0 else []) + [
+        f"{root}/segments/{s}/blocks" for s in (m.get("segments") or [])]
     # one read per root: base and segment dirs sit at different depths,
     # which trips Spark's common-base partition discovery when globbed
     # into a single read (CONFLICTING_DIRECTORY_STRUCTURES)

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from data_text_search_spark.config import BM25Config
@@ -83,17 +83,43 @@ def build_routed_index(spark: SparkSession, corpus: DataFrame, root: str,
             f"(cap {MAX_ROUTING_VALUES}) — a routing key is a coarse "
             "partition (tenant/lang/date bucket), not a unique id")
     staged = f"{root}/_corpus_by_routing"
-    (corpus.withColumn("_routing",
-                       F.col(routing_col).cast("string"))
-     .write.mode("overwrite").partitionBy("_routing").parquet(staged))
+    # stage by an OPAQUE integer member key, never the routing string:
+    # default partition-column type inference reads numeric-like
+    # distinct strings ('1' vs '01' vs '1.0') back as the SAME value —
+    # members would silently receive each other's documents — and an
+    # empty-string value becomes __HIVE_DEFAULT_PARTITION__/NULL and
+    # vanishes from every member. The int key is inference-proof, needs
+    # no path escaping, and keeps arbitrary routing strings (including
+    # '') addressable through routing.json.
+    rk = F.create_map(
+        *[x for i, v in enumerate(vals)
+          for x in (F.lit(v), F.lit(i))])[F.col(routing_col).cast("string")]
+    obs = Observation()
+    (corpus.withColumn("_rk", rk.cast("int"))
+     .observe(obs, F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").partitionBy("_rk").parquet(staged))
+    n_corpus = int(obs.get["n"] or 0)
     by_rt = spark.read.parquet(staged)
     members = {}
+    n_members = 0
     for i, v in enumerate(vals):
         member = f"m_{i:04d}"
-        build_index(spark, by_rt.filter(F.col("_routing") == v),
+        build_index(spark, by_rt.filter(F.col("_rk") == i),
                     f"{root}/{member}", cfg, text_col=text_col,
                     id_col=id_col, shards=shards)
-        members[v] = member
+        from data_text_search_spark.operators.index_build import (
+            load_manifest,
+        )
+        n_members += int(load_manifest(f"{root}/{member}")["n_docs"])
+    # doc conservation: every corpus row landed in exactly one member —
+    # a routing readback bug can never commit a lossy/duplicated build
+    if n_members != n_corpus:
+        raise ValueError(
+            f"build_routed_index: members hold {n_members} docs but the "
+            f"corpus has {n_corpus} — routing readback lost or "
+            "duplicated documents; not committing")
+    for i, v in enumerate(vals):
+        members[v] = f"m_{i:04d}"
     manifest = {"routing_col": routing_col, "members": members}
     # the mapping is the commit point: written LAST, atomically — a
     # crash mid-build leaves no routing.json and the root never loads

@@ -74,30 +74,38 @@ def percolate(spark: SparkSession, docs: DataFrame,
     query_id is the position in `queries`. Empty-token queries match
     nothing.
 
-    Scale shape: the query table is tiny and BROADCAST; each doc is
-    tokenized once, deduped per doc (array_distinct — no per-occurrence
-    explosion), exploded only over DISTINCT tokens, semi-joined to query
-    terms before the (doc, query) aggregate — so the wide state is
-    (matching doc, query, matched-term) rows, bounded by hits, never
-    |docs| × |queries|."""
-    qrows = []
-    for qid, q in enumerate(queries):
-        terms = sorted(set(tokenize_py(q)))
-        for t in terms:
-            qrows.append((qid, t, len(terms)))
-    if not qrows:
+    Scale shape: MAP-ONLY — queries compile to literal per-query AND
+    conditions over each doc's token array (tokenized once per row via
+    the functions.hof.once lambda binding; one array_contains per
+    registered term), and matching query ids are emitted straight from
+    a generator expression. No token explosion, no join, no aggregate
+    shuffle — the round-5 form exploded every distinct token occurrence
+    (corpus-token-scale rows) into a broadcast join + (doc, query)
+    aggregate. The orderBy is presentation only."""
+    from data_text_search_spark.functions import hof
+    qterms = [sorted(set(tokenize_py(q))) for q in queries]
+    if not any(qterms):
         return spark.createDataFrame([], "doc_id long, query_id int")
-    qt = F.broadcast(spark.createDataFrame(
-        qrows, "query_id int, term string, n_terms int"))
-    dt = (docs.select(F.col(id_col).alias("doc_id"),
-                      F.explode(F.array_distinct(
-                          tokenize_expr(F.col(text_col))))
-                      .alias("term")))
-    return (dt.join(qt, "term")
-            .groupBy("doc_id", "query_id", "n_terms")
-            .agg(F.count("*").alias("hit"))
-            .filter(F.col("hit") == F.col("n_terms"))
-            .select("doc_id", "query_id")
+
+    def matches(toks) -> F.Column:
+        # membership on the raw token array — array_contains needs no
+        # distinct pass, and `toks` is the lambda-bound single evaluation
+        hits = []
+        for qid, terms in enumerate(qterms):
+            if not terms:       # empty-token queries match nothing
+                continue
+            cond = None
+            for t in terms:
+                c = F.array_contains(toks, t)
+                cond = c if cond is None else cond & c
+            hits.append(F.when(cond, F.lit(qid)).otherwise(
+                F.lit(None).cast("int")))
+        return F.filter(F.array(*hits), lambda x: x.isNotNull())
+
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(hof.once(
+                            tokenize_expr(F.col(text_col)), matches))
+                        .alias("query_id"))
             .orderBy("doc_id", "query_id"))
 
 
@@ -296,8 +304,12 @@ def significant_terms(index: LogicalIndex, spark: SparkSession, query: str,
     qt = query_terms_df(spark, query)
     qterms = [r["term"] for r in qt.select("term").collect()]
     matched = F.broadcast(qt.join(index.term_stats, "term").select("term"))
+    # materialize the match set once: the count action AND the fg_df
+    # join both read it — without the checkpoint the corpus-scale
+    # semi-join + distinct runs twice (once to count, once inside the
+    # main job's broadcast build)
     fg_docs = (index.term_doc.join(matched, "term")
-               .select("doc_id").distinct())
+               .select("doc_id").distinct().localCheckpoint(eager=True))
     fg_n = fg_docs.count()
     if fg_n == 0:
         return spark.createDataFrame(

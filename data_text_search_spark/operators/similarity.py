@@ -306,9 +306,11 @@ def _candidate_pairs(sims: np.ndarray, th: float):
 
 
 def _dup_pairs_broadcast(base: DataFrame, threshold: float) -> DataFrame:
-    rows = base.collect()
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    # Arrow transfer (toPandas), not a row collect — the driver pull of
+    # the id+vector table is the fixed cost of this strategy
+    pdf = base.toPandas()
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    mat = np.array(pdf["v"].tolist(), dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
     # pre-normalize ONCE: the batch matmul then yields cosines directly,

@@ -271,7 +271,18 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
     # flagged, not deleted) — a pruned hot term in the delta must stay
     # pruned, not resurrect with a delta-only df and inflated IDF
     full_stats = spark.read.parquet(*stats_paths)
-    delta_terms = (td.groupBy("term").agg(F.count("*").alias("df"))
+    if "cf" not in full_stats.columns:
+        # legacy base dictionary (pre-cf): keep the segment schema
+        # aligned so the union below works; collection_tf falls back to
+        # the posting-sum job on such indexes anyway
+        full_stats = full_stats.withColumn(
+            "cf", F.lit(None).cast("long"))
+    # cf for NEW terms is exact (the term has no base postings, so its
+    # whole collection frequency is this segment's Σtf); pre-existing
+    # terms keep their frozen base cf, which is why collection_tf
+    # ignores the column while segments exist (see IndexSearcher)
+    delta_terms = (td.groupBy("term").agg(F.count("*").alias("df"),
+                                          F.sum("tf").alias("cf"))
                    .join(full_stats.select("term"), "term", "left_anti")
                    .withColumn("idf",
                                F.log(F.lit(float(n_total)) - F.col("df") + 0.5)

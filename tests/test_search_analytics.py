@@ -260,13 +260,18 @@ def test_percolate_term_and_semantics(spark, corpus, corpus_pdf):
                      text_col="content").count() == 0
 
 
-def test_percolate_plan_broadcasts_queries(spark, corpus):
+def test_percolate_plan_is_map_only(spark, corpus):
+    """Round-6 shape: queries compile to literal membership conditions —
+    no join, no token explosion, no aggregate; the only exchange is the
+    presentation sort's range partitioning."""
     from data_text_search_spark.operators.search_analytics import percolate
 
     plan = percolate(spark, corpus, ["hash join"], text_col="content"
                      )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
     assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") <= 1  # the orderBy only
 
 
 def test_top_hits_per_bucket(spark, corpus, corpus_pdf, lidx):

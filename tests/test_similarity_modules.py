@@ -160,20 +160,68 @@ def test_similarity_duplicate_query_terms(searcher, stats):
         assert math.isclose(gs, ws, rel_tol=0, abs_tol=1e-9)
 
 
-def test_similarity_needs_compact_codec(spark, corpus, tmp_path):
+def test_similarity_needs_compact_codec(spark, corpus, tmp_path, searcher):
     root = str(tmp_path / "f64")
     build_index(spark, corpus, root, BM25Config(impact_codec="f64"),
                 id_col="doc_id", shards=2, groups=1)
     s = IndexSearcher(spark, root)
     with pytest.raises(ValueError, match="compact"):
         s.search_similarity(QUERY, "tfidf", 5)
+    # collection_tf works on ANY codec now that build persists cf in
+    # term_stats (the round-6 fast path) — and must agree with the
+    # compact searcher's posting-derived values
+    assert s.collection_tf(["hash"]) == searcher.collection_tf(["hash"])
+    # ... but a cf-less legacy dictionary on a non-compact codec still
+    # raises: the posting-sum fallback needs raw tf varints
+    s2 = IndexSearcher(spark, root)
+    s2._term_stats_all = s2._term_stats_all.drop("cf")
     with pytest.raises(ValueError, match="compact"):
-        s.collection_tf(["hash"])
+        s2.collection_tf(["hash"])
 
 
 def test_similarity_unknown_model(searcher):
     with pytest.raises(ValueError, match="unknown similarity"):
         searcher.search_similarity(QUERY, "bm42", 5)
+
+
+def test_collection_tf_fast_path_matches_job(searcher, stats):
+    """The persisted-cf dictionary lookup and the posting-sum job must
+    agree term for term (the round-6 fast path changes the execution,
+    never the value)."""
+    present = sorted(stats["cf"], key=lambda t: -stats["cf"][t])[:3]
+    fast = searcher._cf_from_stats(present)
+    assert fast is not None          # compact fixture persists cf
+    # force the posting-decode job by hiding the column
+    import pyspark.sql.functions as F
+    saved_all, saved_map = searcher._term_stats_all, searcher._term_map
+    try:
+        searcher._term_stats_all = saved_all.drop("cf")
+        searcher._term_map = None
+        job = searcher.collection_tf(present)
+    finally:
+        searcher._term_stats_all, searcher._term_map = saved_all, saved_map
+    assert fast == job == {t: stats["cf"][t] for t in present}
+
+
+def test_collection_tf_segment_fallback(spark, corpus, tmp_path):
+    """With a segment appended, the persisted cf is stale for
+    pre-existing terms — collection_tf must take the posting-sum job
+    and count the segment's occurrences."""
+    import pyspark.sql.functions as F
+
+    from data_text_search_spark.streaming.incremental import add_documents
+    root = str(tmp_path / "seg")
+    base = corpus.filter(F.col("doc_id") % 5 != 0)
+    delta = corpus.filter(F.col("doc_id") % 5 == 0)
+    build_index(spark, base, root, BM25Config(impact_codec="compact"),
+                id_col="doc_id", shards=2, groups=1)
+    add_documents(spark, root, delta, id_col="doc_id")
+    s = IndexSearcher(spark, root)
+    froot = str(tmp_path / "full")
+    build_index(spark, corpus, froot, BM25Config(impact_codec="compact"),
+                id_col="doc_id", shards=2, groups=1)
+    full = IndexSearcher(spark, froot)
+    assert s.collection_tf(["hash"]) == full.collection_tf(["hash"])
 
 
 def test_collection_tf_exact(searcher, stats):
