@@ -58,12 +58,12 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
     Scale shape: window explode + whole-stage-codegen'd levenshtein
     filter + a hits-only aggregate (only MATCHED spans reach the
     shuffle — the filter sits below the groupBy, so the wide state is
-    bounded by matches, not windows). The window build runs in the
-    codegen'd Generate; a map-only interpreted-HOF variant was measured
-    SLOWER at sf1.0 (4.25 s vs 2.74 s — per-element interpreted
-    overhead on ~100M windows) and rejected. Tokenize is lambda-bound
-    (_once) so it runs once per row wherever the plan puts the window
-    expression."""
+    bounded by matches, not windows). Two round-6 restructures were
+    measured SLOWER at sf1.0 and rejected: a map-only interpreted-HOF
+    count (4.25 s) and a lambda-bound struct feeding the explode
+    (5.9 s) vs 2.7 s for this shape — the multi-use non-cheap _toks
+    alias already blocks CollapseProject from inlining the tokenize
+    into the window lambda, so the explicit binding only cost."""
     qtokens = tokenize_py(query)
     n = len(qtokens)
     if n == 0:
@@ -71,25 +71,18 @@ def fuzzy_phrase_search(spark: SparkSession, df: DataFrame, query: str,
             [], f"{id_col} long, match_count long, n_chars int, "
                 "score double, score_abs double")
     qphrase = " ".join(qtokens)
-
-    def row_of(toks: Column) -> Column:
-        windows = F.when(
-            F.size(toks) >= n,
-            F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                        lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
-        ).otherwise(F.array().cast("array<string>"))
-        # n_chars = length of the space-joined TOKENIZED text — the
-        # reference scores against df_list = ' '.join(tokens)
-        # (spacy_search_funcs.py:34,100-104)
-        return F.struct(
-            F.length(F.array_join(toks, " ")).cast("int").alias("n_chars"),
-            windows.alias("windows"))
-
-    base = df.select(F.col(id_col),
-                     _once(tokenize_expr(text_col), row_of).alias("_s"))
-    spans = base.select(F.col(id_col),
-                        F.col("_s.n_chars").alias("n_chars"),
-                        F.explode("_s.windows").alias("span"))
+    toks = F.col("_toks")
+    windows = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    # n_chars = length of the space-joined TOKENIZED text — the reference
+    # scores against df_list = ' '.join(tokens) (spacy_search_funcs.py:34,100-104)
+    spans = (df.withColumn("_toks", tokenize_expr(text_col))
+             .select(F.col(id_col),
+                     F.length(F.array_join("_toks", " ")).alias("n_chars"),
+                     F.explode(windows).alias("span")))
     matched = spans.filter(
         _fuzzy_match_cond(F.col("span"), F.lit(qphrase), max_mistakes))
     return (
