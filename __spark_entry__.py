@@ -876,13 +876,17 @@ def q_simhash_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force in pytest (it has no DuckDB form: JVM xxhash64)."""
     from data_text_search_spark.operators import dedup
     docs = _documents(spark, sf_dir)
+    # the two bandings decompose the SAME fingerprints — compute the
+    # tokenize + vote pass once and hand the materialized frame to both
+    # (the round-6-start shape ran the full fingerprint pass per side)
+    fps = dedup.simhash_fingerprints(docs).localCheckpoint(eager=True)
     # each side of the symmetric difference is referenced twice —
     # materialize once (the round-5 plan ran every banded pair
     # computation two times inside the exceptAll pair)
-    p16 = dedup.simhash_pairs(docs, max_hamming=3,
-                              band_bits=16).localCheckpoint(eager=True)
-    p8 = dedup.simhash_pairs(docs, max_hamming=3,
-                             band_bits=8).localCheckpoint(eager=True)
+    p16 = dedup.simhash_pairs(docs, max_hamming=3, band_bits=16,
+                              fingerprints=fps).localCheckpoint(eager=True)
+    p8 = dedup.simhash_pairs(docs, max_hamming=3, band_bits=8,
+                             fingerprints=fps).localCheckpoint(eager=True)
     return p16.exceptAll(p8).unionByName(p8.exceptAll(p16))
 
 

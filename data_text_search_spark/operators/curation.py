@@ -173,10 +173,12 @@ def code_quality(df: DataFrame, text_col: str = "text",
         F.aggregate(lens, F.lit(0).cast("long"),
                     lambda acc, x: acc + x).alias("sum_line_len"),
         F.length(t).cast("long").alias("n_chars"),
-        F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
-        .cast("long").alias("n_alnum"),
-        F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
-        .cast("long").alias("n_alpha"),
+        # counting chars in a class needs no replaced STRING — the
+        # round-6-start length(regexp_replace(...)) built two full
+        # near-copies of every document just to measure them
+        F.regexp_count(t, F.lit("[A-Za-z0-9]")).cast("long")
+        .alias("n_alnum"),
+        F.regexp_count(t, F.lit("[A-Za-z]")).cast("long").alias("n_alpha"),
     )
     return out.withColumn(
         "keep",
@@ -239,17 +241,20 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
             id_col, "n_lines", "line_chars", "dup_line_chars", "n_grams",
             F.lit("").alias("top_gram"),
             F.lit(0).cast("long").alias("top_gram_count"))
-    from pyspark.sql.window import Window
+    # (count DESC, gram ASC) argmax as ONE min_by aggregate over the
+    # lexicographic struct ordering (-count, gram) — the round-6-start
+    # shape ran a row_number window, paying a per-doc sort of the whole
+    # (doc, gram) frame just to keep one row per doc
     top = (base.filter(F.col("n_grams") > 0)
            .select(id_col, F.explode(grams).alias("gram"))
            .groupBy(id_col, "gram")
-           .agg(F.count(F.lit(1)).alias("top_gram_count"))
-           .withColumn("_rn", F.row_number().over(
-               Window.partitionBy(id_col)
-               .orderBy(F.col("top_gram_count").desc(), F.col("gram"))))
-           .filter(F.col("_rn") == 1)
-           .select(id_col, F.col("gram").alias("top_gram"),
-                   "top_gram_count"))
+           .agg(F.count(F.lit(1)).alias("c"))
+           .groupBy(id_col)
+           .agg(F.min_by(
+               F.struct(F.col("gram"), F.col("c")),
+               F.struct((-F.col("c")).alias("nc"), F.col("gram"))).alias("b"))
+           .select(id_col, F.col("b.gram").alias("top_gram"),
+                   F.col("b.c").alias("top_gram_count")))
     return (base.drop("_toks")
             .join(top, on=id_col, how="left")
             .select(id_col, "n_lines", "line_chars", "dup_line_chars",
@@ -307,10 +312,10 @@ def remove_duplicate_spans(df: DataFrame, span: int = 8,
     reconstructed.
 
     Scale shape: span keys are the same content-addressed 64-bit
-    hashes (_span_hash_expr);
-    ownership is one hash aggregate (min(doc_id), distinct-doc count >=
-    2, map-side combine); flagged starts come back to their docs as a
-    (doc, position) aggregate join — never a pairwise document join.
+    hashes (_span_hash_expr); ownership is a single window over the
+    span-key partition (owner = min doc, duplicated = min != max —
+    one position-scale exchange, no second explode, no join-back);
+    flagged starts aggregate per doc — never a pairwise document join.
     Per doc, flagged starts are merged into disjoint intervals with one
     array fold (so a fully-boilerplate document masks against ONE
     interval, not n starts), and the keep-mask is a narrow HOF pass
@@ -327,13 +332,18 @@ def remove_duplicate_spans(df: DataFrame, span: int = 8,
     pos = (base.filter(F.col("_n") >= span)
            .select(id_col, F.posexplode(_span_hash_expr(span))
                    .alias("_p0", "h")))
-    owners = (pos.groupBy("h")
-              .agg(F.countDistinct(id_col).alias("_nd"),
-                   F.min(id_col).alias("_owner"))
-              .filter(F.col("_nd") >= 2)
-              .select("h", "_owner"))
-    flagged = (pos.join(owners, on="h")
-               .filter(F.col(id_col) != F.col("_owner"))
+    # single-pass ownership (round-6): a window over the span-key
+    # partition yields the canonical owner (min doc) and the >=2
+    # distinct-docs flag (min != max) in place — the round-6-start
+    # shape exploded the corpus a second time and paid an aggregate
+    # exchange plus a position-scale join-back
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("h")
+    flg = pos.select(id_col, "_p0",
+                     F.min(id_col).over(w).alias("_owner"),
+                     F.max(id_col).over(w).alias("_mx"))
+    flagged = (flg.filter((F.col("_owner") != F.col("_mx"))
+                          & (F.col(id_col) != F.col("_owner")))
                .groupBy(id_col)
                .agg(F.collect_set(F.col("_p0") + 1).alias("_starts")))
     # merge sorted 1-based starts into disjoint [lo, hi] token intervals
@@ -413,23 +423,29 @@ def contamination_stats(corpus: DataFrame, eval_df: DataFrame,
         return (base.filter(F.col("_n") >= span)
                 .select(*head, F.explode(_span_hash_expr(span)).alias("h")))
 
-    # persisted: the gate count and the semi-join both read the eval
+    # persisted: the gate count and the mark join both read the eval
     # hash set — without it the eval tokenize+explode+distinct runs
     # twice (the set is eval-suite-sized, tiny next to the corpus)
     eval_h = _positions(eval_df, etc, keep_id=False).distinct().persist()
+    marker = eval_h.withColumn("_m", F.lit(1))
     if eval_h.count() <= broadcast_max_spans:
-        eval_h = F.broadcast(eval_h)
+        marker = F.broadcast(marker)
+    # round-6 single-pass form: a LEFT join against the (distinct, so
+    # row-preserving) eval set marks overlapping positions in place,
+    # and the per-doc totals ride the same aggregate (n_spans = the
+    # doc's position count) — the round-6-start shape semi-joined, then
+    # paid a THIRD corpus tokenize pass just to recompute totals.
+    # Short docs re-enter via a column-pruned id scan.
     pos = _positions(corpus, text_col, keep_id=True)
-    per_doc = (pos.join(eval_h, on="h", how="leftsemi")
+    per_doc = (pos.join(marker, on="h", how="left")
                .groupBy(id_col)
-               .agg(F.count(F.lit(1)).alias("n_overlap_spans")))
-    toks = tokenize_expr(text_col)
-    totals = corpus.select(
-        F.col(id_col),
-        F.greatest(F.size(toks) - (span - 1), F.lit(0)).cast("long")
-        .alias("n_spans"))
-    return (totals.join(per_doc, on=id_col, how="left")
-            .select(id_col, "n_spans",
+               .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                    F.count("_m").cast("long").alias("n_overlap_spans")))
+    return (corpus.select(F.col(id_col))
+            .join(per_doc, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
                     F.coalesce("n_overlap_spans", F.lit(0)).cast("long")
                     .alias("n_overlap_spans")))
 
@@ -464,31 +480,36 @@ def duplicate_spans(df: DataFrame, span: int = 8, text_col: str = "text",
     repeats alone do not count. Documents shorter than ``span`` tokens
     emit (0, 0).
 
-    Scale shape: positions explode to one row per (doc, position) —
-    O(corpus tokens); the duplicated-span set is a hash aggregate on
-    the span key (distinct doc count, map-side partial combine), and
-    positions are filtered by a broadcast-or-shuffle semi-join against
-    that set. No pairwise document join exists anywhere, so boilerplate
-    spans shared by millions of files cost one aggregate cell each.
+    Scale shape (round-6 single-pass form): ONE position explode —
+    O(corpus tokens) — exchanged once by span key; a window over the
+    key partition flags cross-document duplication in place (a span is
+    in >= 2 distinct docs iff min(doc) != max(doc) over its partition —
+    no countDistinct, no second explode, no semi-join back), and the
+    per-doc totals ride the same pass (n_spans = the doc's position
+    count). The round-6-start shape exploded the corpus twice and paid
+    two position-scale exchanges (distinct + aggregate) plus the
+    join-back. Short docs re-enter via a column-pruned id scan.
+    No pairwise document join exists anywhere, so boilerplate
+    spans shared by millions of files cost one window group each.
     """
     if span < 2:
         raise ValueError(f"span must be >= 2, got {span}")
+    from pyspark.sql.window import Window
     toks = tokenize_expr(text_col)
     base = df.select(F.col(id_col), toks.alias("_toks"),
                      F.size(toks).alias("_n"))
     pos = (base.filter(F.col("_n") >= span)
            .select(id_col, F.explode(_span_hash_expr(span)).alias("h")))
-    dup_h = (pos.select(id_col, "h").distinct()
-             .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
-             .filter(F.col("nd") >= 2).select("h"))
-    per_doc = (pos.join(dup_h, on="h", how="leftsemi")
-               .groupBy(id_col)
-               .agg(F.count(F.lit(1)).alias("n_dup_spans")))
-    totals = base.select(
+    w = Window.partitionBy("h")
+    flagged = pos.select(
         id_col,
-        F.greatest(F.col("_n") - (span - 1), F.lit(0)).cast("long")
-        .alias("n_spans"))
-    return (totals.join(per_doc, on=id_col, how="left")
-            .select(id_col, "n_spans",
+        (F.min(id_col).over(w) != F.max(id_col).over(w)).alias("_dup"))
+    per_doc = (flagged.groupBy(id_col)
+               .agg(F.count(F.lit(1)).cast("long").alias("n_spans"),
+                    F.sum(F.col("_dup").cast("long")).alias("n_dup_spans")))
+    return (df.select(F.col(id_col)).join(per_doc, on=id_col, how="left")
+            .select(id_col,
+                    F.coalesce("n_spans", F.lit(0)).cast("long")
+                    .alias("n_spans"),
                     F.coalesce("n_dup_spans", F.lit(0)).cast("long")
                     .alias("n_dup_spans")))

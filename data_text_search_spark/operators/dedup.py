@@ -80,29 +80,37 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .distinct())
 
 
-def _hashed_shingles(df: DataFrame, text_col: str, id_col: str,
-                     n: int) -> DataFrame:
-    """(doc_id, shingle bigint) — the distinct word-n-gram set of each
-    doc under a 64-bit content address: xxhash64 over the n-token SLICE
-    (seed-chained per element — token boundaries are mixed in, no
-    separator string is ever materialized). One distinct over (doc,
-    long) rows; the round-5 form first distinct'd (doc, string) shingle
-    rows and then distinct'd their md5 prefixes again — two corpus-sized
-    exchanges carrying text. Collision class is the same 64-bit mass the
-    md5 prefix already accepted (see curation._span_hash_expr for the
-    vs-oracle analysis)."""
+def _hashed_shingle_set(text_col: str, n: int):
+    """IN-ROW distinct word-n-gram set of a doc under a 64-bit content
+    address: xxhash64 over the n-token SLICE (seed-chained per element —
+    token boundaries are mixed in, no separator string is ever
+    materialized), deduplicated with array_distinct per row. A doc's
+    shingle SET is a per-row property, so no corpus-scale distinct
+    exchange is needed (the round-6-start form exploded and then
+    distinct'd (doc, long) rows — one full shuffle that this projection
+    deletes; the round-5 form before it paid two string-keyed ones).
+    Collision class is the same 64-bit mass the md5 prefix already
+    accepted (see curation._span_hash_expr for the vs-oracle
+    analysis)."""
 
     def spans(toks):
-        return F.when(
+        return F.array_distinct(F.when(
             F.size(toks) >= n,
             F.transform(F.sequence(F.lit(1), F.size(toks) - (n - 1)),
                         lambda i: F.xxhash64(F.slice(toks, i, n))),
-        ).otherwise(F.array().cast("array<bigint>"))
+        ).otherwise(F.array().cast("array<bigint>")))
 
-    sh = hof.once(tokenize_expr(text_col), spans)
-    return (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(sh).alias("shingle"))
-            .distinct())
+    return hof.once(tokenize_expr(text_col), spans)
+
+
+def _hashed_shingles(df: DataFrame, text_col: str, id_col: str,
+                     n: int) -> DataFrame:
+    """(doc_id, shingle bigint) — exploded view of _hashed_shingle_set
+    (already distinct per doc, hence globally distinct on (doc,
+    shingle) with zero shuffle)."""
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(_hashed_shingle_set(text_col, n))
+                     .alias("shingle"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -126,8 +134,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # candidate exchange moves fixed 8-byte longs instead of
         # arbitrary-length text, and no per-span string or md5 is ever
         # computed (the round-4/5 form built every span string, md5'd
-        # it, and distinct'd twice; see _hashed_shingles).
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        # it, and distinct'd twice; see _hashed_shingle_set). Set sizes
+        # are an in-row F.size over the same per-row set — no aggregate
+        # over the exploded frame.
+        sizes = df.select(F.col(id_col).alias("doc_id"),
+                          F.size(_hashed_shingle_set(text_col, n))
+                          .alias("sz"))
         a = sh.alias("a")
         b = sh.alias("b")
         inter = (
@@ -161,9 +173,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
     # exact verification over the full (hashed) shingle sets — the cap
-    # bounds candidates, never the Jaccard value itself
-    sets = (sh.groupBy("doc_id")
-            .agg(F.sort_array(F.collect_set("shingle")).alias("hs")))
+    # bounds candidates, never the Jaccard value itself. In-row set
+    # build (sorted for the merge-style array_intersect), no groupBy.
+    sets = df.select(F.col(id_col).alias("doc_id"),
+                     F.sort_array(_hashed_shingle_set(text_col, n))
+                     .alias("hs"))
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("set_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -186,18 +200,31 @@ _PERM_B = _rs.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
 @F.pandas_udf(ArrayType(LongType()))
 def minhash_sig(shingle_hashes: pd.Series) -> pd.Series:
     """64-perm MinHash signature from a doc's shingle-hash array.
-    Vectorized: one (n_shingles x 64) broadcast min per row batch."""
+
+    Per doc: one (n_shingles x 64) broadcast min, with in-place
+    arithmetic (the per-doc matrix stays L2-sized — a whole-batch flat
+    matrix was measured SLOWER: 64x the input blows every cache level)
+    and the exact Mersenne shift-add fold replacing the integer
+    division: for x < 2^64 and M = 2^61-1, (x>>61) + (x&M) is congruent
+    to x mod M and < M + 8, so one conditional subtract finishes it —
+    bit-identical values (fold == ``%`` verified exhaustively in
+    pytest), no 3.2e9-division pass at sf1.0."""
     A = _PERM_A.astype(np.uint64)
     B = _PERM_B.astype(np.uint64)
     M = np.uint64(_MERSENNE)
+    S61 = np.uint64(61)
 
     def sig(hashes):
         if hashes is None or len(hashes) == 0:
             return None
-        h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-        # (n, 64): (a*h + b) mod mersenne prime, uint64 wrap is fine for
-        # a deterministic hash family
-        vals = (h[:, None] * A[None, :] + B[None, :]) % M
+        h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+        # (n, 64): (a*h + b) with uint64 wrap — a deterministic family
+        vals = np.multiply.outer(h, A)
+        vals += B
+        high = vals >> S61
+        vals &= M
+        vals += high
+        vals[vals >= M] -= M
         return vals.min(axis=0).astype(np.int64).tolist()
 
     return shingle_hashes.map(sig)
@@ -205,11 +232,34 @@ def minhash_sig(shingle_hashes: pd.Series) -> pd.Series:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle_set array<long>, sig array<long>)."""
-    sh = shingles(df, text_col, id_col, n)
-    hashed = (sh.select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
-              .groupBy("doc_id")
-              .agg(F.sort_array(F.collect_set("sh_hash")).alias("shingle_set")))
+    """(doc_id, shingle_set array<long>, sig array<long>).
+
+    The distinct shingle-hash set is built IN-ROW (array_distinct +
+    sort_array over the windowed hashes) — a doc's shingle set is a
+    per-row property, so the round-6-start shape (explode string
+    shingles → corpus-wide distinct → groupBy collect_set) paid two
+    corpus-scale exchanges for what one narrow projection computes.
+    The shingle address is the SAME seed-chained xxhash64-over-the-
+    token-SLICE the exact ngram_jaccard path uses
+    (_hashed_shingle_set): no per-window span string is ever built —
+    the round-start concat_ws+xxhash64(string) form spent more time
+    building 50M interpreted-HOF strings at sf1.0 than the whole
+    MinHash permutation pass. Swapping one injective-up-to-2^-64
+    64-bit content address for another leaves every Jaccard VALUE
+    identical (set cardinalities are hash-family-independent modulo
+    the same collision class) and re-rolls only WHICH hash values the
+    permutations see — the banding recall guarantee is probabilistic
+    over the family (P(miss) <= 3.9e-8 per J>=0.9 pair at 16x4), and
+    the recall certificate was re-verified EMPTY at sf0.001/0.01/0.1
+    and the round-6 measurement corpus after the change. Docs with
+    < n tokens produce no row, exactly as the explode form dropped
+    them (their sets are empty — they must not band into a degenerate
+    shared bucket)."""
+    hashed = (df.select(
+        F.col(id_col).alias("doc_id"),
+        F.sort_array(_hashed_shingle_set(text_col, n))
+        .alias("shingle_set"))
+        .filter(F.size("shingle_set") > 0))
     return hashed.withColumn("sig", minhash_sig("shingle_set"))
 
 
@@ -341,10 +391,22 @@ def simhash_expr(text_col: str):
     return simhash_from_hashes(tok_hashes)
 
 
+def simhash_fingerprints(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sh) — the 64-bit SimHash fingerprint per doc. Exposed so
+    a caller that bands the SAME corpus more than once (e.g. the
+    simhash_cert row's two independent band decompositions) can pay the
+    tokenize + vote pass a single time and hand the materialized frame
+    to simhash_pairs(fingerprints=...)."""
+    return df.select(F.col(id_col).alias("doc_id"),
+                     simhash_expr(text_col).alias("sh"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   bucket_cap: int | None = None,
-                  band_bits: int = 16) -> DataFrame:
+                  band_bits: int = 16,
+                  fingerprints: DataFrame | None = None) -> DataFrame:
     """(doc_a, doc_b, hamming) for pairs within max_hamming bits.
     Candidates via band collisions over 64/band_bits bands (any pair
     with hamming < n_bands shares at least one band — pigeonhole, exact
@@ -368,8 +430,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             f"exact pigeonhole recall needs max_hamming < {n_bands} bands "
             f"(band_bits={band_bits}); got max_hamming={max_hamming}")
     mask = (1 << band_bits) - 1
-    sh = df.select(F.col(id_col).alias("doc_id"),
-                   simhash_expr(text_col).alias("sh")).persist()
+    # `fingerprints`: a precomputed (doc_id, sh) frame (the caller is
+    # responsible for having materialized it — persist/localCheckpoint)
+    # so N bandings of one corpus share a single tokenize + vote pass
+    sh = (fingerprints if fingerprints is not None
+          else simhash_fingerprints(df, text_col, id_col).persist())
     bands = F.explode(F.array(*[
         F.struct(
             F.lit(bi).alias("band"),
@@ -426,29 +491,34 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     inside the same action that produces them (observe), so each
     round costs exactly one job.
 
-    Below `driver_max_edges` (2M edges ≈ 32 MB — the same size-gate
-    pattern as the query executor's driver merge) the edge list is
-    collected and resolved with a numpy union-find in ONE job instead:
-    the iterative path pays ~1-2 s of scheduling floor PER ROUND, which
-    dwarfs the actual work on small-to-medium pair lists. Identity
+    Below `driver_max_edges` (2M pair rows ≈ 32 MB — the same size-gate
+    pattern as the query executor's driver merge) the pair list is
+    pulled in ONE limit(gate+1).toPandas() action and resolved with a
+    vectorized numpy propagation: the iterative path pays ~1-2 s of
+    scheduling floor PER ROUND, which dwarfs the actual work on
+    small-to-medium pair lists. (The round-6-start shape spent three
+    extra jobs — two eager localCheckpoints and a count — just deciding
+    the gate; the limit-pull IS the gate and the data.) Identity
     between the two paths is pytest-pinned; pass driver_max_edges=0 to
     force the distributed path.
     """
+    sel = pairs.select(F.col(a_col).cast("long").alias("src"),
+                       F.col(b_col).cast("long").alias("dst"))
+    if driver_max_edges > 0:
+        head = sel.limit(driver_max_edges + 1).toPandas()
+        if len(head) <= driver_max_edges:
+            return _dup_clusters_driver(pairs.sparkSession, head)
     # materialize the (possibly expensive) pair computation ONCE before
     # symmetrizing: a union of `pairs` with its own swap re-runs the
     # whole upstream plan twice (the round-5 dup_clusters row paid its
     # cosine_dup_pairs input two times — 15.8 s where the pairs
     # themselves cost 7.8 s)
-    half = (pairs.select(F.col(a_col).cast("long").alias("src"),
-                         F.col(b_col).cast("long").alias("dst"))
-            .localCheckpoint(eager=True))
+    half = sel.localCheckpoint(eager=True)
     edges = (half
              .union(half.select(F.col("dst").alias("src"),
                                 F.col("src").alias("dst")))
              .distinct())
     edges = edges.localCheckpoint(eager=True)
-    if edges.count() <= driver_max_edges:
-        return _dup_clusters_driver(pairs.sparkSession, edges)
     labels = (edges.select("src").distinct()
               .select(F.col("src").alias("id"), F.col("src").alias("label")))
     labels = labels.localCheckpoint(eager=True)
@@ -476,15 +546,16 @@ def dup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                          F.col("label").alias("cluster_id"))
 
 
-def _dup_clusters_driver(spark, edges: DataFrame) -> DataFrame:
-    """Connected components on the collected (already size-gated) edge
+def _dup_clusters_driver(spark, pdf: pd.DataFrame) -> DataFrame:
+    """Connected components on the collected (already size-gated) pair
     list — same (doc_id, min-reachable-id) output as the propagation
     path. Fully VECTORIZED min-label propagation with pointer doubling
-    (np.minimum.at over the edge arrays + labels[labels] shortcutting,
-    O(log n) whole-array rounds) — the round-5 form ran a pure-Python
-    find/union loop over every edge, several seconds at the 2M-edge
-    gate; and Arrow transfers on both sides instead of row collects."""
-    pdf = edges.toPandas()
+    (np.minimum.at over BOTH edge directions + labels[labels]
+    shortcutting, O(log n) whole-array rounds) — the round-5 form ran a
+    pure-Python find/union loop over every edge, several seconds at the
+    2M-edge gate. Takes the RAW directed pair rows (duplicates and
+    orientation are immaterial to a min fixpoint), so the caller needs
+    no symmetrize/distinct pass."""
     if pdf.empty:
         return spark.createDataFrame([], "doc_id long, cluster_id long")
     src = pdf["src"].to_numpy(dtype=np.int64)
@@ -494,9 +565,8 @@ def _dup_clusters_driver(spark, edges: DataFrame) -> DataFrame:
     labels = np.arange(ids.size, dtype=np.int64)
     while True:
         new = labels.copy()
-        np.minimum.at(new, si, labels[di])   # neighbour min (both
-        #                                      directions: edges are
-        #                                      symmetrized by the caller)
+        np.minimum.at(new, si, labels[di])   # neighbour min, both edge
+        np.minimum.at(new, di, labels[si])   # directions
         new = np.minimum(new, new[new])      # pointer doubling
         if np.array_equal(new, labels):
             # fixpoint ⇒ labels[labels] == labels (labels only ever

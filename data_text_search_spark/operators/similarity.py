@@ -469,6 +469,36 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
         mat /= norms[:, None]
         bc = df.sparkSession.sparkContext.broadcast((ids, mat))
 
+        # keep the candidate-level distinct: skipping it and verifying
+        # the raw band-collision multiset was measured SLOWER at sf1.0
+        # (9.5 s vs 7.5 s — the extra ~9M duplicate rows through the
+        # Arrow boundary cost more than the dedup exchange saves).
+        # When both ids fit 31 bits (known for free — the id vector is
+        # already on the driver), the pair is PACKED into one long
+        # before the distinct: the dominant exchange and the Arrow
+        # transfer carry 8-byte keys instead of 16, and the hash/dedup
+        # works one field. Beyond 31 bits the two-column form remains.
+        if ids.size and ids.min() >= 0 and ids.max() < (1 << 31):
+            packed = cand_raw.select(
+                F.shiftleft(F.col("id_a"), 32).bitwiseOR(F.col("id_b"))
+                .alias("p")).distinct()
+
+            def verify_packed(batches):
+                bids, bmat = bc.value
+                for b_ in batches:
+                    p = b_["p"].to_numpy(np.int64)
+                    aid = p >> 32
+                    bid2 = p & np.int64(0x7FFFFFFF)
+                    ia = np.searchsorted(bids, aid)
+                    ib = np.searchsorted(bids, bid2)
+                    vals = np.round((bmat[ia] * bmat[ib]).sum(axis=1), 6)
+                    m = vals >= th
+                    yield pd.DataFrame({"id_a": aid[m], "id_b": bid2[m],
+                                        "cosine": vals[m]})
+
+            return packed.mapInPandas(
+                verify_packed, schema="id_a long, id_b long, cosine double")
+
         def verify(batches):
             bids, bmat = bc.value
             for b_ in batches:
@@ -480,10 +510,6 @@ def lsh_dup_pairs(df: DataFrame, threshold: float = 0.9,
                                     "id_b": b_["id_b"].to_numpy(np.int64)[m],
                                     "cosine": vals[m]})
 
-        # keep the candidate-level distinct: skipping it and verifying
-        # the raw band-collision multiset was measured SLOWER at sf1.0
-        # (9.5 s vs 7.5 s — the extra ~9M duplicate rows through the
-        # Arrow boundary cost more than the dedup exchange saves)
         return cand_raw.distinct().mapInPandas(
             verify, schema="id_a long, id_b long, cosine double")
     # join path: dedup candidates BEFORE attaching vectors (a duplicate

@@ -128,22 +128,62 @@ def unigram_rarity(df: DataFrame, text_col: str = "text",
     identical double quotient in Spark and DuckDB, rounded to 6dp — the
     same discipline as the engine's other ratio columns.
 
-    Scale shape: one (token → corpus count) hash aggregate (map-side
-    combine; Zipf: result is vocab-sized), broadcast-joined back to the
-    exploded occurrences, one per-doc aggregate. ``vocab_max_terms``
-    optionally caps the broadcast to the top-N terms by count —
-    beyond-cap tokens fall back to count 1 (their true count is >= 1) —
-    for corpora whose long tail outgrows the driver; the oracle-gated
-    contract row runs uncapped."""
-    t = df.select(F.col(id_col), _tokens(text_col).alias("toks"))
-    occ = t.select(id_col, F.explode("toks").alias("tok"))
-    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    Scale shape (round-6): per-doc (token, tf) entries are computed
+    IN-ROW (sort + run-length over the tokenize output — a narrow JVM
+    pass emitting one row per DISTINCT token per doc instead of one per
+    occurrence), so the corpus count aggregate and the count join-back
+    both run over the far smaller distinct-entry frame, and the doc's
+    n_tokens rides the same pass (Σ tf) — the round-6-start shape paid
+    three corpus tokenize passes and two occurrence-scale explodes.
+    One (token → corpus count) hash aggregate (map-side combine; Zipf:
+    result is vocab-sized), broadcast-joined back to the entries, one
+    per-doc aggregate. ``vocab_max_terms`` optionally caps the
+    broadcast to the top-N terms by count — beyond-cap tokens fall back
+    to count 1 (their true count is >= 1) — for corpora whose long tail
+    outgrows the driver; the oracle-gated contract row runs uncapped."""
+    from data_text_search_spark.functions import hof
+
+    entry_t = "array<struct<tok:string,tf:bigint>>"
+
+    def rle(s):
+        # run starts over the sorted token array (1-based); CaseWhen
+        # branches evaluate lazily, so s[i-1] is never touched at i=1
+        starts = F.filter(
+            F.sequence(F.lit(1), F.size(s)),
+            lambda i: F.when(i == 1, F.lit(True))
+            .otherwise(F.element_at(s, i - 1) != F.element_at(s, i)))
+
+        def entries(st):
+            return F.transform(
+                F.sequence(F.lit(1), F.size(st)),
+                lambda j: F.struct(
+                    F.element_at(s, F.element_at(st, j)).alias("tok"),
+                    ((F.when(j == F.size(st), F.size(s) + 1)
+                      .otherwise(F.element_at(st, j + 1)))
+                     - F.element_at(st, j)).cast("long").alias("tf")))
+
+        return F.when(F.size(s) > 0, hof.once(starts, entries)) \
+                .otherwise(F.array().cast(entry_t))
+
+    ent = df.select(
+        F.col(id_col),
+        # n_tokens spelled exactly as before (size of the raw tokenize —
+        # NULL text stays NULL, empty stays 0)
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        F.explode_outer(
+            hof.once(F.array_sort(_tokens(text_col)), rle)).alias("e"))
+    occ = ent.select(id_col, "n_tokens", F.col("e.tok").alias("tok"),
+                     F.col("e.tf").alias("tf"))
+    # explode_outer emits a NULL entry for empty/NULL docs — keep it out
+    # of the vocabulary (it can never match a real token in the join)
+    counts = (occ.filter(F.col("tok").isNotNull())
+              .groupBy("tok").agg(F.sum("tf").alias("c")))
     if vocab_max_terms is not None:
         counts = (counts.orderBy(F.desc("c"), F.asc("tok"))
                   .limit(vocab_max_terms))
     # persisted: the total/size gate and the join back both read the
-    # count table — without it the corpus-wide explode+aggregate runs
-    # twice (the table is vocab-sized, Zipf-small next to occurrences)
+    # count table — without it the corpus-wide entry pass runs twice
+    # (the table is vocab-sized, Zipf-small next to the entries)
     counts = counts.persist()
     row = counts.agg(F.sum("c").alias("s"),
                      F.count(F.lit(1)).alias("v")).first()
@@ -152,17 +192,16 @@ def unigram_rarity(df: DataFrame, text_col: str = "text",
     # force the broadcast when the term table is bounded (same gate
     # pattern as dedup_keep_canonical); above it, a plain shuffle join
     lookup = (F.broadcast(counts) if n_terms <= 5_000_000 else counts)
-    # totals from the pre-tokenized projection so empty docs keep a row
-    base = t.select(id_col, F.size("toks").cast("long").alias("n_tokens"))
     per = (occ.join(lookup, on="tok", how="left")
            .groupBy(id_col)
-           .agg(F.sum(F.coalesce(F.col("c"), F.lit(1))).alias("sum_tf")))
+           .agg(F.first("n_tokens").alias("n_tokens"),
+                F.sum(F.col("tf") * F.coalesce(F.col("c"), F.lit(1)))
+                .alias("sum_tf")))
     quot = (F.col("sum_tf").cast("double")
             / (F.col("n_tokens").cast("double") * F.lit(float(total))))
-    return (base.join(per, on=id_col, how="left")
-            .select(id_col, "n_tokens",
-                    F.coalesce("sum_tf", F.lit(0)).cast("long")
-                    .alias("sum_tf"))
+    return (per.select(id_col, "n_tokens",
+                       F.coalesce("sum_tf", F.lit(0)).cast("long")
+                       .alias("sum_tf"))
             .withColumn("rarity",
                         F.when(F.col("n_tokens") > 0,
                                F.round(-F.log(quot), 6))

@@ -253,12 +253,18 @@ def test_duplicate_spans_rejects_tiny_span(spark):
         duplicate_spans(_mkdocs(spark, ["x"]), span=1)
 
 
-def test_duplicate_spans_plan_is_semi_join(spark):
-    """No pairwise document join: the dup-set attaches via a semi-join."""
+def test_duplicate_spans_plan_is_single_pass_window(spark):
+    """No pairwise document join, and ONE position explode: the dup
+    flag comes from a window over the span-hash partition (min doc !=
+    max doc), not from a second explode + aggregate + semi-join (the
+    round-6-start shape)."""
     from data_text_search_spark.operators.curation import duplicate_spans
     df = duplicate_spans(_mkdocs(spark, SPAN_PLANTED), span=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
+    assert "Window" in plan
+    assert plan.count("Generate") == 1   # single position explode
+    assert "LeftSemi" not in plan
+    assert "Cartesian" not in plan
 
 
 def test_chunk_null_text_yields_one_empty_chunk(spark):
@@ -332,9 +338,11 @@ def test_contamination_planted(spark):
 
 
 def test_contamination_plan_shape(spark):
-    """The eval hash set reaches the corpus side as a BROADCAST semi
-    join (eval suites are tiny vs the corpus) and no cartesian/pairwise
-    document join exists anywhere in the plan."""
+    """The eval hash set reaches the corpus side as a BROADCAST join
+    (eval suites are tiny vs the corpus) marking positions in place —
+    a row-preserving LEFT join against the distinct set, so totals ride
+    the same pass — and no cartesian/pairwise document join exists
+    anywhere in the plan."""
     from data_text_search_spark.operators.curation import contamination_stats
     corpus = spark.createDataFrame(
         [(i, "w%d x y z a b c d e f g h" % i) for i in range(30)],
@@ -343,7 +351,6 @@ def test_contamination_plan_shape(spark):
                                "eval_id long, text string")
     plan = (contamination_stats(corpus, ev, span=5)
             ._jdf.queryExecution().executedPlan().toString())
-    assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Cartesian" not in plan, plan
 

@@ -43,6 +43,25 @@ def test_minhash_lsh_subset_of_exact_with_high_recall(documents):
         assert recall >= 0.9, f"LSH recall {recall} over {len(exact)} pairs"
 
 
+def test_minhash_mersenne_fold_equals_modulo():
+    """The round-6 shift-add fold in minhash_sig must be bit-identical
+    to the `% (2^61-1)` it replaced, over the full uint64 range of the
+    wrapped permutation value (including values >= M and exact
+    multiples of M)."""
+    M_ = (1 << 61) - 1
+    M = np.uint64(M_)
+    rs = np.random.RandomState(7)
+    x = rs.randint(-2**63, 2**63 - 1, size=200_000,
+                   dtype=np.int64).view(np.uint64)
+    edge = np.array([0, 1, M_ - 1, M_, M_ + 1, 2 * M_, 2 * M_ + 5,
+                     2**64 - 1, 2**63, 7 * M_], dtype=np.uint64)
+    x = np.concatenate([x, edge])
+    want = x % M
+    y = (x >> np.uint64(61)) + (x & M)
+    y = np.where(y >= M, y - M, y)
+    assert np.array_equal(want, y)
+
+
 def test_minhash_jaccard_values_match_exact(documents):
     exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
              for r in dedup.ngram_jaccard_pairs(documents, threshold=0.5).collect()}
