@@ -87,13 +87,39 @@ def _physical_searcher(spark: SparkSession, sf_dir: str,
         from data_text_search_spark.operators.index_query import IndexSearcher
 
         root = tempfile.mkdtemp(prefix="dts_pidx_") + "/idx"
-        build_index(spark, _documents(spark, sf_dir), root,
+        # non-f64 codecs re-encode the SAME tokenize artifact: reuse the
+        # f64 index's tokenized checkpoint through the documented merge
+        # path (bit-identical pairs -> bit-identical stats/impacts)
+        pairs = None if codec == "f64" else _physical_pairs(spark, sf_dir)
+        build_index(spark, None if pairs is not None
+                    else _documents(spark, sf_dir), root,
                     BM25Config(alpha=APP_CFG.alpha, impact_codec=codec),
-                    text_col="text", id_col="doc_id")
+                    text_col="text", id_col="doc_id",
+                    groups=ENTRY_BUILD_GROUPS, tokenized_pairs=pairs)
         s = IndexSearcher(spark, root)
         s.warm()
         _CACHE[key] = (None, s)
     return _CACHE[key][1]
+
+
+# group count is RESUME granularity for giant corpora (one resumable
+# posting job per group); the driver tables are single-split corpora
+# where extra groups only serialize job floors — production builds
+# (jobs/build_index.py) keep the 4-group default. Derived merges
+# (merge_tier/merge_segments) inherit this via the manifest.
+ENTRY_BUILD_GROUPS = 1
+
+
+def _physical_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session f64 physical index's tokenized checkpoint —
+    (doc_id, shard, pairs, doc_len, n_chars), the codec- and
+    stopword-independent tokenize artifact that every derivative build
+    below reuses via build_index(tokenized_pairs=...), exactly as
+    merge_segments rebuilds from persisted checkpoints (the pairs are a
+    pure function of the text under the pinned tokenizer, so the
+    resulting index is bit-identical to a fresh corpus build)."""
+    s = _physical_searcher(spark, sf_dir)
+    return spark.read.parquet(f"{s.paths.root}/tokenized")
 
 
 def q_bm25_topk_physical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,8 +485,14 @@ def _incremental_searcher(spark: SparkSession, sf_dir: str):
         docs = _documents(spark, sf_dir)
         part = F.pmod(F.col("doc_id"), F.lit(10))
         cfg = BM25Config(alpha=APP_CFG.alpha)
-        build_index(spark, docs.filter(part < 8), root, cfg,
-                    text_col="text", id_col="doc_id")
+        # the base 80% slice reuses the physical index's tokenized
+        # checkpoint (filtered on doc_id — pairs are per-doc rows);
+        # add_documents tokenizes only its own small slices
+        base_pairs = _physical_pairs(spark, sf_dir).filter(
+            F.pmod(F.col("doc_id"), F.lit(10)) < 8)
+        build_index(spark, None, root, cfg,
+                    text_col="text", id_col="doc_id",
+                    groups=ENTRY_BUILD_GROUPS, tokenized_pairs=base_pairs)
         add_documents(spark, root, docs.filter(part == 8),
                       text_col="text", id_col="doc_id")
         add_documents(spark, root, docs.filter(part == 9),
@@ -512,7 +544,8 @@ def _delta_searcher(spark: SparkSession, sf_dir: str):
                                               F.col("text"))))
         v1 = docs.filter(part < 9).unionByName(stale)
         cfg = BM25Config(alpha=APP_CFG.alpha)
-        build_index(spark, v1, root, cfg, text_col="text", id_col="doc_id")
+        build_index(spark, v1, root, cfg, text_col="text", id_col="doc_id",
+                    groups=ENTRY_BUILD_GROUPS)
         reindex_delta(spark, root, docs, text_col="text", id_col="doc_id")
         merge_segments(spark, root)
         s = IndexSearcher(spark, root)
@@ -559,15 +592,20 @@ def _federated(spark: SparkSession, sf_dir: str):
         )
         from data_text_search_spark.operators.index_build import build_index
 
-        docs = _documents(spark, sf_dir)
         base = tempfile.mkdtemp(prefix="dts_fed_")
         roots = []
+        # both members re-encode disjoint doc_id-parity slices of the
+        # SAME tokenize artifact — filter the physical checkpoint
+        pairs = _physical_pairs(spark, sf_dir)
         for i in range(2):
             root = f"{base}/m{i}"
-            build_index(spark, docs.filter(F.col("doc_id") % 2 == i), root,
+            build_index(spark, None, root,
                         BM25Config(alpha=APP_CFG.alpha,
                                    impact_codec="compact"),
-                        text_col="text", id_col="doc_id")
+                        text_col="text", id_col="doc_id",
+                        groups=ENTRY_BUILD_GROUPS,
+                        tokenized_pairs=pairs.filter(
+                            F.col("doc_id") % 2 == i))
             roots.append(root)
         fed = FederatedSearcher(spark, roots)
         fed.warm()
@@ -1308,8 +1346,10 @@ def _deleted_searcher(spark: SparkSession, sf_dir: str):
 
         root = tempfile.mkdtemp(prefix="dts_delidx_") + "/idx"
         docs = _documents(spark, sf_dir)
-        build_index(spark, docs, root, BM25Config(alpha=APP_CFG.alpha),
-                    text_col="text", id_col="doc_id")
+        build_index(spark, None, root, BM25Config(alpha=APP_CFG.alpha),
+                    text_col="text", id_col="doc_id",
+                    groups=ENTRY_BUILD_GROUPS,
+                    tokenized_pairs=_physical_pairs(spark, sf_dir))
         delete_documents(
             spark, root,
             docs.filter(F.pmod(F.col("doc_id"), F.lit(DELETE_MOD)) == 3)
@@ -1611,9 +1651,13 @@ def _stopword_searcher(spark: SparkSession, sf_dir: str):
         from data_text_search_spark.operators.index_query import IndexSearcher
 
         root = tempfile.mkdtemp(prefix="dts_stop_") + "/idx"
-        build_index(spark, _documents(spark, sf_dir), root,
+        # the stop list prunes at term_stats time — the tokenize
+        # artifact is stopword-independent, so reuse the checkpoint
+        build_index(spark, None, root,
                     BM25Config(alpha=APP_CFG.alpha, stopwords=STOPWORDS),
-                    text_col="text", id_col="doc_id")
+                    text_col="text", id_col="doc_id",
+                    groups=ENTRY_BUILD_GROUPS,
+                    tokenized_pairs=_physical_pairs(spark, sf_dir))
         s = IndexSearcher(spark, root)
         s.warm()
         _CACHE[key] = (None, s)
