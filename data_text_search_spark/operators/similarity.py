@@ -826,14 +826,16 @@ def build_ivf_index(df: DataFrame, root: str, n_centroids: int = 64,
     if sample_mod > 1:
         samp = samp.filter(F.pmod(F.xxhash64("vec_id"),
                                   F.lit(sample_mod)) == 0)
-    rows = (samp.orderBy("vec_id").limit(sample_rows)
-            .select("embedding").collect())
-    if not rows:
+    # Arrow transfer (toPandas), not a row collect — same swap as the
+    # dup-pair kernels; the sample is the fixed driver-side cost here
+    pdf_s = (samp.orderBy("vec_id").limit(sample_rows)
+             .select("embedding").toPandas())
+    if pdf_s.empty:
         raise ValueError(
             "build_ivf_index: training sample is empty (input has no "
             "rows, or sample_mod filtered everything) — lower sample_mod "
             "or check the input table")
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    mat = np.array(pdf_s["embedding"].tolist(), dtype=np.float64)
     cent = _spherical_kmeans(mat, n_centroids, iters)
     spark = df.sparkSession
     b_cent = spark.sparkContext.broadcast(cent.T.copy())

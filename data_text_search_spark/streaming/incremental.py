@@ -125,14 +125,21 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
         _write_manifest_atomic(paths.manifest, manifest)
         raise ValueError(msg)
 
-    row = pairs_df.agg(F.count("*").alias("n"),
-                       F.countDistinct("doc_id").alias("nd")).first()
+    # ONE integrity job: the duplicate-id check and the already-present
+    # check ride the same aggregate (doc_stats ids are unique, so the
+    # marker left join is row-preserving) — the round-6-start shape paid
+    # two serial job floors here per append
+    existing = (spark.read.parquet(
+        *committed_doc_stats_paths(root, manifest))
+        .select("doc_id").withColumn("_ex", F.lit(1)))
+    row = (pairs_df.join(existing, "doc_id", "left")
+           .agg(F.count("*").alias("n"),
+                F.countDistinct("doc_id").alias("nd"),
+                F.count("_ex").alias("ndup")).first())
     n_new = int(row["n"] or 0)
     if int(row["nd"] or 0) != n_new:
         _abort("delta contains duplicate doc_ids")
-    existing = spark.read.parquet(
-        *committed_doc_stats_paths(root, manifest)).select("doc_id")
-    n_dup = pairs_df.join(existing, "doc_id").count()
+    n_dup = int(row["ndup"] or 0)
     if n_dup:
         # a tombstoned id is still physically present (postings + stats)
         # until merge_segments purges it — re-adding before the purge
