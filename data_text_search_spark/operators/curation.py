@@ -71,7 +71,9 @@ def scrub_exprs(text_col: str = "text") -> tuple[Column, list[Column]]:
     cur: Column = F.col(text_col).cast("string")
     counts: list[Column] = []
     for _name, pat, _repl in SCRUB_STEPS:
-        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)))
+        # count-only probe: regexp_count runs the same matcher without
+        # materializing every matched substring into an array
+        counts.append(F.regexp_count(cur, F.lit(pat)))
         cur = F.regexp_replace(cur, pat, _repl)
     return cur, counts
 

@@ -46,13 +46,16 @@ def token_count(df: DataFrame, text_col: str = "text",
     """(doc_id, n_tokens, n_words, n_bpe_tokens, n_chars): engine-tokenizer
     count, whitespace word count, a BPE-style pre-tokenizer count (the
     LLM-training cost proxy), and raw length."""
-    toks = _tokens(text_col)
+    from data_text_search_spark.functions.text import TOKEN_PATTERN
     low = F.lower(F.col(text_col).cast("string"))
+    # counting matches needs no materialized match ARRAY — regexp_count
+    # runs the same matcher without building every token substring
+    # (identical value to size(regexp_extract_all(...)) by definition)
     return df.select(
         F.col(id_col),
-        F.size(toks).alias("n_tokens"),
+        F.regexp_count(low, F.lit(TOKEN_PATTERN)).alias("n_tokens"),
         F.size(F.split(F.trim(F.col(text_col).cast("string")), r"\s+")).alias("n_words"),
-        F.size(F.regexp_extract_all(low, F.lit(BPE_PATTERN), 0)).alias("n_bpe_tokens"),
+        F.regexp_count(low, F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
         F.length(F.col(text_col).cast("string")).alias("n_chars"),
     )
 
