@@ -312,6 +312,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
               .agg(F.count("*").alias("_bsz"))
               .filter(F.col("_bsz") <= bucket_cap).select("band", "bucket"))
         banded = banded.join(ok, ["band", "bucket"])
+    # join strategy deliberately left to the planner: with the sigs
+    # frame persisted, a within-session alternating A/B at the 10x
+    # scale measured broadcast / shuffle-hash / shuffle-merge all at
+    # ~2.2 s medians for this candidate join — there is nothing to pin
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -460,7 +464,13 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
               .agg(F.count("*").alias("_bsz"))
               .filter(F.col("_bsz") <= bucket_cap).select("band", "bucket"))
         banded = banded.join(ok, ["band", "bucket"])
-    a, b = banded.alias("a"), banded.alias("b")
+    # SHUFFLE_MERGE pinned: band groups are large on duplicate-heavy
+    # corpora (identical fingerprints share every bucket), and the
+    # group-cross inside a sorted merge measured fastest in a
+    # within-session alternating A/B at the 10x scale (medians:
+    # merge 3.4 s, broadcast 4.9, shuffle-hash 6.0) — broadcast also
+    # rebuilds a driver-side hash table per call
+    a, b = banded.alias("a"), banded.hint("shuffle_merge").alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
