@@ -542,10 +542,30 @@ def _delta_searcher(spark: SparkSession, sf_dir: str):
                  .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
                  .withColumn("text", F.concat(F.lit("stale draft revision "),
                                               F.col("text"))))
-        v1 = docs.filter(part < 9).unionByName(stale)
         cfg = BM25Config(alpha=APP_CFG.alpha)
-        build_index(spark, v1, root, cfg, text_col="text", id_col="doc_id",
-                    groups=ENTRY_BUILD_GROUPS)
+        # v1 = 90% unchanged docs + 10% stale rewrites. The unchanged
+        # slice reuses the physical index's tokenized checkpoint (pairs
+        # are a pure function of the text under the pinned tokenizer —
+        # same reuse the incremental base and codec builds make); only
+        # the stale rewrites (modified text, shifted ids) tokenize fresh.
+        from data_text_search_spark.functions.text import (
+            tokenize_tf_pandas_udf,
+        )
+        from data_text_search_spark.operators.bm25_exhaustive import ingest
+        pair_cols = ["doc_id", "pairs", "doc_len", "n_chars"]
+        stale_pairs = (ingest(stale, text_col="text", id_col="doc_id",
+                              clean=cfg.clean, materialize_tokens=False)
+                       .select("doc_id",
+                               tokenize_tf_pandas_udf("prepared").alias("s"))
+                       .select("doc_id", F.col("s.pairs").alias("pairs"),
+                               F.col("s.doc_len").alias("doc_len"),
+                               F.col("s.n_chars").alias("n_chars")))
+        v1_pairs = (_physical_pairs(spark, sf_dir)
+                    .filter(F.pmod(F.col("doc_id"), F.lit(10)) < 9)
+                    .select(*pair_cols)
+                    .unionByName(stale_pairs))
+        build_index(spark, None, root, cfg, text_col="text", id_col="doc_id",
+                    groups=ENTRY_BUILD_GROUPS, tokenized_pairs=v1_pairs)
         reindex_delta(spark, root, docs, text_col="text", id_col="doc_id")
         merge_segments(spark, root)
         s = IndexSearcher(spark, root)

@@ -301,18 +301,27 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
                                   if cfg.get("stopwords") else F.lit(False)))
                    .withColumn("term_bucket",
                                F.pmod(F.xxhash64("term"), F.lit(tp)).cast("int"))
-                   ).persist()
-    new_terms = delta_terms.count()
+                   )
+    # ONE job: the new-term count rides the segment term_stats write as
+    # an observe() metric (the round-6-start shape persisted delta_terms,
+    # ran a count job, then re-ran the plan for the write). The dir is
+    # uncommitted until the final manifest write either way — readers
+    # enumerate term_stats paths from the manifest, and only segments
+    # with new_terms > 0 are listed (committed_term_stats_paths), so an
+    # empty write is invisible; it is deleted below anyway.
+    from pyspark.sql import Observation
+    dt_obs = Observation()
+    (delta_terms.observe(dt_obs, F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(paths.term_stats_seg(seg_id)))
+    new_terms = int(dt_obs.get["n"])
     if new_terms:
-        # the segment's own term_stats dir — uncommitted until the final
-        # manifest write; readers list term_stats paths from the manifest
-        delta_terms.write.mode("overwrite").parquet(paths.term_stats_seg(seg_id))
         live_stats = (full_stats.unionByName(
             spark.read.parquet(paths.term_stats_seg(seg_id)))
             .filter(~F.col("pruned")))
     else:
+        from data_text_search_spark.sources import fsio
+        fsio.delete(paths.term_stats_seg(seg_id))
         live_stats = full_stats.filter(~F.col("pruned"))
-    delta_terms.unpersist()
 
     k1, b = cfg["k1"], cfg["b"]
     enc = (td.join(live_stats.select("term", "idf"), "term")
