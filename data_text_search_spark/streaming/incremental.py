@@ -626,11 +626,16 @@ def reindex_delta(spark: SparkSession, root: str, snapshot: DataFrame,
                 "tombstoned but not yet purged — run merge_segments "
                 "first, then re-apply the snapshot")
 
+    # no separate count job: delete_documents is a no-op for an empty id
+    # frame (it deletes the staged dir and leaves the manifest alone),
+    # and when it does commit, the tombstone entry carries the exact
+    # count — the round-6-start shape ran the anti-join once to count
+    # and again inside delete_documents
     to_delete = live.join(snap_ids, "doc_id", "left_anti")
-    n_deleted = to_delete.count()
-    if n_deleted:
-        delete_documents(spark, root, to_delete,
-                         rebuild_threshold=rebuild_threshold)
+    pre_deleted = manifest.get("deleted_docs", 0)
+    post = delete_documents(spark, root, to_delete,
+                            rebuild_threshold=rebuild_threshold)
+    n_deleted = post.get("deleted_docs", 0) - pre_deleted
 
     to_add = snap.join(live, "doc_id", "left_anti")
     n_added = to_add.count()
