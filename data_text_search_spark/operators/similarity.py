@@ -863,10 +863,16 @@ def build_ivf_index(df: DataFrame, root: str, n_centroids: int = 64,
                       schema="vec_id long, embedding array<double>, cell int")
      .repartition(k, "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(root))
+    # repartition(1), NOT coalesce(1): a rows-list createDataFrame is a
+    # 32-slice pickled-Python relation, and coalesce makes ONE task
+    # evaluate all slices SERIALLY through the Python runner (measured
+    # 3.8-5.0 s for 32 rows); the shuffle evaluates them in parallel and
+    # one task writes (0.4 s). Readers collect + index by cell id, so
+    # file row order is immaterial.
     spark.createDataFrame(
         [(int(i), [float(v) for v in cent[i]]) for i in range(k)],
         "cell int, centroid array<double>") \
-        .coalesce(1).write.mode("overwrite").parquet(root + "/_centroids")
+        .repartition(1).write.mode("overwrite").parquet(root + "/_centroids")
 
 
 def ivf_search(spark: SparkSession, root: str, query_vec: list[float],
