@@ -57,6 +57,7 @@ moves only tasks·k rows per query.
 
 from __future__ import annotations
 
+import bisect
 import math
 import re
 from collections import Counter
@@ -811,6 +812,11 @@ class IndexSearcher:
         self._term_map: dict[str, tuple[int, float, int]] | None = None
         # lazy federation dictionary (term_meta): includes pruned terms
         self._meta_map: dict | None | bool = None
+        # code-point-sorted _meta_map keys (prefix bisect); lazy
+        self._sorted_terms: list[str] | None = None
+        # Σ doc_len over committed doc_stats (phrase_suggest's LM total;
+        # a property of the committed index snapshot — refresh() resets)
+        self._total_dl: int | None = None
         # search_local's driver-side LRU of decoded-ready posting blocks
         # (term -> pandas rows) + its postings budget; rebuilt on refresh()
         self._local_blocks: dict[str, pd.DataFrame] = {}
@@ -830,14 +836,31 @@ class IndexSearcher:
         n = self.term_stats.count()
         if n <= self.DRIVER_TERM_CACHE_MAX and self._term_map is None:
             has_cf = "cf" in self.term_stats.columns
+            has_pruned = "pruned" in self._term_stats_all.columns
             cols = ["term", "term_bucket", "idf", "df"] + (
-                ["cf"] if has_cf else [])
+                ["cf"] if has_cf else []) + (
+                ["pruned"] if has_pruned else [])
+            # ONE collect over the unfiltered dictionary feeds BOTH maps:
+            # the live query dictionary (_term_map — membership means the
+            # term scores) and the pruned-INCLUDED federation/clause
+            # dictionary (_meta_map), so boolean/msm/query_string clause
+            # gating and per-member term_meta stop paying a filtered
+            # collect per call (alpha-pruned rows are a tiny tail, so the
+            # widened collect costs what the old live-only one did)
+            rows = self._term_stats_all.select(*cols).collect()
             self._term_map = {
                 r["term"]: (r["term_bucket"], r["idf"], r["df"],
                             (int(r["cf"]) if has_cf
                              and r["cf"] is not None else None))
-                for r in self.term_stats.select(*cols).collect()
+                for r in rows
+                if not (has_pruned and r["pruned"])
             }
+            if self._meta_map is None:
+                self._meta_map = {
+                    r["term"]: (int(r["df"]), float(r["idf"]),
+                                bool(r["pruned"]) if has_pruned else False,
+                                int(r["term_bucket"]))
+                    for r in rows}
 
     def term_meta(self, terms) -> dict[str, tuple[int, float, bool, int]]:
         """(df, local idf, pruned, term_bucket) for the given terms present
@@ -846,12 +869,15 @@ class IndexSearcher:
         statistics operators/federation.py combines. Served from a lazily
         collected driver map when the vocabulary fits (same budget as
         warm()), else one vocabulary-directed filtered collect."""
+        ts = self._term_stats_all
+        if "pruned" not in ts.columns:    # legacy pre-alpha-flag layout
+            ts = ts.withColumn("pruned", F.lit(False))
         if self._meta_map is None:
-            if self._term_stats_all.count() <= self.DRIVER_TERM_CACHE_MAX:
+            if ts.count() <= self.DRIVER_TERM_CACHE_MAX:
                 self._meta_map = {
                     r["term"]: (int(r["df"]), float(r["idf"]),
                                 bool(r["pruned"]), int(r["term_bucket"]))
-                    for r in self._term_stats_all.select(
+                    for r in ts.select(
                         "term", "df", "idf", "pruned",
                         "term_bucket").collect()}
             else:
@@ -859,11 +885,54 @@ class IndexSearcher:
         if self._meta_map:
             return {t: self._meta_map[t] for t in terms
                     if t in self._meta_map}
-        rows = (self._term_stats_all.filter(F.col("term").isin(list(terms)))
+        rows = (ts.filter(F.col("term").isin(list(terms)))
                 .select("term", "df", "idf", "pruned",
                         "term_bucket").collect())
         return {r["term"]: (int(r["df"]), float(r["idf"]), bool(r["pruned"]),
                             int(r["term_bucket"])) for r in rows}
+
+    def _pruned_flags(self, terms) -> dict[str, bool]:
+        """term -> alpha-pruned flag for the given terms PRESENT in the
+        dictionary (pruned entries included) — served from the warmed
+        driver dictionary when built (zero Spark jobs), else one
+        vocabulary-directed filtered collect (the pre-warm shape). Never
+        triggers the lazy full-dictionary build: one-shot unwarmed
+        callers keep paying exactly the old filtered collect."""
+        terms = list(terms)
+        if not terms:
+            return {}
+        if isinstance(self._meta_map, dict):
+            return {t: self._meta_map[t][2] for t in terms
+                    if t in self._meta_map}
+        ts = self._term_stats_all
+        if "pruned" not in ts.columns:
+            ts = ts.withColumn("pruned", F.lit(False))
+        return {r["term"]: bool(r["pruned"]) for r in
+                ts.filter(F.col("term").isin(terms))
+                .select("term", "pruned").collect()}
+
+    def _prefix_matches(self, prefix: str, cap: int) -> "list[str] | None":
+        """Dictionary terms starting with `prefix` (alpha-pruned
+        INCLUDED), sorted term asc, from the warmed driver dictionary —
+        None when the dictionary is not warmed (callers keep their
+        filtered-collect shape). Code-point-sorted terms make a prefix
+        range contiguous, so this is a bisect + bounded walk. Returns at
+        most cap+1 entries so callers detect overflow exactly like the
+        limit(cap+1) collect they replace."""
+        if not isinstance(self._meta_map, dict):
+            return None
+        if self._sorted_terms is None:
+            self._sorted_terms = sorted(self._meta_map)
+        st = self._sorted_terms
+        i = bisect.bisect_left(st, prefix)
+        out: list[str] = []
+        while i < len(st) and len(out) <= cap:
+            t = st[i]
+            if not t.startswith(prefix):
+                break
+            out.append(t)
+            i += 1
+        return out
 
     def _kernel_parts(self) -> int:
         """Partition count for the per-shard kernel stage: the default
@@ -2048,18 +2117,32 @@ class IndexSearcher:
         if not prefix:
             raise ValueError("prefix_search: empty prefix")
         spark = self.spark
-        ts = self._term_stats_all
-        if "pruned" not in ts.columns:
-            ts = ts.withColumn("pruned", F.lit(False))
-        matched = (ts.select("term", "pruned")
-                   .filter(F.col("term").startswith(prefix))
-                   .limit(max_terms + 1).collect())
-        if len(matched) > max_terms:
-            raise ValueError(
-                f"prefix_search: '{prefix}' matches more than {max_terms} "
-                "terms; lengthen the prefix or raise max_terms")
-        weights = {r["term"]: 1 for r in matched if not r["pruned"]}
-        pruned_w = {r["term"]: 1 for r in matched if r["pruned"]}
+        warm_m = self._prefix_matches(prefix, max_terms)
+        if warm_m is not None:
+            # warmed dictionary: the expansion is a driver-side bisect —
+            # no Spark job before the posting kernel
+            if len(warm_m) > max_terms:
+                raise ValueError(
+                    f"prefix_search: '{prefix}' matches more than "
+                    f"{max_terms} terms; lengthen the prefix or raise "
+                    "max_terms")
+            mm = self._meta_map
+            weights = {t: 1 for t in warm_m if not mm[t][2]}
+            pruned_w = {t: 1 for t in warm_m if mm[t][2]}
+        else:
+            ts = self._term_stats_all
+            if "pruned" not in ts.columns:
+                ts = ts.withColumn("pruned", F.lit(False))
+            matched = (ts.select("term", "pruned")
+                       .filter(F.col("term").startswith(prefix))
+                       .limit(max_terms + 1).collect())
+            if len(matched) > max_terms:
+                raise ValueError(
+                    f"prefix_search: '{prefix}' matches more than "
+                    f"{max_terms} terms; lengthen the prefix or raise "
+                    "max_terms")
+            weights = {r["term"]: 1 for r in matched if not r["pruned"]}
+            pruned_w = {r["term"]: 1 for r in matched if r["pruned"]}
         local = self._tf_weighted_counts(weights, pruned_w)
         if local is None:
             return spark.createDataFrame([], "doc_id long, match_count long")
@@ -2374,11 +2457,19 @@ class IndexSearcher:
         maxClauseCount shape — an unanchored prefix would otherwise
         turn one query term into the whole vocabulary)."""
         from data_text_search_spark.operators.fuzzy import _fuzzy_match_cond
-        ts = self._term_stats_all.select("term")
         if kind == "prefix":
+            warm_m = self._prefix_matches(tok, 10_000)
+            if warm_m is not None:   # warmed dictionary: driver bisect
+                if len(warm_m) > 10_000:
+                    raise ValueError(
+                        f"query_string: clause {tok!r} ({kind}) expands "
+                        "to more than 10000 dictionary terms — anchor it "
+                        "further")
+                return warm_m        # already sorted term asc
             cond = F.col("term").startswith(tok)
         else:
             cond = _fuzzy_match_cond(F.col("term"), F.lit(tok), int(arg))
+        ts = self._term_stats_all.select("term")
         rows = ts.filter(cond).limit(10_001).collect()
         if len(rows) > 10_000:
             raise ValueError(
@@ -2450,9 +2541,14 @@ class IndexSearcher:
                         for i in range(len(cands) - 1)
                         for a in cands[i] for b in cands[i + 1]})
         lm = lm_counts(spark, positions_root, all_terms, pairs)
-        T = int(spark.read.parquet(
-            *committed_doc_stats_paths(self.paths.root, self.manifest))
-            .agg(F.sum("doc_len")).first()[0] or 0)
+        if self._total_dl is None:
+            # Σ doc_len of the committed snapshot (segments included) —
+            # a per-searcher constant (stale under tombstones by design,
+            # like every suggest statistic); refresh() re-derives it
+            self._total_dl = int(spark.read.parquet(
+                *committed_doc_stats_paths(self.paths.root, self.manifest))
+                .agg(F.sum("doc_len")).first()[0] or 0)
+        T = self._total_dl
         if T == 0:
             return spark.createDataFrame([], out_schema)
         bo = float(backoff)
@@ -2592,11 +2688,9 @@ class IndexSearcher:
                    .select("term", "df").collect()}
         missing = sorted(set(counts) - set(qcounts))
         pruned: list[str] = []
-        if missing and "pruned" in self._term_stats_all.columns:
-            pruned = sorted(r["term"] for r in self._term_stats_all
-                            .filter(F.col("term").isin(missing)
-                                    & F.col("pruned"))
-                            .select("term").collect())
+        if missing:
+            flags = self._pruned_flags(missing)
+            pruned = sorted(t for t in missing if flags.get(t))
         total = sum(dfs.values())
         n_terms = self.manifest.get("metrics", {}).get("n_terms")
         local_ok = (bool(qcounts) and total <= self.LOCAL_MAX_POSTINGS
@@ -2656,14 +2750,7 @@ class IndexSearcher:
         not_terms = sorted({t for m in must_not for t in tokenize_py(m)})
         empty = RESULT_SCHEMA + ", rank int, score_abs double"
         both = must_terms + not_terms
-        pr: dict[str, bool] = {}
-        if both:
-            ts = self._term_stats_all
-            if "pruned" not in ts.columns:
-                ts = ts.withColumn("pruned", F.lit(False))
-            pr = {r["term"]: bool(r["pruned"]) for r in
-                  ts.filter(F.col("term").isin(both))
-                  .select("term", "pruned").collect()}
+        pr = self._pruned_flags(both)
         if any(t not in pr for t in must_terms):
             return spark.createDataFrame([], empty)
 
@@ -2737,12 +2824,7 @@ class IndexSearcher:
             return self.search(query, n, keep=keep)
         if len(terms) < m:
             return spark.createDataFrame([], empty)
-        ts = self._term_stats_all
-        if "pruned" not in ts.columns:
-            ts = ts.withColumn("pruned", F.lit(False))
-        pr = {r["term"]: bool(r["pruned"]) for r in
-              ts.filter(F.col("term").isin(terms))
-              .select("term", "pruned").collect()}
+        pr = self._pruned_flags(terms)
         if len(pr) < m:       # not enough terms exist to ever reach m
             return spark.createDataFrame([], empty)
         counts = self._presence_mask_counts(
@@ -2820,14 +2902,7 @@ class IndexSearcher:
                 "query_string: quoted phrases need the corpus `df` or a "
                 "positions_root sidecar (membership gating)")
         both = must + must_not + [t for g in must_any for t in g]
-        pr: dict[str, bool] = {}
-        if both:
-            ts = self._term_stats_all
-            if "pruned" not in ts.columns:
-                ts = ts.withColumn("pruned", F.lit(False))
-            pr = {r["term"]: bool(r["pruned"]) for r in
-                  ts.filter(F.col("term").isin(both))
-                  .select("term", "pruned").collect()}
+        pr = self._pruned_flags(both)
         if any(t not in pr for t in must):
             return spark.createDataFrame([], empty)
 

@@ -509,3 +509,56 @@ def test_wildcard_search_translates_to_regex(spark, corpus, index):
     assert s.wildcard_search("z.z").count() == 0
     with pytest.raises(ValueError, match="empty pattern"):
         s.wildcard_search("")
+
+
+# ------------------------------------------- warmed-dictionary fast paths
+
+
+def test_warmed_dictionary_paths_match_collect_paths(spark, corpus, tmp_path):
+    """warm() builds the pruned-included driver dictionary in the same
+    collect as the live map; boolean/msm/query_string clause gating,
+    prefix expansion and explain then answer dictionary lookups with
+    ZERO Spark jobs — rows must be identical to the unwarmed
+    filtered-collect shape on an index where alpha-pruning actually
+    bites."""
+    pdf, df = corpus
+    root = str(tmp_path / "widx")
+    build_index(spark, df, root, BM25Config(alpha=1.0), id_col="doc_id",
+                shards=2, groups=1)
+    cold = IndexSearcher(spark, root)
+    warm = IndexSearcher(spark, root)
+    warm.warm()
+    assert isinstance(warm._meta_map, dict) and warm._meta_map
+    # the warmed helpers answer without touching Spark
+    flags = warm._pruned_flags(["def", "zzznope"])
+    assert flags.get("def") is True and "zzznope" not in flags
+    q = "get_heap override"
+    pairs = [
+        (cold.boolean_search(q, must=["def"], n=10 ** 6),
+         warm.boolean_search(q, must=["def"], n=10 ** 6)),
+        (cold.boolean_search(q, must_not=["def"], n=10 ** 6),
+         warm.boolean_search(q, must_not=["def"], n=10 ** 6)),
+        (cold.search_msm("def return import", 2, 50),
+         warm.search_msm("def return import", 2, 50)),
+        (cold.prefix_search("re"), warm.prefix_search("re")),
+        (cold.prefix_search("de"), warm.prefix_search("de")),
+        (cold.query_string("+def get_heap", 50),
+         warm.query_string("+def get_heap", 50)),
+        (cold.query_string("re* get_heap", 50),
+         warm.query_string("re* get_heap", 50)),
+    ]
+    for a, b in pairs:
+        assert [tuple(r) for r in a.collect()] == \
+            [tuple(r) for r in b.collect()]
+    assert cold._expand_clause("prefix", "re", None) == \
+        warm._expand_clause("prefix", "re", None)
+    assert cold.explain("def zzznope import") == \
+        warm.explain("def zzznope import")
+    assert cold.term_meta(["def", "import"]) == \
+        warm.term_meta(["def", "import"])
+    # overflow parity: the bisect path refuses exactly like limit(cap+1)
+    with pytest.raises(ValueError, match="more than"):
+        warm.prefix_search("d", max_terms=1)
+    with pytest.raises(ValueError, match="more than"):
+        cold.prefix_search("d", max_terms=1)
+    assert warm.prefix_search("zzzznope").count() == 0
