@@ -28,9 +28,22 @@ FLAGSHIP_QUERY = "hash join table scan"
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small single-file tables arrive as ONE input split; spread the
-    # tokenize map work across cores (a real corpus has many splits)
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    # tokenize map work across cores (a real corpus has many splits).
+    # The READ (the lazy plan, not data) is memoized per session+path:
+    # parquet schema inference otherwise runs a footer job per call,
+    # a pure job floor paid by every corpus-scanning contract row
+    return _table(spark, f"{sf_dir}/documents.parquet")
+
+
+def _table(spark: SparkSession, path: str,
+           spread: bool = True) -> DataFrame:
+    key = ("tbl", _session_token(spark), path, spread)
+    if key not in _CACHE:
+        df = spark.read.parquet(path)
+        if spread:
+            df = df.repartition(spark.sparkContext.defaultParallelism)
+        _CACHE[key] = (df, None)
+    return _CACHE[key][0]
 
 
 _CACHE: dict[tuple, tuple[DataFrame, object]] = {}
@@ -949,12 +962,11 @@ def q_simhash_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    return _table(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row = (_table(spark, f"{sf_dir}/embeddings.parquet", spread=False)
            .filter(F.col("vec_id") == vec_id).select("embedding").first())
     return list(row["embedding"])
 
@@ -1716,7 +1728,7 @@ def q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_text_search_spark.operators.search_analytics import (
         date_histogram,
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _table(spark, f"{sf_dir}/events.parquet", spread=False)
     return date_histogram(ev, ts_col="ts", interval="day",
                           by="event_type", value_col="value")
 
@@ -1737,7 +1749,7 @@ def q_histogram_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_text_search_spark.operators.search_analytics import (
         histogram_moving_avg,
     )
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _table(spark, f"{sf_dir}/events.parquet", spread=False)
     return histogram_moving_avg(ev, ts_col="ts", interval="day",
                                 by="event_type", window=3)
 

@@ -564,9 +564,13 @@ def _run_kernel(spark: SparkSession, root: str, terms: list[str], kernel,
         f"{root}/segments/{s}/blocks" for s in (m.get("segments") or [])]
     # one read per root: base and segment dirs sit at different depths,
     # which trips Spark's common-base partition discovery when globbed
-    # into a single read (CONFLICTING_DIRECTORY_STRUCTURES)
+    # into a single read (CONFLICTING_DIRECTORY_STRUCTURES). The block
+    # schema is pinned by the codec, so pass it explicitly: schema
+    # inference otherwise runs a footer-reading Spark job per path on
+    # EVERY kernel call (phrase/span/lm gates pay it per query)
     blocks = reduce(DataFrame.unionByName,
-                    [spark.read.parquet(p) for p in paths])
+                    [spark.read.schema(_BLOCKS_SCHEMA).parquet(p)
+                     for p in paths])
     blocks = blocks.filter(F.col("term").isin(sorted(set(terms))))
     parts = max(spark.sparkContext.defaultParallelism, 1)
     return (blocks.repartition(parts, "shard")

@@ -40,6 +40,22 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
+        # every CollectLimit in this engine guards a deliberately-bounded
+        # driver merge whose input frame is ~#partitions wide; the default
+        # take()-escalation (1 partition, then 4x per retry) only
+        # serializes extra job floors before scanning the whole frame
+        # anyway. Scanning shuffle-width partitions in the first job is
+        # scale-adaptive (the knob follows $SPARK_GRAFT_CPUS, not a local
+        # constant)
+        .config("spark.sql.limit.initialNumPartitions",
+                str(max(shuffle_partitions, 8)))
+        # every read in this engine enumerates manifest-committed dirs
+        # (shard/partition counts bounded by the manifest, never an
+        # unbounded glob): listing a few hundred dirs on the driver is
+        # ~ms, while the default threshold (32) turns each positional/
+        # partitioned read into a distributed file-listing JOB per query
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "1024")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.ui.enabled", "false")
