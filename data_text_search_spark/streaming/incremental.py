@@ -309,6 +309,35 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
     # enumerate term_stats paths from the manifest, and only segments
     # with new_terms > 0 are listed (committed_term_stats_paths), so an
     # empty write is invisible; it is deleted below anyway.
+    # doc_stats + tokenized are derivations of the persisted pairs that
+    # nothing in the term_stats→postings chain reads: their write jobs
+    # run on background action threads and overlap the chain (guide
+    # §2.6 / the base build's concurrent doc_stats stage), so the
+    # segment encode's wall cost is max(), not sum(). All four dirs stay
+    # invisible until the caller's atomic manifest commit, and the
+    # threads are joined (errors re-raised) before this function
+    # returns, so the crash protocol is unchanged.
+    import threading
+    from data_text_search_spark.operators.index_build import doc_stats_df
+    side_err: list[BaseException] = []
+
+    def _side(fn):
+        def run():
+            try:
+                fn()
+            except BaseException as e:   # surfaced at join
+                side_err.append(e)
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        return t
+
+    side_threads = [
+        _side(lambda: doc_stats_df(pairs_df, complete_n_chars=True)
+              .write.mode("overwrite").parquet(paths.doc_stats_seg(seg_id))),
+        _side(lambda: pairs_df.write.mode("overwrite")
+              .parquet(paths.tokenized_seg(seg_id))),
+    ]
+
     from pyspark.sql import Observation
     dt_obs = Observation()
     (delta_terms.observe(dt_obs, F.count(F.lit(1)).alias("n"))
@@ -316,7 +345,8 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
     new_terms = int(dt_obs.get["n"])
     if new_terms:
         live_stats = (full_stats.unionByName(
-            spark.read.parquet(paths.term_stats_seg(seg_id)))
+            spark.read.schema(delta_terms.schema)
+            .parquet(paths.term_stats_seg(seg_id)))
             .filter(~F.col("pruned")))
     else:
         from data_text_search_spark.sources import fsio
@@ -359,14 +389,13 @@ def _encode_segment(spark: SparkSession, paths: IndexPaths, manifest: dict,
          .sortWithinPartitions("term", "shard", "block_id")
          .write.mode("overwrite").partitionBy("term_bucket")
          .parquet(paths.postings_seg(seg_id)))
-    from data_text_search_spark.operators.index_build import doc_stats_df
-    # pairs_df is the fresh tokenize-UDF output — n_chars is complete
-    doc_stats_df(pairs_df, complete_n_chars=True).write.mode("overwrite").parquet(
-        paths.doc_stats_seg(seg_id))
-    # tokenized checkpoint per segment (same role as the base build's
-    # `tokenized/` stage): merges re-score from these without
-    # re-tokenizing any document
-    pairs_df.write.mode("overwrite").parquet(paths.tokenized_seg(seg_id))
+    # doc_stats (complete n_chars — pairs_df is fresh tokenize output)
+    # and the per-segment tokenized checkpoint (merges re-score from it
+    # without re-tokenizing) were written by the side threads above
+    for t in side_threads:
+        t.join()
+    if side_err:
+        raise side_err[0]
     return int(new_terms)
 
 
