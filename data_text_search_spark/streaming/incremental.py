@@ -156,6 +156,18 @@ def add_documents(spark: SparkSession, root: str, new_corpus: DataFrame,
         _abort(
             f"{n_dup} delta doc_ids already exist in the index — re-adding "
             f"would double their postings{hint}")
+    if n_new == 0:
+        # empty delta: no segment (a zero-doc segment would commit
+        # parts-less parquet dirs that break readers' schema inference —
+        # the same class append_positions_segment guards against); clear
+        # the intent, still record the batch key so a replayed empty
+        # micro-batch stays idempotent
+        pairs_df.unpersist()
+        if batch_key is not None:
+            manifest.setdefault("applied_batches", []).append(batch_key)
+        manifest.pop("pending", None)
+        _write_manifest_atomic(paths.manifest, manifest)
+        return manifest
     n_total = n_old + n_new
 
     new_terms = _encode_segment(
@@ -666,14 +678,16 @@ def reindex_delta(spark: SparkSession, root: str, snapshot: DataFrame,
                             rebuild_threshold=rebuild_threshold)
     n_deleted = post.get("deleted_docs", 0) - pre_deleted
 
+    # no separate count job here either: add_documents short-circuits a
+    # zero-row delta (no segment, intent cleared) and its manifest
+    # carries the exact post-append n_docs, so the anti-join executes
+    # once — inside the append's own integrity/tokenize pass
     to_add = snap.join(live, "doc_id", "left_anti")
-    n_added = to_add.count()
-    if n_added:
-        manifest = add_documents(
-            spark, root, to_add, text_col=text_col, id_col="doc_id",
-            batch_key=batch_key, rebuild_threshold=rebuild_threshold)
-    else:
-        manifest = load_manifest(root)
+    pre_docs = int(post.get("n_docs", manifest["n_docs"]))
+    manifest = add_documents(
+        spark, root, to_add, text_col=text_col, id_col="doc_id",
+        batch_key=batch_key, rebuild_threshold=rebuild_threshold)
+    n_added = int(manifest["n_docs"]) - pre_docs
     n_snapshot = snap_ids.count()
     snap_ids.unpersist()
     return {"n_added": int(n_added), "n_deleted": int(n_deleted),

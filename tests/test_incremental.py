@@ -543,3 +543,25 @@ def test_load_manifest_raises_when_all_versions_vanish(spark, tmp_path,
     monkeypatch.setattr(fsio, "read_text", wiping_read)
     with pytest.raises(RuntimeError, match="vanished"):
         load_manifest(root)
+
+
+def test_empty_delta_creates_no_segment(spark, tmp_path):
+    """A zero-row delta must not commit a segment (a zero-doc segment
+    would leave parts-less parquet dirs readers cannot scan): the
+    manifest is unchanged except a recorded batch key, the pending
+    intent is cleared, and the index stays fully queryable."""
+    root = _base(spark, tmp_path, n=50)
+    before = load_manifest(root)
+    delta = spark.createDataFrame([], "doc_id long, content string")
+    m = add_documents(spark, root, delta, id_col="doc_id",
+                      batch_key="empty-batch-1")
+    assert m["n_docs"] == before["n_docs"]
+    assert m.get("segments", []) == before.get("segments", [])
+    assert "pending" not in m
+    assert "empty-batch-1" in m.get("applied_batches", [])
+    # replay of the same empty batch stays a no-op
+    m2 = add_documents(spark, root, delta, id_col="doc_id",
+                       batch_key="empty-batch-1")
+    assert m2.get("segments", []) == before.get("segments", [])
+    s = IndexSearcher(spark, root)
+    assert s.search("return import", 5).count() == 5
