@@ -626,11 +626,15 @@ def _federated(spark: SparkSession, sf_dir: str):
         from data_text_search_spark.operators.index_build import build_index
 
         base = tempfile.mkdtemp(prefix="dts_fed_")
-        roots = []
         # both members re-encode disjoint doc_id-parity slices of the
-        # SAME tokenize artifact — filter the physical checkpoint
+        # SAME tokenize artifact — filter the physical checkpoint. The
+        # two builds are independent (own roots, committed-parquet
+        # input), so they run on concurrent driver threads and each
+        # build's job tail back-fills the other's idle cores
+        # (spark_optimization_guide §2.6)
         pairs = _physical_pairs(spark, sf_dir)
-        for i in range(2):
+
+        def _member(i: int) -> str:
             root = f"{base}/m{i}"
             build_index(spark, None, root,
                         BM25Config(alpha=APP_CFG.alpha,
@@ -639,7 +643,11 @@ def _federated(spark: SparkSession, sf_dir: str):
                         groups=ENTRY_BUILD_GROUPS,
                         tokenized_pairs=pairs.filter(
                             F.col("doc_id") % 2 == i))
-            roots.append(root)
+            return root
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            roots = list(pool.map(_member, range(2)))
         fed = FederatedSearcher(spark, roots)
         fed.warm()
         _CACHE[key] = (None, fed)

@@ -101,16 +101,24 @@ def build_routed_index(spark: SparkSession, corpus: DataFrame, root: str,
     n_corpus = int(obs.get["n"] or 0)
     by_rt = spark.read.parquet(staged)
     members = {}
-    n_members = 0
-    for i, v in enumerate(vals):
+    # member builds are independent (own roots, disjoint slices of the
+    # staged corpus): run them on a small driver thread pool so each
+    # build's job tail back-fills cores the others leave idle
+    # (spark_optimization_guide §2.6); 2-3 in flight is enough
+    from concurrent.futures import ThreadPoolExecutor
+
+    from data_text_search_spark.operators.index_build import load_manifest
+
+    def _build_member(i: int) -> int:
         member = f"m_{i:04d}"
         build_index(spark, by_rt.filter(F.col("_rk") == i),
                     f"{root}/{member}", cfg, text_col=text_col,
                     id_col=id_col, shards=shards)
-        from data_text_search_spark.operators.index_build import (
-            load_manifest,
-        )
-        n_members += int(load_manifest(f"{root}/{member}")["n_docs"])
+        return int(load_manifest(f"{root}/{member}")["n_docs"])
+
+    workers = min(3, max(len(vals), 1))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        n_members = sum(pool.map(_build_member, range(len(vals))))
     # doc conservation: every corpus row landed in exactly one member —
     # a routing readback bug can never commit a lossy/duplicated build
     if n_members != n_corpus:
