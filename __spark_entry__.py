@@ -961,11 +961,19 @@ def q_simhash_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = dedup.simhash_fingerprints(docs).localCheckpoint(eager=True)
     # each side of the symmetric difference is referenced twice —
     # materialize once (the round-5 plan ran every banded pair
-    # computation two times inside the exceptAll pair)
-    p16 = dedup.simhash_pairs(docs, max_hamming=3, band_bits=16,
-                              fingerprints=fps).localCheckpoint(eager=True)
-    p8 = dedup.simhash_pairs(docs, max_hamming=3, band_bits=8,
-                             fingerprints=fps).localCheckpoint(eager=True)
+    # computation two times inside the exceptAll pair). The two bandings
+    # are independent decompositions of the SAME checkpointed
+    # fingerprints, so their eager materializations run on concurrent
+    # driver threads (guide §2.6) instead of back to back
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _banded(bits: int) -> DataFrame:
+        return dedup.simhash_pairs(docs, max_hamming=3, band_bits=bits,
+                                   fingerprints=fps) \
+            .localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        p16, p8 = pool.map(_banded, (16, 8))
     return p16.exceptAll(p8).unionByName(p8.exceptAll(p16))
 
 
