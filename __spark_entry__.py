@@ -1145,17 +1145,26 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the id tie-break (the engine and DuckDB agree on rounded values by
     the bm25_topk/cosine_topk rows, so the rank columns — and the fused
     sum — are engine-portable)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from data_text_search_spark.operators import hybrid, similarity
     s = _physical_searcher(spark, sf_dir)
-    bm = hybrid.with_rank(
-        s.search(FLAGSHIP_QUERY, 50)
-        .select("doc_id", F.round("score", 4).alias("score")),
-        [F.desc("score"), F.asc("doc_id")])
-    qv = _query_vec(spark, sf_dir, 0)
-    sem = hybrid.with_rank(
-        similarity.cosine_topk(_embeddings(spark, sf_dir), qv, k=50)
-        .withColumnRenamed("vec_id", "doc_id"),
-        [F.desc("score"), F.asc("doc_id")])
+    # the two shortlists are independent retrievals (index kernel vs
+    # embedding kernel) that both materialize eagerly — run them on
+    # concurrent driver threads (guide §2.6) and fuse the small results
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        bm_fut = pool.submit(
+            lambda: s.search(FLAGSHIP_QUERY, 50)
+            .select("doc_id", F.round("score", 4).alias("score")))
+        sem_fut = pool.submit(
+            lambda: similarity.cosine_topk(
+                _embeddings(spark, sf_dir),
+                _query_vec(spark, sf_dir, 0), k=50)
+            .withColumnRenamed("vec_id", "doc_id"))
+        bm = hybrid.with_rank(bm_fut.result(),
+                              [F.desc("score"), F.asc("doc_id")])
+        sem = hybrid.with_rank(sem_fut.result(),
+                               [F.desc("score"), F.asc("doc_id")])
     return hybrid.rrf_fuse([bm, sem], k=20)
 
 

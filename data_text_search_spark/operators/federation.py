@@ -258,14 +258,15 @@ class FederatedSearcher:
         qidf, metas = self._global_stats(sorted(counts), scan_roots=sel)
         if not qidf:
             return spark.createDataFrame([], OUT_SCHEMA)
-        parts: list[pd.DataFrame] = []
         k1p1 = self.k1 + 1.0
-        for m, meta, root in zip(self.members, metas, self.roots):
+
+        def _member_top(args) -> "pd.DataFrame | None":
+            m, meta, root = args
             if sel is not None and root not in sel:
-                continue
+                return None
             qcounts = {t: counts[t] for t in qidf if t in meta}
             if not qcounts:
-                continue
+                return None
             buckets = sorted({meta[t][3] for t in qcounts})
             rmap, fb = {}, {}
             for t in qcounts:
@@ -280,7 +281,19 @@ class FederatedSearcher:
             kernel = _rescale_bounds_kernel(
                 inner, rmap, fb, self.avgdl / m.avgdl if m.avgdl else 1.0)
             top = m._topn_job(qcounts, buckets, kernel, n)
-            parts.append(top.select("doc_id", "score").toPandas())
+            return top.select("doc_id", "score").toPandas()
+
+        # members are independent indexes: their kernel jobs run on
+        # concurrent driver threads so one member's stage tail
+        # back-fills cores the others leave idle (guide §2.6); the
+        # scatter-gather merge re-sorts, so completion order never
+        # affects the result (parts keep member order regardless)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(4, max(len(self.members), 1))) as pool:
+            parts = [p for p in pool.map(
+                _member_top, zip(self.members, metas, self.roots))
+                if p is not None]
         if not parts:
             return spark.createDataFrame([], OUT_SCHEMA)
         merged = _merge_topn_driver(pd.concat(parts, ignore_index=True), n)
@@ -303,16 +316,24 @@ class FederatedSearcher:
         if not all_terms:
             return spark.createDataFrame([], IndexSearcher.OUT_SCHEMA_BATCH)
         qidf, _ = self._global_stats(all_terms, scan_roots=sel)
-        parts: list[pd.DataFrame] = []
-        for m, root in zip(self.members, self.roots):
+        def _member_batch(args) -> "pd.DataFrame | None":
+            m, root = args
             if sel is not None and root not in sel:
-                continue
+                return None
             res = m._search_batch_impl(queries, n, idf_override=qidf,
                                        avgdl_override=self.avgdl)
             if isinstance(res, DataFrame):
                 res = res.toPandas()
-            if len(res):
-                parts.append(res[["query_id", "doc_id", "score"]])
+            return res[["query_id", "doc_id", "score"]] if len(res) else None
+
+        # one kernel job per member, overlapped on driver threads (same
+        # rationale as search() above)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(4, max(len(self.members), 1))) as pool:
+            parts = [p for p in pool.map(
+                _member_batch, zip(self.members, self.roots))
+                if p is not None]
         if not parts:
             return spark.createDataFrame([], IndexSearcher.OUT_SCHEMA_BATCH)
         merged = _merge_topn_driver(pd.concat(parts, ignore_index=True), n)
