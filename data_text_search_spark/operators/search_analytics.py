@@ -307,9 +307,10 @@ def significant_terms(index: LogicalIndex, spark: SparkSession, query: str,
     # materialize the match set once: the count action AND the fg_df
     # join both read it — without the checkpoint the corpus-scale
     # semi-join + distinct runs twice (once to count, once inside the
-    # main job's broadcast build)
+    # main job's broadcast build). The checkpoint is LAZY so the count
+    # itself materializes it — eager=True ran a separate job first
     fg_docs = (index.term_doc.join(matched, "term")
-               .select("doc_id").distinct().localCheckpoint(eager=True))
+               .select("doc_id").distinct().localCheckpoint(eager=False))
     fg_n = fg_docs.count()
     if fg_n == 0:
         return spark.createDataFrame(
